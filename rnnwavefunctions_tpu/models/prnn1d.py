@@ -1,0 +1,155 @@
+"""1D positive RNN wavefunction (pRNN), optionally parity-symmetrized.
+
+Capability parity with the reference's ``1DTFIM/RNNwavefunction.py`` (plain)
+and ``1DTFIM/RNNwavefunction_paritysym.py`` (``parity=True``), rebuilt
+TPU-first:
+
+* The site loop is a single ``lax.scan`` body — O(1) compiled program size in
+  the number of sites, vs the reference's Python-unrolled O(N) graph
+  (``1DTFIM/RNNwavefunction.py:65-70``).
+* Sampling uses exact inverse-CDF draws from per-site conditionals (the
+  reference's ``tf.multinomial(tf.log(softmax))``,
+  ``1DTFIM/RNNwavefunction.py:68``) with one fresh PRNG key per site.
+* ``sample_with_log_prob`` returns the joint log-density as a free by-product
+  of the sampling scan (the reference re-runs a separate teacher-forced graph
+  for this).
+* Log-probabilities are accumulated with ``log_softmax`` directly (never
+  ``log(softmax(x))``) in ``accum_dtype`` — the reference promotes to float64
+  for this sum (``1DTFIM/RNNwavefunction.py:113-116``); float32 +
+  log-softmax meets the 1e-4 energy anchors (verified in tests).
+* Parity symmetrization computes ``log(0.5 (p(s) + p(rev s)))``
+  (``RNNwavefunction_paritysym.py:145``) as a numerically-stable
+  ``logaddexp`` — mathematically identical, overflow-free.  As in the
+  reference, only the *density* is symmetrized; sampling stays plain
+  autoregressive (``RNNwavefunction_paritysym.py`` sampler is the plain one).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cells
+
+
+def inverse_cdf_sample(key: jax.Array, probs: jax.Array) -> jax.Array:
+    """Exact categorical draw via inverse CDF. probs: (..., d) -> int32 (...)."""
+    u = jax.random.uniform(key, probs.shape[:-1] + (1,), dtype=probs.dtype)
+    cdf = jnp.cumsum(probs, axis=-1)
+    draw = jnp.sum(u >= cdf, axis=-1)
+    return jnp.clip(draw, 0, probs.shape[-1] - 1).astype(jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class PRNN1D:
+    """Positive wavefunction psi(sigma) = sqrt(p(sigma)) with p autoregressive.
+
+    Args:
+      num_sites: chain length N.
+      units: hidden widths per stacked GRU layer (MultiRNNCell analogue).
+      local_dim: on-site Hilbert dimension (2 throughout the reference,
+        ``TrainingRNN_1DTFIM.py:100``).
+      parity: if True, the density (not the sampler) is symmetrized under
+        spatial reflection, as in ``RNNwavefunction_paritysym.py:80-145``.
+      dtype: compute dtype for the recurrence (float32; the MXU accumulates
+        matmuls in float32 regardless).
+      accum_dtype: dtype of the log-probability accumulation.
+    """
+
+    num_sites: int
+    units: Tuple[int, ...] = (50,)
+    local_dim: int = 2
+    parity: bool = False
+    dtype: Any = jnp.float32
+    accum_dtype: Any = jnp.float32
+
+    is_complex: bool = dataclasses.field(default=False, init=False, repr=False)
+
+    @property
+    def plain_positive(self) -> bool:
+        """True when the sampling density equals the wavefunction density, so
+        log psi = 0.5 * (sampling log-prob) without a second pass."""
+        return not self.parity
+
+    # -- parameters ---------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Any:
+        k_rnn, k_head = jax.random.split(key)
+        return {
+            "rnn": cells.stacked_gru_init(k_rnn, self.local_dim, self.units, self.dtype),
+            "head": cells.dense_init(k_head, self.units[-1], self.local_dim, self.dtype),
+        }
+
+    # -- internals ----------------------------------------------------------
+
+    def _step_logits(self, params, x, hs):
+        out, hs = cells.stacked_gru_apply(params["rnn"], x, hs)
+        return cells.dense_apply(params["head"], out), hs
+
+    # -- sampling -----------------------------------------------------------
+
+    def sample_with_log_prob(
+        self, params: Any, key: jax.Array, num_samples: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Draw ``(num_samples, N)`` int32 spins and their plain (non-
+        symmetrized) autoregressive log-density."""
+        d = self.local_dim
+
+        def step(carry, site_key):
+            x, hs = carry
+            logits, hs = self._step_logits(params, x, hs)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            draw = inverse_cdf_sample(site_key, jnp.exp(logp))
+            x_next = jax.nn.one_hot(draw, d, dtype=self.dtype)
+            site_logp = jnp.take_along_axis(logp, draw[:, None], axis=-1)[:, 0]
+            return (x_next, hs), (draw, site_logp.astype(self.accum_dtype))
+
+        x0 = jnp.zeros((num_samples, d), self.dtype)  # the zero "sigma_0" input
+        hs0 = cells.stacked_gru_zero_state(num_samples, self.units, self.dtype)
+        keys = jax.random.split(key, self.num_sites)
+        _, (draws, site_logps) = jax.lax.scan(step, (x0, hs0), keys)
+        samples = draws.T  # (N, S) -> (S, N)
+        return samples, jnp.sum(site_logps, axis=0)
+
+    def sample(self, params: Any, key: jax.Array, num_samples: int) -> jax.Array:
+        return self.sample_with_log_prob(params, key, num_samples)[0]
+
+    # -- densities ----------------------------------------------------------
+
+    def _log_prob_plain(self, params: Any, samples: jax.Array) -> jax.Array:
+        """Teacher-forced log p(sigma) for (S, N) int samples."""
+        d = self.local_dim
+        s = samples.shape[0]
+        onehot = jax.nn.one_hot(samples.T, d, dtype=self.dtype)  # (N, S, d)
+        inputs = jnp.concatenate(
+            [jnp.zeros((1, s, d), self.dtype), onehot[:-1]], axis=0
+        )
+        targets = samples.T  # (N, S)
+
+        def step(hs, xs_t):
+            x, tgt = xs_t
+            logits, hs = self._step_logits(params, x, hs)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            site_logp = jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+            return hs, site_logp.astype(self.accum_dtype)
+
+        hs0 = cells.stacked_gru_zero_state(s, self.units, self.dtype)
+        _, site_logps = jax.lax.scan(step, hs0, (inputs, targets))
+        return jnp.sum(site_logps, axis=0)
+
+    def log_prob(self, params: Any, samples: jax.Array) -> jax.Array:
+        """log p(sigma); parity-symmetrized when ``parity=True``."""
+        lp = self._log_prob_plain(params, samples)
+        if not self.parity:
+            return lp
+        lp_rev = self._log_prob_plain(params, samples[:, ::-1])
+        return jnp.logaddexp(lp, lp_rev) - jnp.log(
+            jnp.asarray(2.0, dtype=self.accum_dtype)
+        )
+
+    def log_amp(self, params: Any, samples: jax.Array) -> jax.Array:
+        """log psi = 0.5 log p (positive wavefunction)."""
+        return 0.5 * self.log_prob(params, samples)

@@ -1,0 +1,204 @@
+"""The VMC trainer: sampling, local energies, gradient, and Adam update as a
+single jitted, mesh-sharded program.
+
+Reference call stack being replaced (SURVEY.md §3.1): per step the TF1 code
+does ``sess.run(samples)`` -> host NumPy local energies (with chunked
+``sess.run`` amplitude evaluations) -> ``sess.run(optstep, feed_dict=...)``,
+i.e. 3 + ceil((N+1)S/25000) host<->device transitions
+(``/root/reference/1DTFIM/TrainingRNN_1DTFIM.py:199-227``).  Here one
+``jit(shard_map(...))`` program does sample -> E_loc -> grad -> psum -> Adam
+with zero host round-trips; Monte-Carlo chains are sharded over the ``dp``
+mesh axis and statistics/gradients reduced over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..parallel import mesh as mesh_lib
+from .local_energy import make_local_energy_fn
+from .loss import surrogate_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameters; defaults mirror the reference trainer signature
+    (``TrainingRNN_1DTFIM.py:79``: 500 samples, lr 5e-3, Adam)."""
+
+    num_samples: int = 500
+    learning_rate: float = 5e-3
+    # "constant" (1DTFIM/J1J2, TrainingRNN_1DTFIM.py:221) or "inverse":
+    # lr/(1+step/decay_scale) (2D trainers, Training1DRNN_2DTFIM.py:229 with
+    # scale 10, Training2DRNN_2DTFIM.py:228 with scale 5000).
+    schedule: str = "constant"
+    decay_scale: float = 10.0
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8  # TrainingRNN_J1J2.py:164
+    # cap on rows per log-amplitude evaluation batch; the in-graph analogue of
+    # the reference's 25k/30k host-side chunking (TrainingRNN_1DTFIM.py:57).
+    chunk_size: Optional[int] = None
+    seed: int = 111
+
+
+def make_schedule(config: TrainConfig) -> Callable[[jax.Array], jax.Array]:
+    if config.schedule == "constant":
+        return lambda step: jnp.asarray(config.learning_rate, jnp.float32)
+    if config.schedule == "inverse":
+        return lambda step: config.learning_rate / (
+            1.0 + step.astype(jnp.float32) / config.decay_scale
+        )
+    raise ValueError(f"unknown schedule {config.schedule!r}")
+
+
+class VMCTrainer:
+    """Builds and drives the jitted VMC step for (ansatz, hamiltonian)."""
+
+    def __init__(
+        self,
+        ansatz: Any,
+        hamiltonian: Any,
+        config: TrainConfig = TrainConfig(),
+        mesh=None,
+    ):
+        self.ansatz = ansatz
+        self.hamiltonian = hamiltonian
+        self.config = config
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(1)
+        self.local_samples = mesh_lib.local_batch(config.num_samples, self.mesh)
+        self.optimizer = optax.adam(
+            learning_rate=make_schedule(config),
+            b1=config.b1,
+            b2=config.b2,
+            eps=config.eps,
+        )
+        self.local_energy = make_local_energy_fn(
+            ansatz, hamiltonian, config.chunk_size
+        )
+        self._step_fn = self._build_step()
+
+    # -- state --------------------------------------------------------------
+
+    def init(self, key: Optional[jax.Array] = None) -> TrainState:
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        params = self.ansatz.init(key)
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # -- the fused step -----------------------------------------------------
+
+    def _device_step(self, params, opt_state, step, key):
+        """Runs per-device inside shard_map; params/opt_state replicated."""
+        ansatz = self.ansatz
+        key = mesh_lib.device_key(jax.random.fold_in(key, step))
+
+        samples, logp_sampling = ansatz.sample_with_log_prob(
+            params, key, self.local_samples
+        )
+        samples = jax.lax.stop_gradient(samples)
+
+        # log psi of the drawn samples (ratio denominators).  For a plain
+        # positive ansatz the sampling density *is* the wavefunction density,
+        # so 0.5*logp is free; parity/complex ansatze need the full pass.
+        if getattr(ansatz, "plain_positive", False):
+            log_amp_s = 0.5 * logp_sampling
+        else:
+            log_amp_s = ansatz.log_amp(params, samples)
+        log_amp_s = jax.lax.stop_gradient(log_amp_s)
+
+        e_loc = jax.lax.stop_gradient(
+            self.local_energy(params, samples, log_amp_s)
+        )
+
+        # Global (mesh-wide) statistics over ICI.
+        if jnp.iscomplexobj(e_loc):
+            e_mean = mesh_lib.pmean(jnp.mean(jnp.real(e_loc))) + 1j * mesh_lib.pmean(
+                jnp.mean(jnp.imag(e_loc))
+            )
+        else:
+            e_mean = mesh_lib.pmean(jnp.mean(e_loc))
+        # Reference records np.var of (the real part of) the local energies
+        # (TrainingRNN_1DTFIM.py:207, TrainingRNN_J1J2.py:282).
+        e_re = jnp.real(e_loc)
+        var_e = mesh_lib.pmean(jnp.mean((e_re - jnp.real(e_mean)) ** 2))
+
+        def loss_fn(p):
+            return surrogate_loss(ansatz.log_amp(p, samples), e_loc, e_mean)
+
+        grads = jax.grad(loss_fn)(params)
+        grads = jax.tree.map(mesh_lib.pmean, grads)
+
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        metrics = {
+            "mean_energy": e_mean,
+            "var_energy": var_e,
+        }
+        return params, opt_state, step + 1, metrics
+
+    def _build_step(self):
+        sharded = jax.shard_map(
+            self._device_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step_fn(state: TrainState, key: jax.Array):
+            params, opt_state, step, metrics = sharded(
+                state.params, state.opt_state, state.step, key
+            )
+            return TrainState(params, opt_state, step), metrics
+
+        return step_fn
+
+    def step(self, state: TrainState, key: jax.Array):
+        """One VMC update. Returns (new_state, metrics dict of scalars)."""
+        return self._step_fn(state, key)
+
+    # -- training loop (the run_X equivalent) -------------------------------
+
+    def fit(
+        self,
+        num_steps: int,
+        state: Optional[TrainState] = None,
+        key: Optional[jax.Array] = None,
+        log_every: int = 10,
+        callback: Optional[Callable[[int, Dict[str, Any]], None]] = None,
+    ):
+        """Train for ``num_steps``; returns (state, meanE list, varE list) —
+        the reference ``run_X`` contract (``TrainingRNN_1DTFIM.py:229``)."""
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        if state is None:
+            state = self.init(jax.random.fold_in(key, 0))
+        mean_energy, var_energy = [], []
+        for it in range(num_steps):
+            state, metrics = self.step(state, key)
+            me = jax.device_get(metrics["mean_energy"])
+            ve = jax.device_get(metrics["var_energy"])
+            mean_energy.append(complex(me) if jnp.iscomplexobj(me) else float(me))
+            var_energy.append(float(ve))
+            if callback is not None and it % log_every == 0:
+                callback(it, {"mean_energy": me, "var_energy": ve})
+        return state, mean_energy, var_energy
