@@ -2,19 +2,14 @@
 
 Multi-chip TPU hardware is not available in CI; sharding semantics are
 validated on virtual CPU devices (SURVEY.md §4 "Distributed" strategy).
+
+NOTE: this environment registers an out-of-tree 'axon' TPU backend that
+overrides the JAX_PLATFORMS env var, so the platform must be forced through
+jax.config *before* any backend is initialized.
 """
 
-import os
+import jax
 
-# Must happen before jax import.  Tests always run on the simulated CPU mesh
-# (override any ambient platform selection; benchmarks use the real chip).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
