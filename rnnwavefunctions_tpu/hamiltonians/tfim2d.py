@@ -1,0 +1,72 @@
+"""2D transverse-field Ising model, open boundaries, on an Nx x Ny lattice.
+
+    H = -Jz sum_<ij> sigma^z_i sigma^z_j  -  Bx sum_i sigma^x_i
+
+Two sample encodings, matching the two reference 2D workloads:
+
+* ``encoding="flat"``  — samples are (Nx*Ny,) vectors in autoregressive scan
+  order (y-major: flat index i = y*Nx + x), as produced by the snake-ordered
+  1D ansatz (``/root/reference/2DTFIM_1DRNN/RNNwavefunction.py:74-75``).
+  Note the reference's estimator reshapes the flat vector as [Nx, Ny]
+  (``Training1DRNN_2DTFIM.py:28``) which only agrees with its own sampler's
+  y-major order for square lattices (where the transposed lattice is
+  isomorphic); here layout and estimator are consistent for any Nx, Ny.
+* ``encoding="grid"``  — samples are (Nx, Ny) grids indexed [x, y], as
+  produced by the 2D MDRNN ansatz
+  (``/root/reference/2DTFIM_2DRNN/RNNwavefunction.py:116``, estimator
+  ``Training2DRNN_2DTFIM.py:33-61``).
+
+Diagonal: ``-Jz * (+1 if neighbours agree else -1)`` per lattice bond, both
+directions; off-diagonal: Nx*Ny single-spin flips with element ``-Bx`` and
+the pRNN amplitude-ratio contraction (``Training1DRNN_2DTFIM.py:79``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TFIM2D:
+    nx: int
+    ny: int
+    bx: float = 2.0
+    jz: float = 1.0
+    encoding: str = "flat"  # "flat" (y-major vector) or "grid" ((nx, ny) array)
+
+    def __post_init__(self):
+        if self.encoding not in ("flat", "grid"):
+            raise ValueError(f"unknown encoding {self.encoding!r}")
+
+    @property
+    def n_sites(self) -> int:
+        return self.nx * self.ny
+
+    @property
+    def n_offdiag(self) -> int:
+        return self.n_sites
+
+    def _grid(self, sigma: jax.Array) -> jax.Array:
+        """Return the sample as a (ny, nx) array indexed [y, x]."""
+        if self.encoding == "flat":
+            return sigma.reshape(self.ny, self.nx)
+        return sigma.T  # (nx, ny) -> (ny, nx)
+
+    def connected(self, sigma: jax.Array):
+        n = self.n_sites
+        g = self._grid(sigma)
+        z = (2 * g - 1).astype(jnp.float32)
+        diag = -self.jz * (
+            jnp.sum(z[:, :-1] * z[:, 1:]) + jnp.sum(z[:-1, :] * z[1:, :])
+        )
+
+        flat = sigma.reshape(-1)
+        eye = jnp.eye(n, dtype=sigma.dtype)
+        flips = jnp.where(eye == 1, 1 - flat[None, :], flat[None, :])
+        flips = flips.reshape((n,) + sigma.shape)
+        elements = jnp.full((n,), -self.bx, jnp.float32)
+        mask = jnp.full((n,), self.bx != 0.0)
+        return diag, flips, elements, mask
