@@ -113,34 +113,36 @@ class VMCTrainer:
             params, key, self.local_samples
         )
         samples = jax.lax.stop_gradient(samples)
+        is_complex = getattr(ansatz, "is_complex", False)
 
         # log psi of the drawn samples (ratio denominators).  For a plain
         # positive ansatz the sampling density *is* the wavefunction density,
         # so 0.5*logp is free; parity/complex ansatze need the full pass.
         if getattr(ansatz, "plain_positive", False):
             log_amp_s = 0.5 * logp_sampling
+        elif is_complex:
+            log_amp_s = ansatz.log_amp_parts(params, samples)
         else:
             log_amp_s = ansatz.log_amp(params, samples)
         log_amp_s = jax.lax.stop_gradient(log_amp_s)
 
-        e_loc = jax.lax.stop_gradient(
+        e_re, e_im = jax.lax.stop_gradient(
             self.local_energy(params, samples, log_amp_s)
         )
 
         # Global (mesh-wide) statistics over ICI.
-        if jnp.iscomplexobj(e_loc):
-            e_mean = mesh_lib.pmean(jnp.mean(jnp.real(e_loc))) + 1j * mesh_lib.pmean(
-                jnp.mean(jnp.imag(e_loc))
-            )
-        else:
-            e_mean = mesh_lib.pmean(jnp.mean(e_loc))
+        e_mean_re = mesh_lib.pmean(jnp.mean(e_re))
+        e_mean_im = mesh_lib.pmean(jnp.mean(e_im)) if e_im is not None else None
         # Reference records np.var of (the real part of) the local energies
         # (TrainingRNN_1DTFIM.py:207, TrainingRNN_J1J2.py:282).
-        e_re = jnp.real(e_loc)
-        var_e = mesh_lib.pmean(jnp.mean((e_re - jnp.real(e_mean)) ** 2))
+        var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean_re) ** 2))
 
         def loss_fn(p):
-            return surrogate_loss(ansatz.log_amp(p, samples), e_loc, e_mean)
+            if is_complex:
+                la_re, la_im = ansatz.log_amp_parts(p, samples)
+            else:
+                la_re, la_im = ansatz.log_amp(p, samples), None
+            return surrogate_loss(la_re, la_im, e_re, e_im, e_mean_re, e_mean_im)
 
         grads = jax.grad(loss_fn)(params)
         grads = jax.tree.map(mesh_lib.pmean, grads)
@@ -149,9 +151,11 @@ class VMCTrainer:
         params = optax.apply_updates(params, updates)
 
         metrics = {
-            "mean_energy": e_mean,
+            "mean_energy": e_mean_re,
             "var_energy": var_e,
         }
+        if e_mean_im is not None:
+            metrics["mean_energy_im"] = e_mean_im
         return params, opt_state, step + 1, metrics
 
     def _build_step(self):
@@ -195,10 +199,12 @@ class VMCTrainer:
         mean_energy, var_energy = [], []
         for it in range(num_steps):
             state, metrics = self.step(state, key)
-            me = jax.device_get(metrics["mean_energy"])
-            ve = jax.device_get(metrics["var_energy"])
-            mean_energy.append(complex(me) if jnp.iscomplexobj(me) else float(me))
-            var_energy.append(float(ve))
+            me = float(jax.device_get(metrics["mean_energy"]))
+            if "mean_energy_im" in metrics:
+                me = complex(me, float(jax.device_get(metrics["mean_energy_im"])))
+            ve = float(jax.device_get(metrics["var_energy"]))
+            mean_energy.append(me)
+            var_energy.append(ve)
             if callback is not None and it % log_every == 0:
                 callback(it, {"mean_energy": me, "var_energy": ve})
         return state, mean_energy, var_energy

@@ -95,7 +95,7 @@ def test_mdrnn_local_energy_matches_dense():
     samples = ansatz.sample(params, jax.random.PRNGKey(5), 16)
 
     le = make_local_energy_fn(ansatz, ham)
-    got = np.asarray(le(params, samples, ansatz.log_amp(params, samples)))
+    got = np.asarray(le(params, samples, ansatz.log_amp(params, samples))[0])
 
     # brute force via dense H over the flat (y-major) basis, in code order
     h = exact.tfim2d_dense(nx, ny, bx)

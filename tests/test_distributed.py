@@ -32,11 +32,13 @@ def test_sharded_gradient_matches_single_device():
 
     samples = ansatz.sample(params, jax.random.PRNGKey(1), s)
     la = ansatz.log_amp(params, samples)
-    e_loc = le(params, samples, la)
+    e_loc, _ = le(params, samples, la)
     e_mean = jnp.mean(e_loc)
 
     def loss_single(p):
-        return surrogate_loss(ansatz.log_amp(p, samples), e_loc, e_mean)
+        return surrogate_loss(
+            ansatz.log_amp(p, samples), None, e_loc, None, e_mean, None
+        )
 
     g_single = jax.grad(loss_single)(params)
 
@@ -46,7 +48,7 @@ def test_sharded_gradient_matches_single_device():
         em = mesh_lib.pmean(jnp.mean(e))
 
         def loss_local(q):
-            return surrogate_loss(ansatz.log_amp(q, sigma), e, em)
+            return surrogate_loss(ansatz.log_amp(q, sigma), None, e, None, em, None)
 
         return jax.tree.map(mesh_lib.pmean, jax.grad(loss_local)(p))
 
@@ -110,7 +112,7 @@ def test_mesh_energy_statistics_match_single_device_estimator():
     params = ansatz.init(jax.random.PRNGKey(4))
     le = make_local_energy_fn(ansatz, ham)
     samples = ansatz.sample(params, jax.random.PRNGKey(5), s)
-    e = le(params, samples, ansatz.log_amp(params, samples))
+    e, _ = le(params, samples, ansatz.log_amp(params, samples))
 
     mesh = make_mesh()
 

@@ -40,7 +40,7 @@ def test_tfim1d_local_energy_matches_dense(chunk_size):
 
     le = make_local_energy_fn(ansatz, ham, chunk_size)
     log_amp_s = ansatz.log_amp(params, samples)
-    got = np.asarray(le(params, samples, log_amp_s))
+    got = np.asarray(le(params, samples, log_amp_s)[0])
 
     h = exact.tfim1d_dense(n, bx)
     want = brute_force_local_energy(
@@ -75,7 +75,7 @@ def test_zero_field_local_energy_is_diagonal():
     params = ansatz.init(jax.random.PRNGKey(2))
     samples = ansatz.sample(params, jax.random.PRNGKey(3), 16)
     le = make_local_energy_fn(ansatz, ham)
-    got = np.asarray(le(params, samples, ansatz.log_amp(params, samples)))
+    got = np.asarray(le(params, samples, ansatz.log_amp(params, samples))[0])
     z = 2 * np.asarray(samples) - 1
     want = -np.sum(z[:, :-1] * z[:, 1:], axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-6)
