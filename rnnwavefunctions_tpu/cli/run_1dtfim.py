@@ -1,0 +1,68 @@
+"""CLI: VMC with a 1D pRNN on the 1D TFIM.
+
+Defaults reproduce the reference runner
+(``/root/reference/1DTFIM/run_1dTFIM.py:9``: numsteps 10^3, N=20, Bx=1,
+50 units x 1 layer, 500 samples, lr 5e-3, seed 111), upgraded with a real
+flag system (the reference has none; SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .. import PRNN1D, TFIM1D, TrainConfig, VMCTrainer, make_mesh
+from .run_loop import run_training
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--numsteps", type=int, default=10**3)
+    p.add_argument("--systemsize", type=int, default=20)
+    p.add_argument("--bx", type=float, default=1.0)
+    p.add_argument("--num-units", type=int, default=50)
+    p.add_argument("--num-layers", type=int, default=1)
+    p.add_argument("--numsamples", type=int, default=500)
+    p.add_argument("--learningrate", type=float, default=5e-3)
+    p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--parity", action="store_true",
+                   help="parity-symmetrized density (RNNwavefunction_paritysym)")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="max rows per log-amplitude evaluation batch")
+    p.add_argument("--workdir", type=str, default="Check_Points/1DTFIM")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ansatz = PRNN1D(
+        num_sites=args.systemsize,
+        units=(args.num_units,) * args.num_layers,
+        parity=args.parity,
+    )
+    ham = TFIM1D(num_sites=args.systemsize, bx=args.bx)
+    config = TrainConfig(
+        num_samples=args.numsamples,
+        learning_rate=args.learningrate,
+        schedule="constant",
+        chunk_size=args.chunk_size,
+        seed=args.seed,
+    )
+    trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
+    sym = "_paritysym" if args.parity else ""
+    tag = (
+        f"N{args.systemsize}_samp{args.numsamples}_Jz1Bx{args.bx}"
+        f"_GRURNN_OBC_TFIM_units_{args.num_units}x{args.num_layers}{sym}"
+    )
+    _, mean_e, var_e = run_training(
+        trainer, args.numsteps, args.workdir, tag,
+        resume=args.resume, profile_dir=args.profile_dir,
+    )
+    return mean_e, var_e
+
+
+if __name__ == "__main__":
+    main()

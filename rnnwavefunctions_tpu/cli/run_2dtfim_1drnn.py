@@ -1,0 +1,69 @@
+"""CLI: VMC with a snake-ordered 1D pRNN on the 2D TFIM.
+
+Defaults reproduce ``/root/reference/2DTFIM_1DRNN/run_2dTFIM.py:10``
+(numsteps 2*10^4, 4x4 lattice, Bx=3, 50 units, 500 samples, lr 1e-3, seed
+333) including the ``lr/(1+it/10)`` host schedule
+(``Training1DRNN_2DTFIM.py:229``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .. import PRNNSnake2D, TFIM2D, TrainConfig, VMCTrainer, make_mesh
+from .run_loop import run_training
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--numsteps", type=int, default=2 * 10**4)
+    p.add_argument("--systemsize-x", type=int, default=4)
+    p.add_argument("--systemsize-y", type=int, default=4)
+    p.add_argument("--bx", type=float, default=3.0)
+    p.add_argument("--num-units", type=int, default=50)
+    p.add_argument("--num-layers", type=int, default=1)
+    p.add_argument("--numsamples", type=int, default=500)
+    p.add_argument("--learningrate", type=float, default=1e-3)
+    p.add_argument("--decay-scale", type=float, default=10.0,
+                   help="lr/(1+step/scale) schedule scale")
+    p.add_argument("--seed", type=int, default=333)
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--chunk-size", type=int, default=None)
+    p.add_argument("--workdir", type=str, default="Check_Points/2DTFIM")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ansatz = PRNNSnake2D(
+        nx=args.systemsize_x,
+        ny=args.systemsize_y,
+        units=(args.num_units,) * args.num_layers,
+    )
+    ham = TFIM2D(
+        nx=args.systemsize_x, ny=args.systemsize_y, bx=args.bx, encoding="flat"
+    )
+    config = TrainConfig(
+        num_samples=args.numsamples,
+        learning_rate=args.learningrate,
+        schedule="inverse",
+        decay_scale=args.decay_scale,
+        chunk_size=args.chunk_size,
+        seed=args.seed,
+    )
+    trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
+    tag = (
+        f"N{args.systemsize_x}x{args.systemsize_y}_samp{args.numsamples}"
+        f"_Bx{args.bx}_GRURNN1D_OBC_2DTFIM_units_{args.num_units}x{args.num_layers}"
+    )
+    _, mean_e, var_e = run_training(
+        trainer, args.numsteps, args.workdir, tag,
+        resume=args.resume, profile_dir=args.profile_dir,
+    )
+    return mean_e, var_e
+
+
+if __name__ == "__main__":
+    main()

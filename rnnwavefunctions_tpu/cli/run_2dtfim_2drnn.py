@@ -1,0 +1,66 @@
+"""CLI: VMC with the 2D MDRNN wavefunction on the 2D TFIM.
+
+Defaults reproduce ``/root/reference/2DTFIM_2DRNN/run_2dTFIM.py:10``
+(numsteps 2*10^4, 4x4 lattice, Bx=3, 50 units, 500 samples, lr 5e-3, seed
+111) including the ``lr/(1+it/5000)`` host schedule
+(``Training2DRNN_2DTFIM.py:228``).  One RNN layer only, as in the reference
+(``Training2DRNN_2DTFIM.py:97``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .. import MDRNN2D, TFIM2D, TrainConfig, VMCTrainer, make_mesh
+from .run_loop import run_training
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--numsteps", type=int, default=2 * 10**4)
+    p.add_argument("--systemsize-x", type=int, default=4)
+    p.add_argument("--systemsize-y", type=int, default=4)
+    p.add_argument("--bx", type=float, default=3.0)
+    p.add_argument("--num-units", type=int, default=50)
+    p.add_argument("--numsamples", type=int, default=500)
+    p.add_argument("--learningrate", type=float, default=5e-3)
+    p.add_argument("--decay-scale", type=float, default=5000.0)
+    p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--chunk-size", type=int, default=None)
+    p.add_argument("--workdir", type=str, default="Check_Points/2DTFIM")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ansatz = MDRNN2D(
+        nx=args.systemsize_x, ny=args.systemsize_y, units=args.num_units
+    )
+    ham = TFIM2D(
+        nx=args.systemsize_x, ny=args.systemsize_y, bx=args.bx, encoding="grid"
+    )
+    config = TrainConfig(
+        num_samples=args.numsamples,
+        learning_rate=args.learningrate,
+        schedule="inverse",
+        decay_scale=args.decay_scale,
+        chunk_size=args.chunk_size,
+        seed=args.seed,
+    )
+    trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
+    tag = (
+        f"N{args.systemsize_x}x{args.systemsize_y}_samp{args.numsamples}"
+        f"_Bx{args.bx}_MDRNN_OBC_2DTFIM_units_{args.num_units}"
+    )
+    _, mean_e, var_e = run_training(
+        trainer, args.numsteps, args.workdir, tag,
+        resume=args.resume, profile_dir=args.profile_dir,
+    )
+    return mean_e, var_e
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""CLI: VMC with the complex U(1) cRNN on the 1D J1-J2 chain.
+
+Defaults reproduce ``/root/reference/J1J2/run_j1j2.py:11`` (numsteps 3000,
+N=10, J1=1, J2=0.2, Marshall off, 10 units, 200 samples, lr 5e-4, seed 111).
+Unlike the reference, the ``--marshall-sign`` and ``--periodic`` flags are
+wired correctly (the reference call swaps them, ``TrainingRNN_J1J2.py:118``;
+SURVEY.md §2.2 quirk 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .. import CRNNU1, J1J2, TrainConfig, VMCTrainer, make_mesh
+from .run_loop import run_training
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--numsteps", type=int, default=3000)
+    p.add_argument("--systemsize", type=int, default=10)
+    p.add_argument("--j1", type=float, default=1.0)
+    p.add_argument("--j2", type=float, default=0.2)
+    p.add_argument("--bz", type=float, default=0.0)
+    p.add_argument("--marshall-sign", action="store_true")
+    p.add_argument("--periodic", action="store_true")
+    p.add_argument("--num-units", type=int, default=10)
+    p.add_argument("--num-layers", type=int, default=1)
+    p.add_argument("--numsamples", type=int, default=200)
+    p.add_argument("--learningrate", type=float, default=5e-4)
+    p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--chunk-size", type=int, default=None)
+    p.add_argument("--workdir", type=str, default="Check_Points/J1J2")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ansatz = CRNNU1(
+        num_sites=args.systemsize,
+        units=(args.num_units,) * args.num_layers,
+    )
+    ham = J1J2(
+        num_sites=args.systemsize,
+        j1=args.j1,
+        j2=args.j2,
+        bz=args.bz,
+        periodic=args.periodic,
+        marshall_sign=args.marshall_sign,
+    )
+    config = TrainConfig(
+        num_samples=args.numsamples,
+        learning_rate=args.learningrate,
+        schedule="constant",
+        chunk_size=args.chunk_size,
+        seed=args.seed,
+    )
+    trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
+    tag = (
+        f"N{args.systemsize}_samp{args.numsamples}_lr{args.learningrate}"
+        f"_complexGRURNN_J1J2{args.j2}_units_{args.num_units}x{args.num_layers}"
+        f"_zeromag"
+    )
+    _, mean_e, var_e = run_training(
+        trainer, args.numsteps, args.workdir, tag,
+        resume=args.resume, profile_dir=args.profile_dir,
+    )
+    return mean_e, var_e
+
+
+if __name__ == "__main__":
+    main()

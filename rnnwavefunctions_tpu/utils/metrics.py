@@ -1,0 +1,88 @@
+"""Training metrics: the reference's published .npy artifact series plus
+structured JSONL logs.
+
+The reference appends mean/var energy per step and ``np.save``s the full
+series every 10 steps under ``Check_Points/`` with hyperparameter-encoding
+filenames (``TrainingRNN_1DTFIM.py:224-227``, ``TrainingRNN_J1J2.py:292-294``),
+and prints a summary line every 10 steps (``:213-214``).  ``MetricsSeries``
+keeps that artifact contract (meanEnergy_<tag>.npy / varEnergy_<tag>.npy,
+loadable for resume — the reference resumes the step counter from
+``len(meanEnergy)``, ``TrainingRNN_1DTFIM.py:199``) and adds a
+``metrics_<tag>.jsonl`` structured log with wall-clock timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional, Union
+
+import numpy as np
+
+Number = Union[float, complex]
+
+
+class MetricsSeries:
+    def __init__(self, directory: str, tag: str, resume: bool = False):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.tag = tag
+        self.mean_energy: List[Number] = []
+        self.var_energy: List[float] = []
+        self._t0 = time.time()
+        self._jsonl_path = os.path.join(self.directory, f"metrics_{tag}.jsonl")
+        if resume and os.path.exists(self.mean_path):
+            self.mean_energy = [
+                complex(x) if np.iscomplexobj(np.asarray(x)) else float(x)
+                for x in np.load(self.mean_path)
+            ]
+            self.var_energy = [float(x) for x in np.load(self.var_path)]
+        elif not resume and os.path.exists(self._jsonl_path):
+            os.remove(self._jsonl_path)
+
+    @property
+    def mean_path(self) -> str:
+        return os.path.join(self.directory, f"meanEnergy_{self.tag}.npy")
+
+    @property
+    def var_path(self) -> str:
+        return os.path.join(self.directory, f"varEnergy_{self.tag}.npy")
+
+    @property
+    def step(self) -> int:
+        """Resume point, reference-style: number of recorded steps."""
+        return len(self.mean_energy)
+
+    def append(self, mean_e: Number, var_e: float) -> None:
+        self.mean_energy.append(mean_e)
+        self.var_energy.append(var_e)
+
+    def flush_npy(self) -> None:
+        np.save(self.mean_path, np.asarray(self.mean_energy))
+        np.save(self.var_path, np.asarray(self.var_energy))
+
+    def log_jsonl(self, step: int, **extra) -> None:
+        rec = {
+            "step": step,
+            "wall_time_s": round(time.time() - self._t0, 3),
+            "mean_energy": _jsonable(self.mean_energy[-1]),
+            "var_energy": self.var_energy[-1],
+        }
+        rec.update({k: _jsonable(v) for k, v in extra.items()})
+        with open(self._jsonl_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def print_line(self, step: int, num_samples: int) -> None:
+        """The reference's per-10-step console line
+        (``TrainingRNN_1DTFIM.py:213-214`` format, minus the blank lines)."""
+        print(
+            f"mean(E): {self.mean_energy[-1]}, var(E): {self.var_energy[-1]}, "
+            f"#samples {num_samples}, #Step {step}"
+        )
+
+
+def _jsonable(v):
+    if isinstance(v, complex):
+        return {"re": v.real, "im": v.imag}
+    return v

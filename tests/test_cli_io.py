@@ -1,0 +1,79 @@
+"""CLI entry points, metrics artifacts, checkpoint/resume round-trip."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rnnwavefunctions_tpu import PRNN1D, TFIM1D, TrainConfig, VMCTrainer
+from rnnwavefunctions_tpu.cli import run_1dtfim, run_j1j2
+from rnnwavefunctions_tpu.utils.checkpoints import Checkpointer
+
+
+def test_cli_1dtfim_writes_reference_artifacts(tmp_path):
+    args = [
+        "--numsteps", "12", "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--workdir", str(tmp_path), "--num-devices", "1",
+    ]
+    mean_e, var_e = run_1dtfim.main(args)
+    assert len(mean_e) == 13  # inclusive range, reference-style
+    npys = [f for f in os.listdir(tmp_path) if f.endswith(".npy")]
+    assert any(f.startswith("meanEnergy_") for f in npys)
+    assert any(f.startswith("varEnergy_") for f in npys)
+    mean_file = [f for f in npys if f.startswith("meanEnergy_")][0]
+    series = np.load(tmp_path / mean_file)
+    assert len(series) == 13 and np.isfinite(series).all()
+    jsonl = [f for f in os.listdir(tmp_path) if f.endswith(".jsonl")]
+    assert jsonl, "structured metrics log missing"
+    lines = [json.loads(l) for l in open(tmp_path / jsonl[0])]
+    assert {"step", "wall_time_s", "mean_energy", "var_energy"} <= set(lines[0])
+
+
+def test_cli_resume_continues_from_checkpoint(tmp_path):
+    base = [
+        "--systemsize", "6", "--num-units", "8", "--numsamples", "32",
+        "--workdir", str(tmp_path), "--num-devices", "1",
+    ]
+    run_1dtfim.main(base + ["--numsteps", "10"])
+    mean_e, _ = run_1dtfim.main(base + ["--numsteps", "20", "--resume"])
+    # resumed run appends 10 more records onto the restored 11
+    assert len(mean_e) == 21
+
+
+def test_cli_j1j2_runs_complex(tmp_path):
+    mean_e, var_e = run_j1j2.main([
+        "--numsteps", "5", "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--workdir", str(tmp_path), "--num-devices", "1",
+    ])
+    assert isinstance(mean_e[-1], complex)
+    series = np.load(
+        tmp_path / [f for f in os.listdir(tmp_path) if f.startswith("meanEnergy_")][0]
+    )
+    assert np.iscomplexobj(series)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer = VMCTrainer(
+        PRNN1D(num_sites=6, units=(8,)), TFIM1D(num_sites=6),
+        TrainConfig(num_samples=32),
+    )
+    state = trainer.init()
+    state, _ = trainer.step(state, jax.random.PRNGKey(0))
+    state, _ = trainer.step(state, jax.random.PRNGKey(0))
+
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(state)
+    ckpt.wait()
+    assert ckpt.latest_step() == 2
+
+    template = trainer.init()
+    restored = ckpt.restore(template)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state must be usable for further training
+    restored, m = trainer.step(restored, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["mean_energy"]))
+    ckpt.close()
