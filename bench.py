@@ -42,9 +42,10 @@ def main():
     state = trainer.init()
     key = jax.random.PRNGKey(0)
 
-    for _ in range(WARMUP_STEPS):
-        state, metrics = trainer.step(state, key)
-    float(metrics["mean_energy"])  # value fetch = hard synchronization
+    # warmup + compile of the device-side multi-step (one dispatch runs
+    # STEPS_PER_TRIAL full VMC updates in a lax.scan)
+    state, metrics = trainer.run_steps(state, key, STEPS_PER_TRIAL)
+    float(metrics["mean_energy"][-1])  # value fetch = hard synchronization
 
     # The device link in this environment has variable latency (and
     # block_until_ready has proven unreliable through the relay); synchronize
@@ -52,9 +53,8 @@ def main():
     rates = []
     for _ in range(NUM_TRIALS):
         t0 = time.perf_counter()
-        for _ in range(STEPS_PER_TRIAL):
-            state, metrics = trainer.step(state, key)
-        energy = float(metrics["mean_energy"])
+        state, metrics = trainer.run_steps(state, key, STEPS_PER_TRIAL)
+        energy = float(metrics["mean_energy"][-1])
         rates.append(STEPS_PER_TRIAL / (time.perf_counter() - t0))
     assert energy < 0.0  # sanity: a real TFIM energy was computed
 

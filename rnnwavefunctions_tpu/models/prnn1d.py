@@ -65,6 +65,9 @@ class PRNN1D:
     parity: bool = False
     dtype: Any = jnp.float32
     accum_dtype: Any = jnp.float32
+    # "auto": fused Pallas kernels on TPU when supported (single layer,
+    # local_dim 2, float32); "pallas": force; "jnp": pure lax.scan path.
+    impl: str = "auto"
 
     is_complex: bool = dataclasses.field(default=False, init=False, repr=False)
 
@@ -73,6 +76,42 @@ class PRNN1D:
         """True when the sampling density equals the wavefunction density, so
         log psi = 0.5 * (sampling log-prob) without a second pass."""
         return not self.parity
+
+    # -- kernel dispatch ----------------------------------------------------
+
+    def _kernelizable(self) -> bool:
+        return (
+            len(self.units) == 1
+            and self.local_dim == 2
+            and self.dtype == jnp.float32
+            and self.accum_dtype == jnp.float32
+        )
+
+    def _use_pallas(self) -> bool:
+        if self.impl == "jnp":
+            return False
+        if self.impl == "pallas":
+            if not self._kernelizable():
+                raise ValueError(
+                    "pallas kernels support single-layer GRU, local_dim=2, "
+                    f"float32; got {self}"
+                )
+            return True
+        import jax as _jax
+
+        return self._kernelizable() and _jax.default_backend() != "cpu"
+
+    @property
+    def _pallas_log_prob(self):
+        cached = getattr(self, "_pallas_log_prob_fn", None)
+        if cached is None:
+            from ..ops import fused_gru
+
+            cached = fused_gru.make_log_prob_fn(
+                lambda p, s: self._log_prob_plain_jnp(p, s)
+            )
+            object.__setattr__(self, "_pallas_log_prob_fn", cached)
+        return cached
 
     # -- parameters ---------------------------------------------------------
 
@@ -96,6 +135,14 @@ class PRNN1D:
     ) -> Tuple[jax.Array, jax.Array]:
         """Draw ``(num_samples, N)`` int32 spins and their plain (non-
         symmetrized) autoregressive log-density."""
+        if self._use_pallas():
+            from ..ops import fused_gru
+
+            bits = jax.random.key_data(key).reshape(-1)
+            seed = (bits[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            return fused_gru._sample_pallas(
+                params, seed, num_samples, self.num_sites
+            )
         d = self.local_dim
 
         def step(carry, site_key):
@@ -120,6 +167,13 @@ class PRNN1D:
     # -- densities ----------------------------------------------------------
 
     def _log_prob_plain(self, params: Any, samples: jax.Array) -> jax.Array:
+        """Teacher-forced log p(sigma), Pallas-fused when available (the
+        jnp scan path remains the autodiff backward, see ops/fused_gru)."""
+        if self._use_pallas():
+            return self._pallas_log_prob(params, samples)
+        return self._log_prob_plain_jnp(params, samples)
+
+    def _log_prob_plain_jnp(self, params: Any, samples: jax.Array) -> jax.Array:
         """Teacher-forced log p(sigma) for (S, N) int samples."""
         d = self.local_dim
         s = samples.shape[0]

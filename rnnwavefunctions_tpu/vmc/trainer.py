@@ -180,6 +180,50 @@ class VMCTrainer:
         """One VMC update. Returns (new_state, metrics dict of scalars)."""
         return self._step_fn(state, key)
 
+    # -- compiled multi-step -------------------------------------------------
+
+    def _build_multi_step(self, num_steps: int):
+        def scanned(params, opt_state, step, key):
+            def body(carry, _):
+                p, o, s = carry
+                p, o, s, m = self._device_step(p, o, s, key)
+                return (p, o, s), m
+
+            (params, opt_state, step), ms = jax.lax.scan(
+                body, (params, opt_state, step), None, length=num_steps
+            )
+            return params, opt_state, step, ms
+
+        sharded = jax.shard_map(
+            scanned,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def multi_fn(state: TrainState, key: jax.Array):
+            params, opt_state, step, ms = sharded(
+                state.params, state.opt_state, state.step, key
+            )
+            return TrainState(params, opt_state, step), ms
+
+        return multi_fn
+
+    def run_steps(self, state: TrainState, key: jax.Array, num_steps: int):
+        """Run ``num_steps`` VMC updates in a single device-side ``lax.scan``
+        (one host dispatch — no per-step host round-trips; the reference pays
+        3+ host<->device transitions per step, SURVEY.md §3.1).  Returns
+        (state, metrics with a leading ``num_steps`` axis)."""
+        cache = getattr(self, "_multi_step_cache", None)
+        if cache is None:
+            cache = {}
+            self._multi_step_cache = cache
+        if num_steps not in cache:
+            cache[num_steps] = self._build_multi_step(num_steps)
+        return cache[num_steps](state, key)
+
     # -- training loop (the run_X equivalent) -------------------------------
 
     def fit(

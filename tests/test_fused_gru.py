@@ -1,0 +1,83 @@
+"""Pallas fused-GRU kernels vs the jnp reference path (interpret mode on the
+CPU mesh; real-chip validation happens in the benchmark/verify drives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rnnwavefunctions_tpu.models.prnn1d import PRNN1D
+from rnnwavefunctions_tpu.ops import fused_gru
+
+
+@pytest.fixture
+def setup():
+    ansatz = PRNN1D(num_sites=12, units=(20,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 37)
+    return ansatz, params, samples
+
+
+def test_pallas_log_prob_matches_jnp(setup):
+    ansatz, params, samples = setup
+    want = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_gru._log_prob_pallas(params, samples))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_log_prob_grad_uses_jnp_backward(setup):
+    ansatz, params, samples = setup
+    lp = fused_gru.make_log_prob_fn(ansatz._log_prob_plain_jnp)
+
+    def loss_pallas(p):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(lp(p, samples))
+
+    def loss_jnp(p):
+        return jnp.sum(ansatz._log_prob_plain_jnp(p, samples))
+
+    g1 = jax.grad(loss_pallas)(params)
+    g2 = jax.grad(loss_jnp)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pallas_sampler_consistent_with_density(setup):
+    ansatz, params, _ = setup
+    with pltpu.force_tpu_interpret_mode():
+        samples, logp = fused_gru._sample_pallas(
+            params, jnp.int32(1234), 64, ansatz.num_sites
+        )
+    assert samples.shape == (64, ansatz.num_sites)
+    assert set(np.unique(np.asarray(samples))) <= {0, 1}
+    # the returned log-density must equal the teacher-forced recompute
+    want = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(logp), want, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="pltpu.prng_random_bits returns zeros in interpret mode; "
+    "run on a real TPU (see .claude/skills/verify)",
+)
+def test_pallas_sampler_distribution():
+    """Empirical frequencies from the kernel sampler track the density."""
+    n = 3
+    ansatz = PRNN1D(num_sites=n, units=(8,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(2))
+    samples, _ = fused_gru._sample_pallas(params, jnp.int32(7), 20000, n)
+    codes = np.asarray(samples) @ (2 ** np.arange(n))
+    freq = np.bincount(codes, minlength=8) / 20000
+    basis = jnp.asarray([[(c >> i) & 1 for i in range(n)] for c in range(8)])
+    probs = np.exp(np.asarray(ansatz.log_prob(params, basis)))
+    np.testing.assert_allclose(freq, probs, atol=0.02)
+
+
+def test_auto_impl_selects_jnp_on_cpu():
+    ansatz = PRNN1D(num_sites=6, units=(8,))
+    assert not ansatz._use_pallas()  # conftest forces the cpu backend
+    ansatz2 = PRNN1D(num_sites=6, units=(8, 8), impl="pallas")
+    with pytest.raises(ValueError, match="single-layer"):
+        ansatz2._use_pallas()
