@@ -33,11 +33,20 @@ class TFIM1D:
             return jnp.ones((self.num_sites - 1,), jnp.float32)
         return jnp.asarray(self.jz, jnp.float32)[: self.num_sites - 1]
 
+    @property
+    def uniform_flip_element(self) -> float:
+        """Marker for the fused single-flip kernel path: every off-diagonal
+        connected config is a single-site flip with this constant element."""
+        return -self.bx
+
+    def diagonal(self, sigma: jax.Array) -> jax.Array:
+        z = (2 * sigma - 1).astype(jnp.float32)  # ±1
+        return -jnp.sum(self._jz() * z[:-1] * z[1:])
+
     def connected(self, sigma: jax.Array):
         """sigma: (N,) int -> (diag, flips (N, N), elements (N,), mask (N,))."""
         n = self.num_sites
-        z = (2 * sigma - 1).astype(jnp.float32)  # ±1
-        diag = -jnp.sum(self._jz() * z[:-1] * z[1:])
+        diag = self.diagonal(sigma)
 
         eye = jnp.eye(n, dtype=sigma.dtype)
         flips = jnp.where(eye == 1, 1 - sigma[None, :], sigma[None, :])

@@ -55,13 +55,21 @@ class TFIM2D:
             return sigma.reshape(self.ny, self.nx)
         return sigma.T  # (nx, ny) -> (ny, nx)
 
-    def connected(self, sigma: jax.Array):
-        n = self.n_sites
+    @property
+    def uniform_flip_element(self) -> float:
+        """Marker for the fused single-flip kernel path (flat encoding)."""
+        return -self.bx
+
+    def diagonal(self, sigma: jax.Array) -> jax.Array:
         g = self._grid(sigma)
         z = (2 * g - 1).astype(jnp.float32)
-        diag = -self.jz * (
+        return -self.jz * (
             jnp.sum(z[:, :-1] * z[:, 1:]) + jnp.sum(z[:-1, :] * z[1:, :])
         )
+
+    def connected(self, sigma: jax.Array):
+        n = self.n_sites
+        diag = self.diagonal(sigma)
 
         flat = sigma.reshape(-1)
         eye = jnp.eye(n, dtype=sigma.dtype)

@@ -61,6 +61,32 @@ def make_local_energy_fn(
     """
     is_complex = getattr(ansatz, "is_complex", False)
 
+    # Fused triangular single-flip path (TFIM + single-layer pRNN on TPU):
+    # O(N^2/2) site steps, no flip-matrix materialization.  Falls back to the
+    # generic connected-configs path otherwise.
+    flip_element = getattr(hamiltonian, "uniform_flip_element", None)
+    fused_ok = (
+        flip_element is not None
+        and getattr(hamiltonian, "encoding", "flat") == "flat"
+        and getattr(ansatz, "plain_positive", False)
+        and hasattr(ansatz, "_use_pallas")
+        and ansatz._kernelizable()
+    )
+    if fused_ok and flip_element != 0.0:
+
+        def local_energy_fused(params, samples, log_amp_samples):
+            if not ansatz._use_pallas():
+                return local_energy(params, samples, log_amp_samples)
+            from ..ops.tfim_flip_kernel import tfim_flip_ratio_sum
+
+            diag = jax.vmap(hamiltonian.diagonal)(samples)
+            ratio_sum, _ = tfim_flip_ratio_sum(params, samples)
+            return diag + flip_element * ratio_sum, None
+
+        fused_fn = local_energy_fused
+    else:
+        fused_fn = None
+
     def local_energy(params, samples, log_amp_samples):
         diag, flips, elements, mask = jax.vmap(hamiltonian.connected)(samples)
         s, k = flips.shape[0], flips.shape[1]
@@ -90,4 +116,4 @@ def make_local_energy_fn(
         offdiag = jnp.sum(jnp.where(mask, contrib, 0.0), axis=1)
         return diag.astype(offdiag.dtype) + offdiag, None
 
-    return local_energy
+    return fused_fn if fused_fn is not None else local_energy

@@ -81,3 +81,27 @@ def test_auto_impl_selects_jnp_on_cpu():
     ansatz2 = PRNN1D(num_sites=6, units=(8, 8), impl="pallas")
     with pytest.raises(ValueError, match="single-layer"):
         ansatz2._use_pallas()
+
+
+def test_tfim_flip_kernel_matches_generic(setup):
+    """Triangular fused flip-ratio kernel vs the generic connected path."""
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import tfim_flip_ratio_sum
+
+    ansatz, params, samples = setup
+    with pltpu.force_tpu_interpret_mode():
+        ratio_sum, lp = tfim_flip_ratio_sum(params, samples)
+    # base log-prob by-product
+    want_lp = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+    # ratio sum vs explicit flips
+    la = 0.5 * want_lp
+    sums = []
+    for i in range(ansatz.num_sites):
+        flipped = np.asarray(samples).copy()
+        flipped[:, i] = 1 - flipped[:, i]
+        laf = 0.5 * np.asarray(
+            ansatz._log_prob_plain_jnp(params, jnp.asarray(flipped))
+        )
+        sums.append(np.exp(laf - la))
+    want = np.sum(sums, axis=0)
+    np.testing.assert_allclose(np.asarray(ratio_sum), want, rtol=2e-4)
