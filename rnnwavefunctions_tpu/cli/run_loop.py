@@ -40,6 +40,12 @@ def run_training(
         state = ckpt.restore(state)
     key = jax.random.PRNGKey(trainer.config.seed)
 
+    # parameter printout, as the reference does at startup
+    # (TrainingRNN_1DTFIM.py:127-136)
+    from ..utils.summary import summarize_params
+
+    print(summarize_params(state.params))
+
     start = int(state.step)
     for it in range(start, num_steps + 1):
         if profile_dir is not None and it == start + 10:

@@ -109,9 +109,10 @@ class VMCTrainer:
         ansatz = self.ansatz
         key = mesh_lib.device_key(jax.random.fold_in(key, step))
 
-        samples, logp_sampling = ansatz.sample_with_log_prob(
-            params, key, self.local_samples
-        )
+        with jax.named_scope("vmc_sample"):
+            samples, logp_sampling = ansatz.sample_with_log_prob(
+                params, key, self.local_samples
+            )
         samples = jax.lax.stop_gradient(samples)
         is_complex = getattr(ansatz, "is_complex", False)
 
@@ -126,9 +127,10 @@ class VMCTrainer:
             log_amp_s = ansatz.log_amp(params, samples)
         log_amp_s = jax.lax.stop_gradient(log_amp_s)
 
-        e_re, e_im = jax.lax.stop_gradient(
-            self.local_energy(params, samples, log_amp_s)
-        )
+        with jax.named_scope("vmc_local_energy"):
+            e_re, e_im = jax.lax.stop_gradient(
+                self.local_energy(params, samples, log_amp_s)
+            )
 
         # Global (mesh-wide) statistics over ICI.
         e_mean_re = mesh_lib.pmean(jnp.mean(e_re))
@@ -144,11 +146,13 @@ class VMCTrainer:
                 la_re, la_im = ansatz.log_amp(p, samples), None
             return surrogate_loss(la_re, la_im, e_re, e_im, e_mean_re, e_mean_im)
 
-        grads = jax.grad(loss_fn)(params)
+        with jax.named_scope("vmc_grad"):
+            grads = jax.grad(loss_fn)(params)
         grads = jax.tree.map(mesh_lib.pmean, grads)
 
-        updates, opt_state = self.optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        with jax.named_scope("vmc_update"):
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
 
         metrics = {
             "mean_energy": e_mean_re,
