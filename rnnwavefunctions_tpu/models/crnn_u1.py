@@ -49,12 +49,46 @@ class CRNNU1:
     u1: bool = True  # enforce zero magnetization
     dtype: Any = jnp.float32
     accum_dtype: Any = jnp.float32
+    # "auto": fused Pallas kernels on TPU when supported; "jnp": scan path.
+    impl: str = "auto"
 
     is_complex: bool = dataclasses.field(default=True, init=False, repr=False)
 
     @property
     def plain_positive(self) -> bool:
         return False
+
+    def _kernelizable(self) -> bool:
+        return (
+            len(self.units) == 1
+            and self.local_dim == 2
+            and self.dtype == jnp.float32
+            and self.accum_dtype == jnp.float32
+        )
+
+    def _use_pallas(self) -> bool:
+        if self.impl == "jnp":
+            return False
+        if self.impl == "pallas":
+            if not self._kernelizable():
+                raise ValueError(
+                    "pallas kernels support single-layer GRU, local_dim=2, "
+                    f"float32; got {self}"
+                )
+            return True
+        return self._kernelizable() and jax.default_backend() != "cpu"
+
+    @property
+    def _pallas_log_amp_parts(self):
+        cached = getattr(self, "_pallas_log_amp_parts_fn", None)
+        if cached is None:
+            from ..ops import fused_crnn
+
+            cached = fused_crnn.make_log_amp_parts_fn(
+                lambda p, s: self._log_amp_parts_jnp(p, s), self.u1
+            )
+            object.__setattr__(self, "_pallas_log_amp_parts_fn", cached)
+        return cached
 
     def init(self, key: jax.Array) -> Any:
         k_rnn, k_a, k_p = jax.random.split(key, 3)
@@ -95,6 +129,14 @@ class CRNNU1:
     def sample_with_log_prob(
         self, params: Any, key: jax.Array, num_samples: int
     ) -> Tuple[jax.Array, jax.Array]:
+        if self._use_pallas():
+            from ..ops import fused_crnn
+
+            bits = jax.random.key_data(key).reshape(-1)
+            seed = (bits[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            return fused_crnn.crnn_sample(
+                params, seed, num_samples, self.num_sites, self.u1
+            )
         d = self.local_dim
 
         def step(carry, xs):
@@ -126,6 +168,13 @@ class CRNNU1:
     # -- densities ----------------------------------------------------------
 
     def log_amp_parts(self, params: Any, samples: jax.Array):
+        """Teacher-forced log psi as a real pair ``(Re, Im)``; Pallas-fused
+        when available (jnp scan path is the autodiff backward)."""
+        if self._use_pallas():
+            return self._pallas_log_amp_parts(params, samples)
+        return self._log_amp_parts_jnp(params, samples)
+
+    def _log_amp_parts_jnp(self, params: Any, samples: jax.Array):
         """Teacher-forced log psi as a real pair ``(Re, Im)`` — the TPU hot
         path never materializes a complex dtype (some TPU backends lack
         complex64; XLA would lower it to real pairs anyway).

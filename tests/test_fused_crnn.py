@@ -1,0 +1,62 @@
+"""Pallas fused cRNN kernels vs the jnp reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
+from rnnwavefunctions_tpu.ops import fused_crnn
+
+
+@pytest.fixture(params=[True, False], ids=["u1", "no_u1"])
+def setup(request):
+    u1 = request.param
+    ansatz = CRNNU1(num_sites=10, units=(12,), u1=u1, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 41)
+    return ansatz, params, samples
+
+
+def test_crnn_log_amp_matches_jnp(setup):
+    ansatz, params, samples = setup
+    want_re, want_im = ansatz._log_amp_parts_jnp(params, samples)
+    with pltpu.force_tpu_interpret_mode():
+        got_re, got_im = fused_crnn.crnn_log_amp_parts(
+            params, samples, ansatz.u1
+        )
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(want_re), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(want_im), atol=1e-4)
+
+
+def test_crnn_log_amp_zero_outside_sector():
+    """Kernel must assign (finite stand-in for) -inf Re log psi to configs
+    outside the zero-magnetization sector, matching the jnp masking."""
+    ansatz = CRNNU1(num_sites=8, units=(10,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(2))
+    bad = jnp.ones((4, 8), jnp.int32)  # magnetization 8 != 4
+    with pltpu.force_tpu_interpret_mode():
+        re, _ = fused_crnn.crnn_log_amp_parts(params, bad, True)
+    assert np.all(np.asarray(re) < -1e6)
+
+
+def test_crnn_grad_uses_jnp_backward(setup):
+    ansatz, params, samples = setup
+    fn = fused_crnn.make_log_amp_parts_fn(
+        ansatz._log_amp_parts_jnp, ansatz.u1
+    )
+
+    def loss_pallas(p):
+        with pltpu.force_tpu_interpret_mode():
+            re, im = fn(p, samples)
+        return jnp.sum(re) + 0.5 * jnp.sum(im)
+
+    def loss_jnp(p):
+        re, im = ansatz._log_amp_parts_jnp(p, samples)
+        return jnp.sum(re) + 0.5 * jnp.sum(im)
+
+    g1 = jax.grad(loss_pallas)(params)
+    g2 = jax.grad(loss_jnp)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
