@@ -52,12 +52,44 @@ class MDRNN2D:
     local_dim: int = 2
     dtype: Any = jnp.float32
     accum_dtype: Any = jnp.float32
+    # "auto": fused Pallas sweep kernels on TPU when supported; "jnp": scans.
+    impl: str = "auto"
 
     is_complex: bool = dataclasses.field(default=False, init=False, repr=False)
 
     @property
     def plain_positive(self) -> bool:
         return True
+
+    def _kernelizable(self) -> bool:
+        return (
+            self.local_dim == 2
+            and self.dtype == jnp.float32
+            and self.accum_dtype == jnp.float32
+        )
+
+    def _use_pallas(self) -> bool:
+        if self.impl == "jnp":
+            return False
+        if self.impl == "pallas":
+            if not self._kernelizable():
+                raise ValueError(
+                    f"pallas kernels need local_dim=2 float32; got {self}"
+                )
+            return True
+        return self._kernelizable() and jax.default_backend() != "cpu"
+
+    @property
+    def _pallas_log_prob(self):
+        cached = getattr(self, "_pallas_log_prob_fn", None)
+        if cached is None:
+            from ..ops import fused_mdrnn
+
+            cached = fused_mdrnn.make_mdrnn_log_prob_fn(
+                lambda p, s: self._log_prob_jnp(p, s), self.nx, self.ny
+            )
+            object.__setattr__(self, "_pallas_log_prob_fn", cached)
+        return cached
 
     def init(self, key: jax.Array) -> Any:
         k_cell, k_head = jax.random.split(key)
@@ -144,6 +176,14 @@ class MDRNN2D:
     def sample_with_log_prob(
         self, params: Any, key: jax.Array, num_samples: int
     ) -> Tuple[jax.Array, jax.Array]:
+        if self._use_pallas():
+            from ..ops import fused_mdrnn
+
+            bits = jax.random.key_data(key).reshape(-1)
+            seed = (bits[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            return fused_mdrnn.mdrnn_sample(
+                params, seed, num_samples, self.nx, self.ny
+            )
         # integer site ids (not key arrays) thread through the flip logic;
         # each site derives its key by folding its id into the base key.
         site_ids = jnp.arange(self.ny * self.nx, dtype=jnp.uint32).reshape(
@@ -167,6 +207,11 @@ class MDRNN2D:
     # -- densities ----------------------------------------------------------
 
     def log_prob(self, params: Any, samples: jax.Array) -> jax.Array:
+        if self._use_pallas():
+            return self._pallas_log_prob(params, samples)
+        return self._log_prob_jnp(params, samples)
+
+    def _log_prob_jnp(self, params: Any, samples: jax.Array) -> jax.Array:
         batch = samples.shape[0]
         targets = jnp.transpose(samples, (2, 1, 0))  # (S, Nx, Ny) -> (Ny, Nx, S)
 
