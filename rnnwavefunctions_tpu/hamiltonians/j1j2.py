@@ -44,6 +44,31 @@ class J1J2:
     def n_offdiag(self) -> int:
         return 2 * self.num_sites
 
+    @property
+    def exchange_kernel_info(self):
+        """Marker for the fused triangular exchange-kernel path (OBC only:
+        periodic bonds wrap the autoregressive prefix order)."""
+        if self.periodic or self.j1 == 0.0:
+            return None
+        return {
+            "el_nn": (-self.j1 / 2) if self.marshall_sign else (self.j1 / 2),
+            "el_nnn": self.j2 / 2,
+            "has_nnn": self.j2 != 0.0,
+        }
+
+    def diagonal(self, sigma: jax.Array) -> jax.Array:
+        n = self.num_sites
+        valid_nn, valid_nnn = self._pair_masks()
+        neq1 = sigma != jnp.roll(sigma, -1)
+        neq2 = sigma != jnp.roll(sigma, -2)
+        sgn1 = jnp.where(neq1, -1.0, 1.0)
+        sgn2 = jnp.where(neq2, -1.0, 1.0)
+        return (
+            jnp.sum(self.bz * (sigma.astype(jnp.float32) - 0.5))
+            + 0.25 * self.j1 * jnp.sum(jnp.where(valid_nn, sgn1, 0.0))
+            + 0.25 * self.j2 * jnp.sum(jnp.where(valid_nnn, sgn2, 0.0))
+        )
+
     def _pair_masks(self):
         """Static per-bond validity: (valid_nn, valid_nnn) boolean (N,)."""
         n = self.num_sites
@@ -55,18 +80,9 @@ class J1J2:
     def connected(self, sigma: jax.Array):
         n = self.num_sites
         valid_nn, valid_nnn = self._pair_masks()
-        nbr1 = jnp.roll(sigma, -1)
-        nbr2 = jnp.roll(sigma, -2)
-        neq1 = sigma != nbr1
-        neq2 = sigma != nbr2
-
-        sgn1 = jnp.where(neq1, -1.0, 1.0)
-        sgn2 = jnp.where(neq2, -1.0, 1.0)
-        diag = (
-            jnp.sum(self.bz * (sigma.astype(jnp.float32) - 0.5))
-            + 0.25 * self.j1 * jnp.sum(jnp.where(valid_nn, sgn1, 0.0))
-            + 0.25 * self.j2 * jnp.sum(jnp.where(valid_nnn, sgn2, 0.0))
-        )
+        neq1 = sigma != jnp.roll(sigma, -1)
+        neq2 = sigma != jnp.roll(sigma, -2)
+        diag = self.diagonal(sigma)
 
         # exchange configurations: flip both members of each pair
         # (equivalent to swapping them when they are anti-aligned, which is

@@ -178,6 +178,13 @@ def _make_sample_kernel(n_sites: int, u1: bool):
             uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
             p0 = jnp.exp(lp0)
             s01 = jnp.where(uni >= p0, 1.0, 0.0)
+            # clamp to the allowed class: the exp/log roundtrip can leave the
+            # masked class a ~1e-7 sliver of probability (p0 = 1 - eps), and
+            # a forbidden draw poisons every downstream gradient.  Masked
+            # classes carry lp ~ LOG_ZERO, far below any legitimate
+            # log-probability.
+            s01 = jnp.where(lp1 < 0.5 * LOG_ZERO, 0.0, s01)
+            s01 = jnp.where(lp0 < 0.5 * LOG_ZERO, 1.0, s01)
             acc = acc + jnp.where(s01 > 0.5, lp1, lp0)
             samples_ref[pl.ds(n, 1), :] = jnp.swapaxes(s01, 0, 1).astype(
                 jnp.int32

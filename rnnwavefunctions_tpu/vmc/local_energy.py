@@ -87,6 +87,34 @@ def make_local_energy_fn(
     else:
         fused_fn = None
 
+    # Fused triangular spin-exchange path (J1-J2 OBC + single-layer cRNN).
+    exch = getattr(hamiltonian, "exchange_kernel_info", None)
+    if (
+        fused_fn is None
+        and exch is not None
+        and is_complex
+        and hasattr(ansatz, "_use_pallas")
+        and ansatz._kernelizable()
+    ):
+
+        def local_energy_exchange(params, samples, log_amp_samples):
+            if not ansatz._use_pallas():
+                return local_energy(params, samples, log_amp_samples)
+            from ..ops.j1j2_exchange_kernel import j1j2_exchange_offdiag
+
+            diag = jax.vmap(hamiltonian.diagonal)(samples)
+            e_re, e_im, _, _ = j1j2_exchange_offdiag(
+                params,
+                samples,
+                u1=ansatz.u1,
+                el_nn=exch["el_nn"],
+                el_nnn=exch["el_nnn"],
+                has_nnn=exch["has_nnn"],
+            )
+            return diag + e_re, e_im
+
+        fused_fn = local_energy_exchange
+
     def local_energy(params, samples, log_amp_samples):
         diag, flips, elements, mask = jax.vmap(hamiltonian.connected)(samples)
         s, k = flips.shape[0], flips.shape[1]

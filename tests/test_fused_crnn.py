@@ -60,3 +60,38 @@ def test_crnn_grad_uses_jnp_backward(setup):
     g2 = jax.grad(loss_jnp)(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_j1j2_exchange_kernel_matches_generic():
+    """Triangular exchange kernel vs the generic padded-connected estimator
+    (interpret mode)."""
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    from rnnwavefunctions_tpu.ops.j1j2_exchange_kernel import (
+        j1j2_exchange_offdiag,
+    )
+    from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+    n = 10
+    ansatz = CRNNU1(num_sites=n, units=(10,), impl="jnp")
+    ham = J1J2(num_sites=n, j1=1.0, j2=0.3, marshall_sign=True)
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 33)
+
+    le = make_local_energy_fn(ansatz, ham)
+    want_re, want_im = le(params, samples, ansatz.log_amp_parts(params, samples))
+
+    info = ham.exchange_kernel_info
+    with pltpu.force_tpu_interpret_mode():
+        e_re, e_im, lp_re, lp_im = j1j2_exchange_offdiag(
+            params, samples, u1=True, el_nn=info["el_nn"],
+            el_nnn=info["el_nnn"], has_nnn=info["has_nnn"],
+        )
+    diag = jax.vmap(ham.diagonal)(samples)
+    got_re = np.asarray(diag + e_re)
+    got_im = np.asarray(e_im)
+    np.testing.assert_allclose(got_re, np.asarray(want_re), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(got_im, np.asarray(want_im), rtol=2e-4, atol=1e-4)
+    # base log-amp by-products
+    wre, wim = ansatz._log_amp_parts_jnp(params, samples)
+    np.testing.assert_allclose(np.asarray(lp_re), np.asarray(wre), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp_im), np.asarray(wim), atol=1e-4)
