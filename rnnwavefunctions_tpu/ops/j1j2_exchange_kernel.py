@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
+from .tfim_flip_kernel import _pick_tile
 from .fused_crnn import _crnn_site, _weights, _weight_specs
 
 TILE = 256
@@ -45,7 +46,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
         wx, wh, bx, bh, aw, ab, pw, pb,
         eoff_re_ref, eoff_im_ref,          # (T, 1) f32
         lp_re_ref, lp_im_ref,              # (T, 1) f32 base log-amp parts
-        h_hist,                            # scratch (N, T, U)
+        h_hist,                            # scratch (N, U, T)
         pfx_re, pfx_im,                    # scratch (N, T): inclusive prefixes
         cup,                               # scratch (N, T): ups before site n
     ):
@@ -69,7 +70,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
             )
             re = re + 0.5 * jnp.where(s01 > 0.5, lp1, lp0)
             im = im + jnp.where(s01 > 0.5, ph1, ph0)
-            h_hist[pl.ds(n, 1)] = h_new[None]
+            h_hist[pl.ds(n, 1)] = jnp.swapaxes(h_new, 0, 1)[None]
             pfx_re[pl.ds(n, 1), :] = jnp.swapaxes(re, 0, 1)
             pfx_im[pl.ds(n, 1), :] = jnp.swapaxes(im, 0, 1)
             cup[pl.ds(n, 1), :] = jnp.swapaxes(num_up, 0, 1)
@@ -102,7 +103,9 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 jnp.zeros((t, 1), jnp.float32),
             )
             h_i_prev = jnp.where(
-                i > 0, h_hist[pl.ds(jnp.maximum(i - 1, 0), 1)][0], 0.0
+                i > 0,
+                jnp.swapaxes(h_hist[pl.ds(jnp.maximum(i - 1, 0), 1)][0], 0, 1),
+                0.0,
             )
             num_up0 = jnp.swapaxes(cup[pl.ds(i, 1), :], 0, 1)
             x_prev = jnp.where(i > 0, read_s(jnp.maximum(i - 1, 0)), 0.0)
@@ -172,27 +175,28 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
     b, n = samples.shape
     (cell,) = params["rnn"]
     u = cell["wh"].shape[0]
-    b_pad = _round_up(max(b, 8), TILE)
+    tile = _pick_tile(n, u)
+    b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     outs = pl.pallas_call(
         _make_kernel(n, u1, el_nn, el_nnn, has_nnn),
-        grid=(b_pad // TILE,),
+        grid=(b_pad // tile,),
         in_specs=[
-            pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ] + _weight_specs(u),
         out_specs=tuple(
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
             for _ in range(4)
         ),
         out_shape=tuple(
             jax.ShapeDtypeStruct((b_pad, 1), jnp.float32) for _ in range(4)
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, TILE, u), jnp.float32),
-            pltpu.VMEM((n, TILE), jnp.float32),
-            pltpu.VMEM((n, TILE), jnp.float32),
-            pltpu.VMEM((n, TILE), jnp.float32),
+            pltpu.VMEM((n, u, tile), jnp.float32),
+            pltpu.VMEM((n, tile), jnp.float32),
+            pltpu.VMEM((n, tile), jnp.float32),
+            pltpu.VMEM((n, tile), jnp.float32),
         ],
     )(seq, *_weights(params))
     eoff_re, eoff_im, lp_re, lp_im = outs

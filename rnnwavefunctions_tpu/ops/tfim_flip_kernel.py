@@ -32,7 +32,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _gru_site_step, _logp_of, _round_up
 
-FLIP_TILE = 256  # batch rows per grid program (VMEM: ~N*T*U*4 for h history)
+FLIP_TILE = 256  # preferred batch rows per grid program
+_MIN_TILE = 128  # Pallas TPU lane-dim block minimum
+_VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the (N, U, T) hidden history
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _hist_bytes(n: int, u: int, tile: int) -> int:
+    # history is stored (N, U, T): U on the sublane dim (padded to 8),
+    # the tile on the lane dim (exact 128-multiple) — no lane padding waste
+    return n * _round8(u) * tile * 4
+
+
+def _pick_tile(n: int, u: int) -> int:
+    """Largest power-of-two tile (<= FLIP_TILE, >= 128) whose hidden-state
+    history fits the VMEM budget."""
+    tile = FLIP_TILE
+    while tile > _MIN_TILE and _hist_bytes(n, u, tile) > _VMEM_BUDGET:
+        tile //= 2
+    return tile
+
+
+def supports(n: int, u: int) -> bool:
+    """True when the (N, U, MIN_TILE) hidden history fits VMEM — beyond that
+    (N ~ 360 at 50 units) the generic batched estimator takes over."""
+    return _hist_bytes(n, u, _MIN_TILE) <= _VMEM_BUDGET
 
 
 def _tfim_flip_kernel(
@@ -40,7 +67,7 @@ def _tfim_flip_kernel(
     wx_ref, wh_ref, bx_ref, bh_ref, hw_ref, hb_ref,
     eoff_ref,      # (T, 1) f32: sum_i exp(0.5 dlogp_i)
     lp_ref,        # (T, 1) f32: base log p
-    h_hist,        # scratch (N, T, U): hidden AFTER site n's step
+    h_hist,        # scratch (N, U, T): hidden AFTER site n's step
     pfx,           # scratch (N, T): prefix logp sums (inclusive)
     fl,            # scratch (N, T): site-n logp of the flipped target
 ):
@@ -59,7 +86,7 @@ def _tfim_flip_kernel(
         x_scale = jnp.where(n > 0, 1.0, 0.0)
         h_new, l0, l1 = _gru_site_step(x01, x_scale, h, wx, wh, bx, bh, hw, hb)
         acc = acc + _logp_of(l0, l1, s01)
-        h_hist[pl.ds(n, 1)] = h_new[None]
+        h_hist[pl.ds(n, 1)] = jnp.swapaxes(h_new, 0, 1)[None]
         pfx[pl.ds(n, 1), :] = jnp.swapaxes(acc, 0, 1)
         fl[pl.ds(n, 1), :] = jnp.swapaxes(_logp_of(l0, l1, 1.0 - s01), 0, 1)
         return h_new, s01, acc
@@ -81,7 +108,7 @@ def _tfim_flip_kernel(
         acc = p_before + jnp.swapaxes(fl[pl.ds(i, 1), :], 0, 1)
         s_i = jnp.swapaxes(samples_ref[pl.ds(i, 1), :], 0, 1).astype(jnp.float32)
         x_flip = 1.0 - s_i
-        h_i = h_hist[pl.ds(i, 1)][0]                        # (T, U)
+        h_i = jnp.swapaxes(h_hist[pl.ds(i, 1)][0], 0, 1)    # (T, U)
 
         def suffix_body(n, carry):
             h, x01, acc = carry
@@ -115,15 +142,16 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
     head = params["head"]
     b, n = samples.shape
     u = cell["wh"].shape[0]
-    b_pad = _round_up(max(b, 8), FLIP_TILE)
+    tile = _pick_tile(n, u)
+    b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
-    grid = (b_pad // FLIP_TILE,)
+    grid = (b_pad // tile,)
     eoff, lp = pl.pallas_call(
         _tfim_flip_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, FLIP_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((u, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -132,17 +160,17 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((FLIP_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((FLIP_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, FLIP_TILE, u), jnp.float32),
-            pltpu.VMEM((n, FLIP_TILE), jnp.float32),
-            pltpu.VMEM((n, FLIP_TILE), jnp.float32),
+            pltpu.VMEM((n, u, tile), jnp.float32),
+            pltpu.VMEM((n, tile), jnp.float32),
+            pltpu.VMEM((n, tile), jnp.float32),
         ],
     )(
         seq,

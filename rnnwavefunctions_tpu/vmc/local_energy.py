@@ -75,9 +75,14 @@ def make_local_energy_fn(
     if fused_ok and flip_element != 0.0:
 
         def local_energy_fused(params, samples, log_amp_samples):
-            if not ansatz._use_pallas():
-                return local_energy(params, samples, log_amp_samples)
+            from ..ops import tfim_flip_kernel
             from ..ops.tfim_flip_kernel import tfim_flip_ratio_sum
+
+            if not ansatz._use_pallas() or not tfim_flip_kernel.supports(
+                samples.shape[-1] if samples.ndim == 2 else samples[0].size,
+                ansatz.units[0],
+            ):
+                return local_energy(params, samples, log_amp_samples)
 
             diag = jax.vmap(hamiltonian.diagonal)(samples)
             ratio_sum, _ = tfim_flip_ratio_sum(params, samples)
@@ -98,9 +103,13 @@ def make_local_energy_fn(
     ):
 
         def local_energy_exchange(params, samples, log_amp_samples):
-            if not ansatz._use_pallas():
-                return local_energy(params, samples, log_amp_samples)
+            from ..ops import tfim_flip_kernel
             from ..ops.j1j2_exchange_kernel import j1j2_exchange_offdiag
+
+            if not ansatz._use_pallas() or not tfim_flip_kernel.supports(
+                samples.shape[-1], ansatz.units[0]
+            ):
+                return local_energy(params, samples, log_amp_samples)
 
             diag = jax.vmap(hamiltonian.diagonal)(samples)
             e_re, e_im, _, _ = j1j2_exchange_offdiag(
