@@ -228,6 +228,48 @@ class VMCTrainer:
             cache[num_steps] = self._build_multi_step(num_steps)
         return cache[num_steps](state, key)
 
+    # -- evaluation (no parameter update) ------------------------------------
+
+    def _build_evaluate(self):
+        def device_eval(params, key):
+            ansatz = self.ansatz
+            key = mesh_lib.device_key(key)
+            samples, logp_sampling = ansatz.sample_with_log_prob(
+                params, key, self.local_samples
+            )
+            if getattr(ansatz, "plain_positive", False):
+                log_amp_s = 0.5 * logp_sampling
+            elif getattr(ansatz, "is_complex", False):
+                log_amp_s = ansatz.log_amp_parts(params, samples)
+            else:
+                log_amp_s = ansatz.log_amp(params, samples)
+            e_re, e_im = self.local_energy(params, samples, log_amp_s)
+            e_mean = mesh_lib.pmean(jnp.mean(e_re))
+            var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean) ** 2))
+            mag = mesh_lib.pmean(
+                jnp.mean(2.0 * samples.astype(jnp.float32) - 1.0)
+            )
+            out = {"mean_energy": e_mean, "var_energy": var_e,
+                   "magnetization": mag}
+            if e_im is not None:
+                out["mean_energy_im"] = mesh_lib.pmean(jnp.mean(e_im))
+            return out
+
+        sharded = jax.shard_map(
+            device_eval, mesh=self.mesh, in_specs=(P(), P()),
+            out_specs=P(), check_vma=False,
+        )
+        return jax.jit(lambda params, key: sharded(params, key))
+
+    def evaluate(self, state: TrainState, key: jax.Array):
+        """Measure energy statistics and magnetization on a fresh sample
+        batch without updating parameters (post-training measurement)."""
+        cached = getattr(self, "_eval_fn", None)
+        if cached is None:
+            cached = self._build_evaluate()
+            self._eval_fn = cached
+        return cached(state.params, key)
+
     # -- training loop (the run_X equivalent) -------------------------------
 
     def fit(
