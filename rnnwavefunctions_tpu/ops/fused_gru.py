@@ -80,6 +80,26 @@ def _logp_of(l0, l1, s01):
     return lt - lse
 
 
+def _gru_site_step_rows(x, x_scale, h, wxT, whT, bxT, bhT, hwT, hbT):
+    """Row-layout (feature-major) GRU + head step.
+
+    All activations keep the batch on the *lane* dimension: ``h`` is (U, T),
+    ``x`` is (1, T) (previous spin in {0,1}).  Weights come pre-transposed:
+    wxT (3U, 2) split as columns, whT (3U, U), hwT (2, U); biases as (., 1)
+    columns.  No relayouts anywhere in the loop, and no lane-padding waste on
+    (x, 1) vectors.  Returns (h_new (U, T), l0 (1, T), l1 (1, T)).
+    """
+    u = h.shape[0]
+    gx = x_scale * ((1.0 - x) * wxT[:, 0:1] + x * wxT[:, 1:2]) + bxT
+    gh = jnp.dot(whT, h, preferred_element_type=jnp.float32) + bhT
+    r = jax.nn.sigmoid(gx[:u] + gh[:u])
+    z = jax.nn.sigmoid(gx[u : 2 * u] + gh[u : 2 * u])
+    c = jnp.tanh(gx[2 * u :] + r * gh[2 * u :])
+    h_new = z * h + (1.0 - z) * c
+    logits = jnp.dot(hwT, h_new, preferred_element_type=jnp.float32) + hbT
+    return h_new, logits[0:1, :], logits[1:2, :]
+
+
 # ---------------------------------------------------------------------------
 # Teacher-forced log-probability kernel
 # ---------------------------------------------------------------------------

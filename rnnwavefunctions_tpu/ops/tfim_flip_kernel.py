@@ -1,4 +1,4 @@
-"""Pallas kernel: fused triangular TFIM off-diagonal estimator.
+"""Pallas kernel: fused grouped-wavefront TFIM off-diagonal estimator.
 
 For single-site-flip Hamiltonians (TFIM in any dimension with the pRNN/snake
 ansatz) the generic estimator evaluates N+1 full sequences per sample —
@@ -6,21 +6,28 @@ O(N^2) site steps — after materializing an (S*(N+1), N) flip matrix in HBM
 (the in-graph analogue of the reference's ``queue_samples`` scratch array,
 ``/root/reference/1DTFIM/TrainingRNN_1DTFIM.py:42-48,195``).
 
-This kernel exploits autoregressive prefix sharing: flipping site i leaves
-sites < i untouched, so
+Three structural ideas cut this down:
 
-    log p(sigma^(i)) = P[i-1] + FL[i] + suffix_i
-
-with P the base prefix log-prob sums, FL[i] the site-i conditional of the
-*flipped* spin under the base hidden state, and only the suffix (sites > i,
-restarted from the stored base hidden state with the flipped one-hot input)
-recomputed.  Total work drops from N*(N+1) to ~N^2/2 site steps, and HBM
-traffic to "read the S x N samples once" — no flip matrix exists at all.
+1. **Prefix sharing** (triangular): flipping site i leaves sites < i
+   untouched, so ``log p(sigma^(i)) = P[i-1] + FL[i] + suffix_i`` with only
+   the suffix (sites > i, restarted from the stored base hidden state with
+   the flipped one-hot input) recomputed — half the site steps, and no flip
+   matrix in HBM at all.
+2. **Grouped wavefront**: suffixes are batched G flips at a time.  One
+   iteration per lattice site advances all G diverged trajectories with a
+   single (3U, U) x (U, G*T) matmul; each flip's column block is
+   (re)initialized from the VMEM hidden-state history the moment its
+   divergence site comes up — ~N^2/(2G) fat MXU iterations instead of
+   ~N^2/2 tiny latency-bound ones (uninitialized columns compute ignored
+   garbage for at most G-1 iterations, a G/N overhead fraction).
+3. **Feature-major layout**: every activation keeps the batch on the lane
+   dimension ((U, T) hidden, (1, T) spins/accumulators), so per-site reads
+   are natural row slices, there are no relayouts in the loop, and no
+   (x, 1) lane-padding waste.
 
 Returns  sum_i exp(0.5 * (log p(sigma^(i)) - log p(sigma)))  per sample
 (the pRNN amplitude-ratio sum of ``TrainingRNN_1DTFIM.py:74``) plus the base
-log p as a by-product.  Everything (weights, hidden-state history, prefix
-tables) stays VMEM-resident per batch tile.
+log p as a by-product.
 """
 
 from __future__ import annotations
@@ -30,9 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_gru import _gru_site_step, _logp_of, _round_up
+from .fused_gru import _gru_site_step_rows, _round_up
 
-FLIP_TILE = 256  # preferred batch rows per grid program
+FLIP_TILE = 256  # sample rows per grid program
+GROUP = 8        # flips advanced together per wavefront iteration
 _MIN_TILE = 128  # Pallas TPU lane-dim block minimum
 _VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the (N, U, T) hidden history
 
@@ -42,8 +50,6 @@ def _round8(x: int) -> int:
 
 
 def _hist_bytes(n: int, u: int, tile: int) -> int:
-    # history is stored (N, U, T): U on the sublane dim (padded to 8),
-    # the tile on the lane dim (exact 128-multiple) — no lane padding waste
     return n * _round8(u) * tile * 4
 
 
@@ -62,74 +68,112 @@ def supports(n: int, u: int) -> bool:
     return _hist_bytes(n, u, _MIN_TILE) <= _VMEM_BUDGET
 
 
+def _logp_rows(l0, l1, s):
+    """Stable log-softmax prob of target s in {0,1}; all (1, T) rows."""
+    m = jnp.maximum(l0, l1)
+    lse = m + jnp.log(jnp.exp(l0 - m) + jnp.exp(l1 - m))
+    return jnp.where(s > 0.5, l1, l0) - lse
+
+
 def _tfim_flip_kernel(
     samples_ref,   # (N, T) int32
-    wx_ref, wh_ref, bx_ref, bh_ref, hw_ref, hb_ref,
-    eoff_ref,      # (T, 1) f32: sum_i exp(0.5 dlogp_i)
-    lp_ref,        # (T, 1) f32: base log p
+    wxT_ref, whT_ref, bxT_ref, bhT_ref, hwT_ref, hbT_ref,
+    eoff_ref,      # (1, T) f32: sum_i exp(0.5 dlogp_i)
+    lp_ref,        # (1, T) f32: base log p
     h_hist,        # scratch (N, U, T): hidden AFTER site n's step
     pfx,           # scratch (N, T): prefix logp sums (inclusive)
     fl,            # scratch (N, T): site-n logp of the flipped target
+    wf_h,          # scratch (U, GROUP*T): wavefront hidden states
+    wf_x,          # scratch (1, GROUP*T): wavefront previous-spin inputs
+    wf_acc,        # scratch (1, GROUP*T): wavefront logp accumulators
 ):
     n_sites = samples_ref.shape[0]
-    t = eoff_ref.shape[0]
-    u = wh_ref.shape[0]
-    wx, wh = wx_ref[:], wh_ref[:]
-    bx, bh = bx_ref[:], bh_ref[:]
-    hw, hb = hw_ref[:], hb_ref[:]
+    t = samples_ref.shape[1]
+    u = whT_ref.shape[1]
+    wxT, whT = wxT_ref[:], whT_ref[:]
+    bxT, bhT = bxT_ref[:], bhT_ref[:]
+    hwT, hbT = hwT_ref[:], hbT_ref[:]
+    weights = (wxT, whT, bxT, bhT, hwT, hbT)
+    # the same weights act on the (U, GROUP*T) wavefront block
+    zero_row = jnp.zeros((1, t), jnp.float32)
+
+    def read_s(n):
+        return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
 
     # ---- base pass: store hidden history, prefix sums, flipped-site logps
     def base_body(n, carry):
-        h, x01, acc = carry
-        s = samples_ref[pl.ds(n, 1), :]                      # (1, T)
-        s01 = jnp.swapaxes(s, 0, 1).astype(jnp.float32)      # (T, 1)
+        h, x, acc = carry
+        s = read_s(n)
         x_scale = jnp.where(n > 0, 1.0, 0.0)
-        h_new, l0, l1 = _gru_site_step(x01, x_scale, h, wx, wh, bx, bh, hw, hb)
-        acc = acc + _logp_of(l0, l1, s01)
-        h_hist[pl.ds(n, 1)] = jnp.swapaxes(h_new, 0, 1)[None]
-        pfx[pl.ds(n, 1), :] = jnp.swapaxes(acc, 0, 1)
-        fl[pl.ds(n, 1), :] = jnp.swapaxes(_logp_of(l0, l1, 1.0 - s01), 0, 1)
-        return h_new, s01, acc
+        h_new, l0, l1 = _gru_site_step_rows(x, x_scale, h, *weights)
+        acc = acc + _logp_rows(l0, l1, s)
+        h_hist[pl.ds(n, 1)] = h_new[None]
+        pfx[pl.ds(n, 1), :] = acc
+        fl[pl.ds(n, 1), :] = _logp_rows(l0, l1, 1.0 - s)
+        return h_new, s, acc
 
-    h0 = jnp.zeros((t, u), jnp.float32)
-    x0 = jnp.zeros((t, 1), jnp.float32)
-    acc0 = jnp.zeros((t, 1), jnp.float32)
-    _, _, lp_base = jax.lax.fori_loop(0, n_sites, base_body, (h0, x0, acc0))
+    h0 = jnp.zeros((u, t), jnp.float32)
+    _, _, lp_base = jax.lax.fori_loop(
+        0, n_sites, base_body, (h0, zero_row, zero_row)
+    )
     lp_ref[:] = lp_base
 
-    # ---- triangular flip pass
-    def flip_body(i, eoff):
-        # log p of the flipped config up to and including site i
+    # ---- grouped wavefront over flips --------------------------------------
+    num_groups = -(-n_sites // GROUP)
+
+    def init_col(i):
+        """Initialize the wavefront block of flip ``i`` (suffix starts i+1)."""
+        k = i % GROUP
+        wf_h[:, pl.ds(k * t, t)] = h_hist[pl.ds(i, 1)][0]
+        wf_x[:, pl.ds(k * t, t)] = 1.0 - read_s(i)
         p_before = jnp.where(
-            i > 0,
-            jnp.swapaxes(pfx[pl.ds(jnp.maximum(i - 1, 0), 1), :], 0, 1),
-            jnp.zeros((t, 1), jnp.float32),
+            i > 0, pfx[pl.ds(jnp.maximum(i - 1, 0), 1), :], zero_row
         )
-        acc = p_before + jnp.swapaxes(fl[pl.ds(i, 1), :], 0, 1)
-        s_i = jnp.swapaxes(samples_ref[pl.ds(i, 1), :], 0, 1).astype(jnp.float32)
-        x_flip = 1.0 - s_i
-        h_i = jnp.swapaxes(h_hist[pl.ds(i, 1)][0], 0, 1)    # (T, U)
+        wf_acc[:, pl.ds(k * t, t)] = p_before + fl[pl.ds(i, 1), :]
 
-        def suffix_body(n, carry):
-            h, x01, acc = carry
-            s = jnp.swapaxes(samples_ref[pl.ds(n, 1), :], 0, 1).astype(
-                jnp.float32
-            )
-            h_new, l0, l1 = _gru_site_step(
-                x01, 1.0, h, wx, wh, bx, bh, hw, hb
-            )
-            acc = acc + _logp_of(l0, l1, s)
-            return h_new, s, acc
+    def wavefront_step(n):
+        """Advance all GROUP trajectories one site with one fat matmul."""
+        s_n = read_s(n)                                   # (1, T)
+        tgt = jnp.concatenate([s_n] * GROUP, axis=1)      # (1, GROUP*T)
+        h_new, l0, l1 = _gru_site_step_rows(wf_x[:], 1.0, wf_h[:], *weights)
+        wf_h[:] = h_new
+        wf_x[:] = tgt
+        wf_acc[:] = wf_acc[:] + _logp_rows(l0, l1, tgt)
 
-        _, _, acc = jax.lax.fori_loop(
-            i + 1, n_sites, suffix_body, (h_i, x_flip, acc)
-        )
-        return eoff + jnp.exp(0.5 * (acc - lp_base))
+    def group_body(g, _):
+        g0 = g * GROUP
+        wf_h[:] = jnp.zeros_like(wf_h)
+        wf_x[:] = jnp.zeros_like(wf_x)
+        wf_acc[:] = jnp.zeros_like(wf_acc)
+        init_col(g0)  # flip g0 diverges first, at site g0+1
 
-    eoff = jax.lax.fori_loop(
-        0, n_sites, flip_body, jnp.zeros((t, 1), jnp.float32)
-    )
-    eoff_ref[:] = eoff
+        def site_body(n, _):
+            @pl.when((n - 1 > g0) & (n - 1 < jnp.minimum(g0 + GROUP, n_sites)))
+            def _():
+                init_col(n - 1)
+
+            wavefront_step(n)
+            return 0
+
+        jax.lax.fori_loop(g0 + 1, n_sites, site_body, 0)
+
+        for k in range(GROUP):
+            i = g0 + k
+
+            @pl.when(i < n_sites)
+            def _():
+                # the last flip (empty suffix) never initializes in the loop
+                @pl.when(i >= n_sites - 1)
+                def _():
+                    init_col(i)
+
+                acc = wf_acc[:, pl.ds(k * t, t)]
+                eoff_ref[:] = eoff_ref[:] + jnp.exp(0.5 * (acc - lp_base))
+
+        return 0
+
+    eoff_ref[:] = zero_row
+    jax.lax.fori_loop(0, num_groups, group_body, 0)
 
 
 def tfim_flip_ratio_sum(params, samples: jax.Array):
@@ -152,33 +196,36 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
         grid=grid,
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((n, u, tile), jnp.float32),
             pltpu.VMEM((n, tile), jnp.float32),
             pltpu.VMEM((n, tile), jnp.float32),
+            pltpu.VMEM((u, GROUP * tile), jnp.float32),
+            pltpu.VMEM((1, GROUP * tile), jnp.float32),
+            pltpu.VMEM((1, GROUP * tile), jnp.float32),
         ],
     )(
         seq,
-        cell["wx"],
-        cell["wh"],
-        cell["bx"][None, :],
-        cell["bh"][None, :],
-        head["w"],
-        head["b"][None, :],
+        cell["wx"].T,
+        cell["wh"].T,
+        cell["bx"][:, None],
+        cell["bh"][:, None],
+        head["w"].T,
+        head["b"][:, None],
     )
-    return eoff[:b, 0], lp[:b, 0]
+    return eoff[0, :b], lp[0, :b]
