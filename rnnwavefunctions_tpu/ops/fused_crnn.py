@@ -1,7 +1,8 @@
 """Pallas TPU kernels: fused complex-cRNN rollouts with U(1) masking.
 
-Same VMEM-residency design as ``fused_gru`` (whole site loop in one kernel,
-weights + hidden state on-chip), extended for the two-head complex ansatz of
+Same VMEM-residency and feature-major design as ``fused_gru`` (whole site
+loop in one kernel, (U, T) hidden with the batch on lanes, (1, T) rows, no
+relayouts), extended for the two-head complex ansatz of
 ``models/crnn_u1.py`` (reference ``J1J2/ComplexRNNwavefunction.py``):
 
 * amplitude head ``sqrt(softmax)`` and phase head ``pi * softsign``;
@@ -25,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_gru import _gru_site_step, _round_up
+from .fused_gru import _round_up
 
 TILE = 512
 LOG_ZERO = -1e9
@@ -35,16 +36,25 @@ def _softplus(x):
     return jnp.logaddexp(x, 0.0)
 
 
-def _crnn_site(x01, x_scale, h, w, nf, num_up, n_sites, u1):
-    """Shared per-site trunk+heads computation.
+def _crnn_site_rows(x, x_scale, h, w, nf, num_up, n_sites, u1):
+    """Feature-major per-site trunk+heads computation.
 
-    ``nf``: (T, 1) float site index.  Returns (h_new, lp0, lp1, ph0, ph1)
-    where lp_i = log of the masked, renormalized probability of class i
-    (= 2 log ampl_i) and ph_i the phase.  All (T, 1).
+    ``h`` (U, T); ``x``/``num_up`` (1, T) rows; ``x_scale`` scalar or (1, T)
+    row (0 where the input is the zero vector); ``nf`` scalar or (1, T) site
+    index.  Returns (h_new (U, T), lp0, lp1, ph0, ph1) where lp_i = log of
+    the masked, renormalized probability of class i (= 2 log ampl_i) and
+    ph_i the phase.  All rows (1, T).
     """
-    wx, wh, bx, bh, aw, ab, pw, pb = w
-    h_new, l0, l1 = _gru_site_step(x01, x_scale, h, wx, wh, bx, bh, aw, ab)
-    # log softmax probabilities over 2 classes
+    wxT, whT, bxT, bhT, awT, abT, pwT, pbT = w
+    u = h.shape[0]
+    gx = x_scale * ((1.0 - x) * wxT[:, 0:1] + x * wxT[:, 1:2]) + bxT
+    gh = jnp.dot(whT, h, preferred_element_type=jnp.float32) + bhT
+    r = jax.nn.sigmoid(gx[:u] + gh[:u])
+    z = jax.nn.sigmoid(gx[u : 2 * u] + gh[u : 2 * u])
+    c = jnp.tanh(gx[2 * u :] + r * gh[2 * u :])
+    h_new = z * h + (1.0 - z) * c
+    la = jnp.dot(awT, h_new, preferred_element_type=jnp.float32) + abT
+    l0, l1 = la[0:1, :], la[1:2, :]
     d = l0 - l1
     lp0 = -_softplus(-d)
     lp1 = -_softplus(d)
@@ -64,32 +74,31 @@ def _crnn_site(x01, x_scale, h, w, nf, num_up, n_sites, u1):
         lp0 = jnp.where(active, mlp0, lp0)
         lp1 = jnp.where(active, mlp1, lp1)
 
-    # phase head: pi * softsign
-    pl_ = jnp.dot(h_new, pw, preferred_element_type=jnp.float32) + pb
+    pl_ = jnp.dot(pwT, h_new, preferred_element_type=jnp.float32) + pbT
     ph = jnp.pi * pl_ / (1.0 + jnp.abs(pl_))
-    return h_new, lp0, lp1, ph[:, 0:1], ph[:, 1:2]
+    return h_new, lp0, lp1, ph[0:1, :], ph[1:2, :]
 
 
-def _weights(params):
+def _weightsT(params):
     (cell,) = params["rnn"]
     return (
-        cell["wx"], cell["wh"],
-        cell["bx"][None, :], cell["bh"][None, :],
-        params["head_ampl"]["w"], params["head_ampl"]["b"][None, :],
-        params["head_phase"]["w"], params["head_phase"]["b"][None, :],
+        cell["wx"].T, cell["wh"].T,
+        cell["bx"][:, None], cell["bh"][:, None],
+        params["head_ampl"]["w"].T, params["head_ampl"]["b"][:, None],
+        params["head_phase"]["w"].T, params["head_phase"]["b"][:, None],
     )
 
 
-def _weight_specs(u):
+def _weightT_specs(u):
     return [
-        pl.BlockSpec((2, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((u, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3 * u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
 
 
@@ -98,26 +107,26 @@ def _weight_specs(u):
 # ---------------------------------------------------------------------------
 
 def _make_log_amp_kernel(n_sites: int, u1: bool):
-    def kernel(samples_ref, wx, wh, bx, bh, aw, ab, pw, pb, re_ref, im_ref):
-        t = re_ref.shape[0]
-        u = wh.shape[0]
-        w = (wx[:], wh[:], bx[:], bh[:], aw[:], ab[:], pw[:], pb[:])
+    def kernel(samples_ref, wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
+               re_ref, im_ref):
+        t = samples_ref.shape[1]
+        u = whT.shape[1]
+        w = (wxT[:], whT[:], bxT[:], bhT[:], awT[:], abT[:], pwT[:], pbT[:])
 
         def body(n, carry):
-            h, x01, num_up, re, im = carry
-            s = samples_ref[pl.ds(n, 1), :]
-            s01 = jnp.swapaxes(s, 0, 1).astype(jnp.float32)
+            h, x, num_up, re, im = carry
+            s = samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
             x_scale = jnp.where(n > 0, 1.0, 0.0)
-            nf = jnp.full((t, 1), 0.0) + n.astype(jnp.float32)
-            h_new, lp0, lp1, ph0, ph1 = _crnn_site(
-                x01, x_scale, h, w, nf, num_up, n_sites, u1
+            nf = n.astype(jnp.float32)
+            h_new, lp0, lp1, ph0, ph1 = _crnn_site_rows(
+                x, x_scale, h, w, nf, num_up, n_sites, u1
             )
-            re = re + 0.5 * jnp.where(s01 > 0.5, lp1, lp0)
-            im = im + jnp.where(s01 > 0.5, ph1, ph0)
-            return h_new, s01, num_up + s01, re, im
+            re = re + 0.5 * jnp.where(s > 0.5, lp1, lp0)
+            im = im + jnp.where(s > 0.5, ph1, ph0)
+            return h_new, s, num_up + s, re, im
 
-        h0 = jnp.zeros((t, u), jnp.float32)
-        z = jnp.zeros((t, 1), jnp.float32)
+        h0 = jnp.zeros((u, t), jnp.float32)
+        z = jnp.zeros((1, t), jnp.float32)
         _, _, _, re, im = jax.lax.fori_loop(
             0, n_sites, body, (h0, z, z, z, z)
         )
@@ -140,17 +149,17 @@ def crnn_log_amp_parts(params, samples: jax.Array, u1: bool):
         grid=(b_pad // TILE,),
         in_specs=[
             pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _weight_specs(u),
+        ] + _weightT_specs(u),
         out_specs=(
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-    )(seq, *_weights(params))
-    return re[:b, 0], im[:b, 0]
+    )(seq, *_weightsT(params))
+    return re[0, :b], im[0, :b]
 
 
 # ---------------------------------------------------------------------------
@@ -158,41 +167,38 @@ def crnn_log_amp_parts(params, samples: jax.Array, u1: bool):
 # ---------------------------------------------------------------------------
 
 def _make_sample_kernel(n_sites: int, u1: bool):
-    def kernel(seed_ref, wx, wh, bx, bh, aw, ab, pw, pb, samples_ref, lp_ref):
-        t = lp_ref.shape[0]
-        u = wh.shape[0]
+    def kernel(seed_ref, wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
+               samples_ref, lp_ref):
+        t = lp_ref.shape[1]
+        u = whT.shape[1]
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-        w = (wx[:], wh[:], bx[:], bh[:], aw[:], ab[:], pw[:], pb[:])
+        w = (wxT[:], whT[:], bxT[:], bhT[:], awT[:], abT[:], pwT[:], pbT[:])
 
         def body(n, carry):
-            h, x01, num_up, acc = carry
+            h, x, num_up, acc = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
-            nf = jnp.full((t, 1), 0.0) + n.astype(jnp.float32)
-            h_new, lp0, lp1, _, _ = _crnn_site(
-                x01, x_scale, h, w, nf, num_up, n_sites, u1
+            nf = n.astype(jnp.float32)
+            h_new, lp0, lp1, _, _ = _crnn_site_rows(
+                x, x_scale, h, w, nf, num_up, n_sites, u1
             )
-            bits = pltpu.prng_random_bits((t, 1))
+            bits = pltpu.prng_random_bits((1, t))
             usig = jax.lax.shift_right_logical(
                 pltpu.bitcast(bits, jnp.int32), 9
             )
             uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
             p0 = jnp.exp(lp0)
-            s01 = jnp.where(uni >= p0, 1.0, 0.0)
+            s = jnp.where(uni >= p0, 1.0, 0.0)
             # clamp to the allowed class: the exp/log roundtrip can leave the
             # masked class a ~1e-7 sliver of probability (p0 = 1 - eps), and
-            # a forbidden draw poisons every downstream gradient.  Masked
-            # classes carry lp ~ LOG_ZERO, far below any legitimate
-            # log-probability.
-            s01 = jnp.where(lp1 < 0.5 * LOG_ZERO, 0.0, s01)
-            s01 = jnp.where(lp0 < 0.5 * LOG_ZERO, 1.0, s01)
-            acc = acc + jnp.where(s01 > 0.5, lp1, lp0)
-            samples_ref[pl.ds(n, 1), :] = jnp.swapaxes(s01, 0, 1).astype(
-                jnp.int32
-            )
-            return h_new, s01, num_up + s01, acc
+            # a forbidden draw poisons every downstream gradient.
+            s = jnp.where(lp1 < 0.5 * LOG_ZERO, 0.0, s)
+            s = jnp.where(lp0 < 0.5 * LOG_ZERO, 1.0, s)
+            acc = acc + jnp.where(s > 0.5, lp1, lp0)
+            samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
+            return h_new, s, num_up + s, acc
 
-        h0 = jnp.zeros((t, u), jnp.float32)
-        z = jnp.zeros((t, 1), jnp.float32)
+        h0 = jnp.zeros((u, t), jnp.float32)
+        z = jnp.zeros((1, t), jnp.float32)
         _, _, _, acc = jax.lax.fori_loop(0, n_sites, body, (h0, z, z, z))
         lp_ref[:] = acc
 
@@ -211,21 +217,21 @@ def crnn_sample(params, seed: jax.Array, num_samples: int, n_sites: int, u1: boo
         grid=(b_pad // TILE,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + _weight_specs(u),
+        ] + _weightT_specs(u),
         out_specs=(
             pl.BlockSpec((n_sites, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-    )(seed.reshape(1, 1).astype(jnp.int32), *_weights(params))
-    return samples[:, :num_samples].T, lp[:num_samples, 0]
+    )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
+    return samples[:, :num_samples].T, lp[0, :num_samples]
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper
+# custom_vjp wrapper: Pallas forward, jnp backward
 # ---------------------------------------------------------------------------
 
 def make_log_amp_parts_fn(jnp_log_amp_parts, u1: bool):
