@@ -131,3 +131,24 @@ def test_mesh_energy_statistics_match_single_device_estimator():
     np.testing.assert_allclose(
         float(var), float(jnp.mean((e - jnp.mean(e)) ** 2)), rtol=1e-5
     )
+
+
+def test_sharded_multi_step_runs(tmp_path):
+    """run_steps (device-side lax.scan of full updates) on the 8-device mesh."""
+    mesh = make_mesh()
+    trainer = VMCTrainer(
+        PRNN1D(num_sites=6, units=(8,)),
+        TFIM1D(num_sites=6, bx=1.0),
+        TrainConfig(num_samples=128),
+        mesh=mesh,
+    )
+    state = trainer.init()
+    state, ms = trainer.run_steps(state, jax.random.PRNGKey(0), 5)
+    assert ms["mean_energy"].shape == (5,)
+    assert np.isfinite(np.asarray(ms["mean_energy"])).all()
+    assert int(state.step) == 5
+    # params stay replicated and identical across devices
+    for leaf in jax.tree.leaves(state.params):
+        shards = [np.asarray(x.data) for x in leaf.addressable_shards]
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(shards[0], sh)
