@@ -70,27 +70,6 @@ def _logp_rows(l0, l1, s):
     return jnp.where(s > 0.5, l1, l0) - lse
 
 
-# kept as the generic-batch-layout step for other kernels (mdrnn/crnn share
-# the overall structure but their own cells)
-def _gru_site_step(x01, x_scale, h, wx, wh, bx, bh, hw, hb):
-    """Batch-major variant: x01 (T, 1), h (T, U); see ``_gru_site_step_rows``."""
-    u = h.shape[1]
-    gx = x_scale * ((1.0 - x01) * wx[0:1, :] + x01 * wx[1:2, :]) + bx
-    gh = jnp.dot(h, wh, preferred_element_type=jnp.float32) + bh
-    r = jax.nn.sigmoid(gx[:, :u] + gh[:, :u])
-    z = jax.nn.sigmoid(gx[:, u : 2 * u] + gh[:, u : 2 * u])
-    c = jnp.tanh(gx[:, 2 * u :] + r * gh[:, 2 * u :])
-    h_new = z * h + (1.0 - z) * c
-    logits = jnp.dot(h_new, hw, preferred_element_type=jnp.float32) + hb
-    return h_new, logits[:, 0:1], logits[:, 1:2]
-
-
-def _logp_of(l0, l1, s01):
-    """Batch-major stable log-softmax of target; (T, 1) columns."""
-    m = jnp.maximum(l0, l1)
-    lse = m + jnp.log(jnp.exp(l0 - m) + jnp.exp(l1 - m))
-    lt = jnp.where(s01 > 0.5, l1, l0)
-    return lt - lse
 
 
 def _weightsT(params):

@@ -7,11 +7,14 @@ in visit order (left-to-right on even rows, right-to-left on odd rows),
 keeping the cell weights, the carried row of vertical hidden states, and the
 row of previous-row spins resident in VMEM for the entire sweep.  Lattice
 boundary conditions (zero state and zero *vector* input — not a one-hot —
-outside the lattice) are realized with per-site scale flags.
+outside the lattice) are realized with per-site scale flags and hard selects
+(the scratch is uninitialized on the first row).
 
-Samples cross HBM once, in lattice order (flat index ny*Nx + nx); the
-direction alternation is pure index arithmetic in the loop, so no flip
-relayouts are materialized (unlike the jnp path in ``models/mdrnn2d.py``).
+Feature-major layout throughout: hidden states are (U, T) with the batch
+tile on lanes, spins/log-probs are (1, T) rows, the vertical-state history is
+(Nx, U, T) — per-column access is a natural leading-dim slice with no
+relayouts.  Samples cross HBM once, in lattice order (flat index ny*Nx+nx);
+the direction alternation is pure index arithmetic.
 """
 
 from __future__ import annotations
@@ -21,32 +24,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_gru import _logp_of, _round_up
+from .fused_gru import _logp_rows, _round_up
 
 TILE = 256
 
 
-def _mdrnn_site(x_h, sh, x_v, sv, h_h, h_v, uh, uv, wh, wv, b, hw, hb):
-    """One fused MDRNN cell + head step on a (T, .) tile.
+def _mdrnn_site_rows(x_h, sh, x_v, sv, h_h, h_v, w):
+    """One fused MDRNN cell + head step, feature-major.
 
-    x_h/x_v: (T, 1) float neighbour spins; sh/sv scale flags (0 at the
-    lattice boundary, where the reference injects zero vectors).  Returns
-    (h_new, l0, l1).
+    x_h/x_v: (1, T) neighbour spins; sh/sv scale flags (0 at the lattice
+    boundary); h_h/h_v: (U, T).  Returns (h_new (U, T), l0, l1 (1, T)).
     """
-    gx_h = sh * ((1.0 - x_h) * uh[0:1, :] + x_h * uh[1:2, :])
-    gx_v = sv * ((1.0 - x_v) * uv[0:1, :] + x_v * uv[1:2, :])
+    uhT, uvT, whT, wvT, bT, hwT, hbT = w
     pre = (
-        gx_h
-        + gx_v
-        + jnp.dot(h_h, wh, preferred_element_type=jnp.float32)
-        + jnp.dot(h_v, wv, preferred_element_type=jnp.float32)
-        + b
+        sh * ((1.0 - x_h) * uhT[:, 0:1] + x_h * uhT[:, 1:2])
+        + sv * ((1.0 - x_v) * uvT[:, 0:1] + x_v * uvT[:, 1:2])
+        + jnp.dot(whT, h_h, preferred_element_type=jnp.float32)
+        + jnp.dot(wvT, h_v, preferred_element_type=jnp.float32)
+        + bT
     )
-    # elu without expm1 (Mosaic has no expm1 lowering); exp(x)-1 loses only
+    # elu without expm1 (no Mosaic lowering for it); exp(x)-1 loses only
     # sub-1e-7 accuracy for |x| < 1e-7, irrelevant at f32 activations
     h_new = jnp.where(pre > 0, pre, jnp.exp(jnp.minimum(pre, 0.0)) - 1.0)
-    logits = jnp.dot(h_new, hw, preferred_element_type=jnp.float32) + hb
-    return h_new, logits[:, 0:1], logits[:, 1:2]
+    logits = jnp.dot(hwT, h_new, preferred_element_type=jnp.float32) + hbT
+    return h_new, logits[0:1, :], logits[1:2, :]
 
 
 def _make_sweep_kernel(nx: int, ny: int, sample_mode: bool):
@@ -54,17 +55,15 @@ def _make_sweep_kernel(nx: int, ny: int, sample_mode: bool):
 
     def kernel(*refs):
         if sample_mode:
-            (seed_ref, uh_r, uv_r, wh_r, wv_r, b_r, hw_r, hb_r,
+            (seed_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
              samples_ref, lp_ref, vh, vx) = refs
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         else:
-            (samples_ref, uh_r, uv_r, wh_r, wv_r, b_r, hw_r, hb_r,
+            (samples_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
              lp_ref, vh, vx) = refs
-        t = lp_ref.shape[0]
-        u = wh_r.shape[0]
-        uh, uv = uh_r[:], uv_r[:]
-        wh, wv = wh_r[:], wv_r[:]
-        b, hw, hb = b_r[:], hw_r[:], hb_r[:]
+        t = lp_ref.shape[1]
+        u = whT.shape[0]
+        w = (uhT[:], uvT[:], whT[:], wvT[:], bT[:], hwT[:], hbT[:])
 
         def row_body(yy, acc):
             sv_scale = jnp.where(yy > 0, 1.0, 0.0)
@@ -77,68 +76,57 @@ def _make_sweep_kernel(nx: int, ny: int, sample_mode: bool):
                 sh_scale = jnp.where(k > 0, 1.0, 0.0)
                 # scratch is uninitialized on the first row: hard-select zero
                 # state/input at the vertical boundary (0 * NaN would be NaN)
-                h_v = jnp.where(
-                    sv_scale > 0, vh[pl.ds(xx, 1)][0], 0.0
-                )                                              # (T, U)
-                x_v = jnp.where(
-                    sv_scale > 0,
-                    jnp.swapaxes(vx[pl.ds(xx, 1), :], 0, 1),
-                    0.0,
-                )                                              # (T, 1)
-                h_new, l0, l1 = _mdrnn_site(
-                    x_h, sh_scale, x_v, sv_scale, h_h, h_v,
-                    uh, uv, wh, wv, b, hw, hb,
+                h_v = jnp.where(sv_scale > 0, vh[pl.ds(xx, 1)][0], 0.0)
+                x_v = jnp.where(sv_scale > 0, vx[pl.ds(xx, 1), :], 0.0)
+                h_new, l0, l1 = _mdrnn_site_rows(
+                    x_h, sh_scale, x_v, sv_scale, h_h, h_v, w
                 )
                 if sample_mode:
-                    bits = pltpu.prng_random_bits((t, 1))
+                    bits = pltpu.prng_random_bits((1, t))
                     usig = jax.lax.shift_right_logical(
                         pltpu.bitcast(bits, jnp.int32), 9
                     )
                     uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
                     p0 = jax.nn.sigmoid(l0 - l1)
-                    s01 = jnp.where(uni >= p0, 1.0, 0.0)
-                    samples_ref[pl.ds(flat, 1), :] = jnp.swapaxes(
-                        s01, 0, 1
-                    ).astype(jnp.int32)
+                    s = jnp.where(uni >= p0, 1.0, 0.0)
+                    samples_ref[pl.ds(flat, 1), :] = s.astype(jnp.int32)
                 else:
-                    s = samples_ref[pl.ds(flat, 1), :]
-                    s01 = jnp.swapaxes(s, 0, 1).astype(jnp.float32)
-                acc = acc + _logp_of(l0, l1, s01)
+                    s = samples_ref[pl.ds(flat, 1), :].astype(jnp.float32)
+                acc = acc + _logp_rows(l0, l1, s)
                 vh[pl.ds(xx, 1)] = h_new[None]
-                vx[pl.ds(xx, 1), :] = jnp.swapaxes(s01, 0, 1)
-                return h_new, s01, acc
+                vx[pl.ds(xx, 1), :] = s
+                return h_new, s, acc
 
-            h0 = jnp.zeros((t, u), jnp.float32)
-            x0 = jnp.zeros((t, 1), jnp.float32)
+            h0 = jnp.zeros((u, t), jnp.float32)
+            x0 = jnp.zeros((1, t), jnp.float32)
             _, _, acc = jax.lax.fori_loop(0, nx, col_body, (h0, x0, acc))
             return acc
 
-        acc = jax.lax.fori_loop(
-            0, ny, row_body, jnp.zeros((t, 1), jnp.float32)
+        lp_ref[:] = jax.lax.fori_loop(
+            0, ny, row_body, jnp.zeros((1, t), jnp.float32)
         )
-        lp_ref[:] = acc
 
     return kernel
 
 
-def _mdrnn_weights(params):
+def _mdrnn_weightsT(params):
     c = params["cell"]
     h = params["head"]
     return (
-        c["uh"], c["uv"], c["wh"], c["wv"], c["b"][None, :],
-        h["w"], h["b"][None, :],
+        c["uh"].T, c["uv"].T, c["wh"].T, c["wv"].T, c["b"][:, None],
+        h["w"].T, h["b"][:, None],
     )
 
 
-def _mdrnn_weight_specs(u):
+def _mdrnn_weightT_specs(u):
     return [
-        pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
 
 
@@ -156,15 +144,15 @@ def mdrnn_log_prob(params, samples: jax.Array, nx: int, ny: int):
         grid=(b_pad // TILE,),
         in_specs=[
             pl.BlockSpec((ny * nx, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _mdrnn_weight_specs(u),
-        out_specs=pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        ] + _mdrnn_weightT_specs(u),
+        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nx, TILE, u), jnp.float32),
+            pltpu.VMEM((nx, u, TILE), jnp.float32),
             pltpu.VMEM((nx, TILE), jnp.float32),
         ],
-    )(seq, *_mdrnn_weights(params))
-    return lp[:b, 0]
+    )(seq, *_mdrnn_weightsT(params))
+    return lp[0, :b]
 
 
 def mdrnn_sample(params, seed: jax.Array, num_samples: int, nx: int, ny: int):
@@ -177,24 +165,24 @@ def mdrnn_sample(params, seed: jax.Array, num_samples: int, nx: int, ny: int):
         grid=(b_pad // TILE,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + _mdrnn_weight_specs(u),
+        ] + _mdrnn_weightT_specs(u),
         out_specs=(
             pl.BlockSpec((ny * nx, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ny * nx, b_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nx, TILE, u), jnp.float32),
+            pltpu.VMEM((nx, u, TILE), jnp.float32),
             pltpu.VMEM((nx, TILE), jnp.float32),
         ],
-    )(seed.reshape(1, 1).astype(jnp.int32), *_mdrnn_weights(params))
+    )(seed.reshape(1, 1).astype(jnp.int32), *_mdrnn_weightsT(params))
     samples = jnp.transpose(
         seq[:, :num_samples].reshape(ny, nx, num_samples), (2, 1, 0)
     )
-    return samples, lp[:num_samples, 0]
+    return samples, lp[0, :num_samples]
 
 
 def make_mdrnn_log_prob_fn(jnp_log_prob, nx: int, ny: int):
