@@ -40,11 +40,16 @@ class TrainConfig:
 
     num_samples: int = 500
     learning_rate: float = 5e-3
-    # "constant" (1DTFIM/J1J2, TrainingRNN_1DTFIM.py:221) or "inverse":
+    # "constant" (1DTFIM/J1J2, TrainingRNN_1DTFIM.py:221); "inverse":
     # lr/(1+step/decay_scale) (2D trainers, Training1DRNN_2DTFIM.py:229 with
-    # scale 10, Training2DRNN_2DTFIM.py:228 with scale 5000).
+    # scale 10, Training2DRNN_2DTFIM.py:228 with scale 5000); "exponential":
+    # lr * decay_rate^(step/decay_steps) (tf.train.exponential_decay wrapper
+    # the reference builds with decay_rate=1.0, TrainingRNN_1DTFIM.py:111).
     schedule: str = "constant"
     decay_scale: float = 10.0
+    decay_rate: float = 1.0
+    decay_steps: int = 100
+    staircase: bool = True
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8  # TrainingRNN_J1J2.py:164
@@ -61,6 +66,15 @@ def make_schedule(config: TrainConfig) -> Callable[[jax.Array], jax.Array]:
         return lambda step: config.learning_rate / (
             1.0 + step.astype(jnp.float32) / config.decay_scale
         )
+    if config.schedule == "exponential":
+
+        def exp_schedule(step):
+            p = step.astype(jnp.float32) / config.decay_steps
+            if config.staircase:
+                p = jnp.floor(p)
+            return config.learning_rate * config.decay_rate**p
+
+        return exp_schedule
     raise ValueError(f"unknown schedule {config.schedule!r}")
 
 

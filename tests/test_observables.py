@@ -53,3 +53,19 @@ def test_trainer_evaluate_complex_zero_mag():
     assert "mean_energy_im" in out
     # U(1) sampler: exactly zero magnetization
     np.testing.assert_allclose(float(out["magnetization"]), 0.0, atol=1e-6)
+
+
+def test_schedules():
+    from rnnwavefunctions_tpu.vmc.trainer import TrainConfig, make_schedule
+    import jax.numpy as jnp
+
+    s = make_schedule(TrainConfig(learning_rate=1e-2, schedule="constant"))
+    np.testing.assert_allclose(float(s(jnp.int32(500))), 1e-2)
+    s = make_schedule(TrainConfig(learning_rate=1e-2, schedule="inverse",
+                                  decay_scale=10.0))
+    np.testing.assert_allclose(float(s(jnp.int32(10))), 1e-2 / 2)
+    s = make_schedule(TrainConfig(learning_rate=1e-2, schedule="exponential",
+                                  decay_rate=0.5, decay_steps=100,
+                                  staircase=True))
+    np.testing.assert_allclose(float(s(jnp.int32(199))), 5e-3)
+    np.testing.assert_allclose(float(s(jnp.int32(200))), 2.5e-3)
