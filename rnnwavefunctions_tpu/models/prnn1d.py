@@ -81,7 +81,7 @@ class PRNN1D:
 
     def _kernelizable(self) -> bool:
         return (
-            len(self.units) == 1
+            len(set(self.units)) == 1  # uniform-width stacks
             and self.local_dim == 2
             and self.dtype == jnp.float32
             and self.accum_dtype == jnp.float32
@@ -93,8 +93,8 @@ class PRNN1D:
         if self.impl == "pallas":
             if not self._kernelizable():
                 raise ValueError(
-                    "pallas kernels support single-layer GRU, local_dim=2, "
-                    f"float32; got {self}"
+                    "pallas kernels support uniform-width GRU stacks, "
+                    f"local_dim=2, float32; got {self}"
                 )
             return True
         import jax as _jax

@@ -43,8 +43,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _gru_layer_rows(gx, h, whT, bhT):
+    """One GRU layer given the (3U, T) input-gate pre-activation ``gx``."""
+    u = h.shape[0]
+    gh = jnp.dot(whT, h, preferred_element_type=jnp.float32) + bhT
+    r = jax.nn.sigmoid(gx[:u] + gh[:u])
+    z = jax.nn.sigmoid(gx[u : 2 * u] + gh[u : 2 * u])
+    c = jnp.tanh(gx[2 * u :] + r * gh[2 * u :])
+    return z * h + (1.0 - z) * c
+
+
 def _gru_site_step_rows(x, x_scale, h, wxT, whT, bxT, bhT, hwT, hbT):
-    """Row-layout (feature-major) GRU + head step.
+    """Row-layout (feature-major) GRU + head step, single layer.
 
     ``h`` is (U, T), ``x`` is (1, T) (previous spin in {0,1}); ``x_scale`` is
     0.0 on the first site (the chain starts from the zero *vector*, not a
@@ -52,15 +62,29 @@ def _gru_site_step_rows(x, x_scale, h, wxT, whT, bxT, bhT, hwT, hbT):
     The one-hot input projection is a select over the two wxT columns (no
     K=2 matmul).  Returns (h_new (U, T), l0 (1, T), l1 (1, T)).
     """
-    u = h.shape[0]
     gx = x_scale * ((1.0 - x) * wxT[:, 0:1] + x * wxT[:, 1:2]) + bxT
-    gh = jnp.dot(whT, h, preferred_element_type=jnp.float32) + bhT
-    r = jax.nn.sigmoid(gx[:u] + gh[:u])
-    z = jax.nn.sigmoid(gx[u : 2 * u] + gh[u : 2 * u])
-    c = jnp.tanh(gx[2 * u :] + r * gh[2 * u :])
-    h_new = z * h + (1.0 - z) * c
+    h_new = _gru_layer_rows(gx, h, whT, bhT)
     logits = jnp.dot(hwT, h_new, preferred_element_type=jnp.float32) + hbT
     return h_new, logits[0:1, :], logits[1:2, :]
+
+
+def _stacked_site_step_rows(x, x_scale, hs, cells, hwT, hbT):
+    """Stacked GRU + head step: ``hs`` is a tuple of L (U, T) states;
+    ``cells`` a list of (wxT, whT, bxT, bhT) per layer (layer 0 has the
+    2-column one-hot projection, deeper layers a (3U, U) input matrix).
+    Returns (new states tuple, l0, l1)."""
+    new_hs = []
+    inp = None
+    for l, (wxT, whT, bxT, bhT) in enumerate(cells):
+        if l == 0:
+            gx = x_scale * ((1.0 - x) * wxT[:, 0:1] + x * wxT[:, 1:2]) + bxT
+        else:
+            gx = jnp.dot(wxT, inp, preferred_element_type=jnp.float32) + bxT
+        h_new = _gru_layer_rows(gx, hs[l], whT, bhT)
+        new_hs.append(h_new)
+        inp = h_new
+    logits = jnp.dot(hwT, inp, preferred_element_type=jnp.float32) + hbT
+    return tuple(new_hs), logits[0:1, :], logits[1:2, :]
 
 
 def _logp_rows(l0, l1, s):
@@ -73,70 +97,86 @@ def _logp_rows(l0, l1, s):
 
 
 def _weightsT(params):
-    (cell,) = params["rnn"]
+    """Flat tuple of pre-transposed weights: per-layer (wxT, whT, bxT, bhT)
+    then the head (hwT, hbT).  Layer 0's wxT is the (3U, 2) one-hot
+    projection; deeper layers carry a (3U, U) input matrix."""
+    out = []
+    for cell in params["rnn"]:
+        out += [cell["wx"].T, cell["wh"].T,
+                cell["bx"][:, None], cell["bh"][:, None]]
     head = params["head"]
-    return (
-        cell["wx"].T,           # (3U, 2)
-        cell["wh"].T,           # (3U, U)
-        cell["bx"][:, None],    # (3U, 1)
-        cell["bh"][:, None],
-        head["w"].T,            # (2, U)
-        head["b"][:, None],
+    out += [head["w"].T, head["b"][:, None]]
+    return tuple(out)
+
+
+def _weightT_specs(u, num_layers):
+    full = lambda a, b: pl.BlockSpec(
+        (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    specs = []
+    for l in range(num_layers):
+        in_dim = 2 if l == 0 else u
+        specs += [full(3 * u, in_dim), full(3 * u, u),
+                  full(3 * u, 1), full(3 * u, 1)]
+    specs += [full(2, u), full(2, 1)]
+    return specs
 
 
-def _weightT_specs(u):
-    return [
-        pl.BlockSpec((3 * u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+def _split_cells(wrefs, num_layers):
+    """Group the flat kernel weight refs back into per-layer tuples + head."""
+    cells = [
+        tuple(r[:] for r in wrefs[4 * l : 4 * l + 4])
+        for l in range(num_layers)
     ]
+    hwT, hbT = wrefs[-2][:], wrefs[-1][:]
+    return cells, hwT, hbT
 
 
 # ---------------------------------------------------------------------------
 # Teacher-forced log-probability kernel
 # ---------------------------------------------------------------------------
 
-def _log_prob_kernel(
-    samples_ref,  # (N, T) int32  — sequence-major
-    wxT, whT, bxT, bhT, hwT, hbT,
-    out_ref,      # (1, T) f32
-):
-    n_sites = samples_ref.shape[0]
-    t = samples_ref.shape[1]
-    u = whT.shape[1]
-    w = (wxT[:], whT[:], bxT[:], bhT[:], hwT[:], hbT[:])
+def _make_log_prob_kernel(num_layers: int):
+    def kernel(samples_ref, *rest):
+        wrefs, out_ref = rest[:-1], rest[-1]
+        n_sites = samples_ref.shape[0]
+        t = samples_ref.shape[1]
+        cells, hwT, hbT = _split_cells(wrefs, num_layers)
+        u = hwT.shape[1]
 
-    def body(n, carry):
-        h, x, acc = carry
-        s = samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
-        x_scale = jnp.where(n > 0, 1.0, 0.0)
-        h_new, l0, l1 = _gru_site_step_rows(x, x_scale, h, *w)
-        return h_new, s, acc + _logp_rows(l0, l1, s)
+        def body(n, carry):
+            hs, x, acc = carry
+            s = samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+            hs, l0, l1 = _stacked_site_step_rows(
+                x, x_scale, hs, cells, hwT, hbT
+            )
+            return hs, s, acc + _logp_rows(l0, l1, s)
 
-    h0 = jnp.zeros((u, t), jnp.float32)
-    z = jnp.zeros((1, t), jnp.float32)
-    _, _, acc = jax.lax.fori_loop(0, n_sites, body, (h0, z, z))
-    out_ref[:] = acc
+        hs0 = tuple(
+            jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
+        )
+        z = jnp.zeros((1, t), jnp.float32)
+        _, _, acc = jax.lax.fori_loop(0, n_sites, body, (hs0, z, z))
+        out_ref[:] = acc
+
+    return kernel
 
 
 def _log_prob_pallas(params, samples: jax.Array) -> jax.Array:
-    """(B, N) int -> (B,) f32 joint log-prob. Single-layer GRU params."""
-    (cell,) = params["rnn"]
+    """(B, N) int -> (B,) f32 joint log-prob (uniform-width GRU stack)."""
+    num_layers = len(params["rnn"])
     b, n = samples.shape
-    u = cell["wh"].shape[0]
+    u = params["rnn"][0]["wh"].shape[0]
     b_pad = _round_up(max(b, 8), TILE)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     out = pl.pallas_call(
-        _log_prob_kernel,
+        _make_log_prob_kernel(num_layers),
         grid=(b_pad // TILE,),
         in_specs=[
             pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _weightT_specs(u),
+        ] + _weightT_specs(u, num_layers),
         out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
     )(seq, *_weightsT(params))
@@ -147,56 +187,59 @@ def _log_prob_pallas(params, samples: jax.Array) -> jax.Array:
 # Sampling kernel
 # ---------------------------------------------------------------------------
 
-def _sample_kernel(
-    seed_ref,                                   # (1, 1) int32 SMEM
-    wxT, whT, bxT, bhT, hwT, hbT,
-    samples_ref,                                # (N, T) int32 out
-    logp_ref,                                   # (1, T) f32 out
-):
-    n_sites = samples_ref.shape[0]
-    t = samples_ref.shape[1]
-    u = whT.shape[1]
-    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-    w = (wxT[:], whT[:], bxT[:], bhT[:], hwT[:], hbT[:])
+def _make_sample_kernel(num_layers: int):
+    def kernel(seed_ref, *rest):
+        wrefs, samples_ref, logp_ref = rest[:-2], rest[-2], rest[-1]
+        n_sites = samples_ref.shape[0]
+        t = samples_ref.shape[1]
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        cells, hwT, hbT = _split_cells(wrefs, num_layers)
+        u = hwT.shape[1]
 
-    def body(n, carry):
-        h, x, acc = carry
-        x_scale = jnp.where(n > 0, 1.0, 0.0)
-        h_new, l0, l1 = _gru_site_step_rows(x, x_scale, h, *w)
-        # inverse-CDF draw over 2 classes: p0 = sigmoid(l0 - l1)
-        p0 = jax.nn.sigmoid(l0 - l1)
-        bits = pltpu.prng_random_bits((1, t))
-        # uniform in [0, 1) from the top 23 bits (int32 path: Mosaic lacks a
-        # direct uint32 -> float32 cast)
-        usig = jax.lax.shift_right_logical(
-            pltpu.bitcast(bits, jnp.int32), 9
+        def body(n, carry):
+            hs, x, acc = carry
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+            hs, l0, l1 = _stacked_site_step_rows(
+                x, x_scale, hs, cells, hwT, hbT
+            )
+            # inverse-CDF draw over 2 classes: p0 = sigmoid(l0 - l1)
+            p0 = jax.nn.sigmoid(l0 - l1)
+            bits = pltpu.prng_random_bits((1, t))
+            # uniform in [0, 1) from the top 23 bits (int32 path: Mosaic
+            # lacks a direct uint32 -> float32 cast)
+            usig = jax.lax.shift_right_logical(
+                pltpu.bitcast(bits, jnp.int32), 9
+            )
+            uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
+            s = jnp.where(uni >= p0, 1.0, 0.0)
+            acc = acc + _logp_rows(l0, l1, s)
+            samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
+            return hs, s, acc
+
+        hs0 = tuple(
+            jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
         )
-        uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
-        s = jnp.where(uni >= p0, 1.0, 0.0)
-        acc = acc + _logp_rows(l0, l1, s)
-        samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
-        return h_new, s, acc
+        z = jnp.zeros((1, t), jnp.float32)
+        _, _, acc = jax.lax.fori_loop(0, n_sites, body, (hs0, z, z))
+        logp_ref[:] = acc
 
-    h0 = jnp.zeros((u, t), jnp.float32)
-    z = jnp.zeros((1, t), jnp.float32)
-    _, _, acc = jax.lax.fori_loop(0, n_sites, body, (h0, z, z))
-    logp_ref[:] = acc
+    return kernel
 
 
 def _sample_pallas(
     params, seed: jax.Array, num_samples: int, n_sites: int
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (samples (B, N) int32, logp (B,) f32)."""
-    (cell,) = params["rnn"]
-    u = cell["wh"].shape[0]
+    num_layers = len(params["rnn"])
+    u = params["rnn"][0]["wh"].shape[0]
     b_pad = _round_up(max(num_samples, 8), TILE)
 
     samples, logp = pl.pallas_call(
-        _sample_kernel,
+        _make_sample_kernel(num_layers),
         grid=(b_pad // TILE,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + _weightT_specs(u),
+        ] + _weightT_specs(u, num_layers),
         out_specs=(
             pl.BlockSpec((n_sites, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),

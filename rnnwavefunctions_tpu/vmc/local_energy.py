@@ -71,6 +71,7 @@ def make_local_energy_fn(
         and getattr(ansatz, "plain_positive", False)
         and hasattr(ansatz, "_use_pallas")
         and ansatz._kernelizable()
+        and len(getattr(ansatz, "units", (0,))) == 1  # flip kernel: 1 layer
     )
     if fused_ok and flip_element != 0.0:
 
@@ -100,6 +101,7 @@ def make_local_energy_fn(
         and is_complex
         and hasattr(ansatz, "_use_pallas")
         and ansatz._kernelizable()
+        and len(getattr(ansatz, "units", (0,))) == 1  # exchange kernel: 1 layer
     ):
 
         def local_energy_exchange(params, samples, log_amp_samples):

@@ -78,9 +78,24 @@ def test_pallas_sampler_distribution():
 def test_auto_impl_selects_jnp_on_cpu():
     ansatz = PRNN1D(num_sites=6, units=(8,))
     assert not ansatz._use_pallas()  # conftest forces the cpu backend
-    ansatz2 = PRNN1D(num_sites=6, units=(8, 8), impl="pallas")
-    with pytest.raises(ValueError, match="single-layer"):
+    ansatz2 = PRNN1D(num_sites=6, units=(8, 6), impl="pallas")
+    with pytest.raises(ValueError, match="uniform-width"):
         ansatz2._use_pallas()
+
+
+def test_pallas_stacked_log_prob_and_sampler_match_jnp():
+    """Multi-layer (uniform-width) GRU stacks through the fused kernels."""
+    ansatz = PRNN1D(num_sites=10, units=(12, 12), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(9))
+    samples = ansatz.sample(params, jax.random.PRNGKey(10), 33)
+    want = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_gru._log_prob_pallas(params, samples))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        s2, lp2 = fused_gru._sample_pallas(params, jnp.int32(5), 16, 10)
+    want2 = np.asarray(ansatz._log_prob_plain_jnp(params, s2))
+    np.testing.assert_allclose(np.asarray(lp2), want2, atol=1e-4)
 
 
 def test_tfim_flip_kernel_matches_generic(setup):
