@@ -13,7 +13,6 @@ configurable, float32 by default for TPU.)
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Tuple
 
 import jax.numpy as jnp

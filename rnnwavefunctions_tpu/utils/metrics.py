@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import List, Optional, Union
+from typing import List, Union
 
 import numpy as np
 

@@ -20,7 +20,7 @@ returned as an ``(e_re, e_im)`` tuple; ``e_im`` is ``None`` for real ansatze.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

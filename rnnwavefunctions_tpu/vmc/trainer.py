@@ -14,7 +14,6 @@ mesh axis and statistics/gradients reduced over ICI.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
