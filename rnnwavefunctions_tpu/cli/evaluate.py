@@ -1,0 +1,108 @@
+"""CLI: evaluate a trained checkpoint — energies, variance, magnetization.
+
+The measurement/serving story: restore a checkpoint saved by any of the
+training CLIs, draw fresh Monte-Carlo batches, and report the energy
+estimate with the notebook error-bar convention plus magnetization — the
+reference's equivalent is rerunning the trainer with the "Loading previous
+trainings" block uncommented (``TrainingRNN_1DTFIM.py:172-183``) just to
+measure.  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from .. import (
+    CRNNU1, J1J2, MDRNN2D, PRNN1D, PRNNSnake2D, TFIM1D, TFIM2D,
+    TrainConfig, VMCTrainer, make_mesh,
+)
+from ..utils.checkpoints import Checkpointer
+from ..vmc.observables import energy_estimate
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint", help="checkpoint directory (ckpt_<tag>)")
+    p.add_argument("--workload", required=True,
+                   choices=["1dtfim", "2dtfim-1drnn", "2dtfim-2drnn", "j1j2"])
+    p.add_argument("--systemsize", type=int, default=20)
+    p.add_argument("--systemsize-x", type=int, default=4)
+    p.add_argument("--systemsize-y", type=int, default=4)
+    p.add_argument("--bx", type=float, default=1.0)
+    p.add_argument("--j1", type=float, default=1.0)
+    p.add_argument("--j2", type=float, default=0.2)
+    p.add_argument("--marshall-sign", action="store_true")
+    p.add_argument("--num-units", type=int, default=50)
+    p.add_argument("--num-layers", type=int, default=1)
+    p.add_argument("--parity", action="store_true")
+    p.add_argument("--numsamples", type=int, default=1024)
+    p.add_argument("--num-batches", type=int, default=10)
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build_problem(args):
+    units = (args.num_units,) * args.num_layers
+    if args.workload == "1dtfim":
+        return (PRNN1D(num_sites=args.systemsize, units=units,
+                       parity=args.parity),
+                TFIM1D(num_sites=args.systemsize, bx=args.bx))
+    if args.workload == "2dtfim-1drnn":
+        return (PRNNSnake2D(nx=args.systemsize_x, ny=args.systemsize_y,
+                            units=units),
+                TFIM2D(nx=args.systemsize_x, ny=args.systemsize_y,
+                       bx=args.bx, encoding="flat"))
+    if args.workload == "2dtfim-2drnn":
+        return (MDRNN2D(nx=args.systemsize_x, ny=args.systemsize_y,
+                        units=args.num_units),
+                TFIM2D(nx=args.systemsize_x, ny=args.systemsize_y,
+                       bx=args.bx, encoding="grid"))
+    return (CRNNU1(num_sites=args.systemsize, units=units),
+            J1J2(num_sites=args.systemsize, j1=args.j1, j2=args.j2,
+                 marshall_sign=args.marshall_sign))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ansatz, ham = build_problem(args)
+    trainer = VMCTrainer(
+        ansatz, ham, TrainConfig(num_samples=args.numsamples),
+        mesh=make_mesh(args.num_devices),
+    )
+    ckpt = Checkpointer(args.checkpoint)
+    state = ckpt.restore(trainer.init())
+
+    key = jax.random.PRNGKey(args.seed)
+    means, varis, mags = [], [], []
+    e_ims = []
+    for b in range(args.num_batches):
+        out = trainer.evaluate(state, jax.random.fold_in(key, b))
+        means.append(float(out["mean_energy"]))
+        varis.append(float(out["var_energy"]))
+        mags.append(float(out["magnetization"]))
+        if "mean_energy_im" in out:
+            e_ims.append(float(out["mean_energy_im"]))
+    est, err = energy_estimate(means, varis, args.numsamples,
+                               window=args.num_batches)
+    result = {
+        "checkpoint": args.checkpoint,
+        "step": int(state.step),
+        "energy": est,
+        "err_bar": err,
+        "var_energy": float(np.mean(varis)),
+        "magnetization": float(np.mean(mags)),
+        "num_samples_total": args.numsamples * args.num_batches,
+    }
+    if e_ims:
+        result["energy_im"] = float(np.mean(e_ims))
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
