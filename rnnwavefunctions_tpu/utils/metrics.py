@@ -33,10 +33,9 @@ class MetricsSeries:
         self._t0 = time.time()
         self._jsonl_path = os.path.join(self.directory, f"metrics_{tag}.jsonl")
         if resume and os.path.exists(self.mean_path):
-            self.mean_energy = [
-                complex(x) if np.iscomplexobj(np.asarray(x)) else float(x)
-                for x in np.load(self.mean_path)
-            ]
+            mean = np.load(self.mean_path)
+            cast = complex if np.iscomplexobj(mean) else float
+            self.mean_energy = [cast(x) for x in mean]
             self.var_energy = [float(x) for x in np.load(self.var_path)]
         elif not resume and os.path.exists(self._jsonl_path):
             os.remove(self._jsonl_path)

@@ -102,6 +102,8 @@ class VMCTrainer:
             ansatz, hamiltonian, config.chunk_size
         )
         self._step_fn = self._build_step()
+        self._multi_step_cache = {}
+        self._eval_fn = None
 
     # -- state --------------------------------------------------------------
 
@@ -233,13 +235,9 @@ class VMCTrainer:
         (one host dispatch — no per-step host round-trips; the reference pays
         3+ host<->device transitions per step, SURVEY.md §3.1).  Returns
         (state, metrics with a leading ``num_steps`` axis)."""
-        cache = getattr(self, "_multi_step_cache", None)
-        if cache is None:
-            cache = {}
-            self._multi_step_cache = cache
-        if num_steps not in cache:
-            cache[num_steps] = self._build_multi_step(num_steps)
-        return cache[num_steps](state, key)
+        if num_steps not in self._multi_step_cache:
+            self._multi_step_cache[num_steps] = self._build_multi_step(num_steps)
+        return self._multi_step_cache[num_steps](state, key)
 
     # -- evaluation (no parameter update) ------------------------------------
 
@@ -277,11 +275,9 @@ class VMCTrainer:
     def evaluate(self, state: TrainState, key: jax.Array):
         """Measure energy statistics and magnetization on a fresh sample
         batch without updating parameters (post-training measurement)."""
-        cached = getattr(self, "_eval_fn", None)
-        if cached is None:
-            cached = self._build_evaluate()
-            self._eval_fn = cached
-        return cached(state.params, key)
+        if self._eval_fn is None:
+            self._eval_fn = self._build_evaluate()
+        return self._eval_fn(state.params, key)
 
     # -- training loop (the run_X equivalent) -------------------------------
 
