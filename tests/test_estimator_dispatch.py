@@ -1,0 +1,65 @@
+"""Local-energy estimator path selection and Hamiltonian marker consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnnwavefunctions_tpu import CRNNU1, J1J2, PRNN1D, TFIM1D, TFIM2D
+from rnnwavefunctions_tpu.models.prnn_snake2d import PRNNSnake2D
+from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+
+def test_tfim_diagonal_matches_connected():
+    for ham, sigma in [
+        (TFIM1D(num_sites=7, bx=1.3),
+         jnp.asarray([0, 1, 1, 0, 1, 0, 0], jnp.int32)),
+        (TFIM2D(nx=3, ny=2, bx=0.7, encoding="flat"),
+         jnp.asarray([1, 0, 1, 1, 0, 0], jnp.int32)),
+    ]:
+        diag, *_ = ham.connected(sigma)
+        np.testing.assert_allclose(
+            float(ham.diagonal(sigma)), float(diag), rtol=1e-6
+        )
+
+
+def test_j1j2_diagonal_matches_connected():
+    ham = J1J2(num_sites=8, j1=1.0, j2=0.4, bz=0.2)
+    sigma = jnp.asarray([0, 1, 1, 0, 1, 0, 0, 1], jnp.int32)
+    diag, *_ = ham.connected(sigma)
+    np.testing.assert_allclose(float(ham.diagonal(sigma)), float(diag),
+                               rtol=1e-6)
+
+
+def test_exchange_marker_gating():
+    assert J1J2(num_sites=8, periodic=True).exchange_kernel_info is None
+    assert J1J2(num_sites=8, j1=0.0).exchange_kernel_info is None
+    info = J1J2(num_sites=8, j2=0.3, marshall_sign=True).exchange_kernel_info
+    assert info == {"el_nn": -0.5, "el_nnn": 0.15, "has_nnn": True}
+    assert not J1J2(num_sites=8, j2=0.0).exchange_kernel_info["has_nnn"]
+
+
+def test_fused_paths_fall_back_cleanly():
+    """Configurations outside kernel coverage must still produce correct
+    estimators (generic path), on any backend."""
+    cases = [
+        # multi-layer stack: flip kernel is single-layer only
+        (PRNN1D(num_sites=6, units=(8, 8)), TFIM1D(num_sites=6, bx=1.0)),
+        # parity density is not autoregressive-decomposable
+        (PRNN1D(num_sites=6, units=(8,), parity=True), TFIM1D(num_sites=6)),
+        # periodic J1J2 wraps the prefix order
+        (CRNNU1(num_sites=6, units=(8,)),
+         J1J2(num_sites=6, j2=0.2, periodic=True)),
+        # grid-encoded 2D Hamiltonian has no flat flip kernel
+        (PRNNSnake2D(nx=3, ny=2, units=(8,)),
+         TFIM2D(nx=3, ny=2, bx=1.0, encoding="flat")),
+    ]
+    for ansatz, ham in cases:
+        params = ansatz.init(jax.random.PRNGKey(0))
+        samples = ansatz.sample(params, jax.random.PRNGKey(1), 8)
+        le = make_local_energy_fn(ansatz, ham)
+        if getattr(ansatz, "is_complex", False):
+            la = ansatz.log_amp_parts(params, samples)
+        else:
+            la = ansatz.log_amp(params, samples)
+        e_re, e_im = le(params, samples, la)
+        assert np.isfinite(np.asarray(e_re)).all()
