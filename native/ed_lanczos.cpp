@@ -150,6 +150,42 @@ int tfim1d_ground_energy(int n, double bx, const double* jz, int max_iter,
   return lanczos_min_eig(dim, matvec, max_iter, out_energy);
 }
 
+int tfim2d_ground_energy(int nx, int ny, double bx, double jz, int max_iter,
+                         double* out_energy) {
+  // 2D OBC lattice, flat index i = y*nx + x (matching ed/exact.py and the
+  // snake/2DRNN sample layouts); H = -Jz sum_<ij> z_i z_j - Bx sum_i x_i.
+  const int n = nx * ny;
+  if (n < 2 || n > 28) return 1;
+  const size_t dim = size_t{1} << n;
+  std::vector<double> diag(dim);
+  for (size_t s = 0; s < dim; ++s) {
+    double d = 0.0;
+    for (int y = 0; y < ny; ++y) {
+      for (int x = 0; x < nx; ++x) {
+        const int i = y * nx + x;
+        const double zi = (s >> i) & 1 ? 1.0 : -1.0;
+        if (x + 1 < nx) {
+          const double zr = (s >> (i + 1)) & 1 ? 1.0 : -1.0;
+          d += -jz * zi * zr;
+        }
+        if (y + 1 < ny) {
+          const double zd = (s >> (i + nx)) & 1 ? 1.0 : -1.0;
+          d += -jz * zi * zd;
+        }
+      }
+    }
+    diag[s] = d;
+  }
+  auto matvec = [&](const double* in, double* out) {
+    for (size_t s = 0; s < dim; ++s) {
+      double acc = diag[s] * in[s];
+      for (int i = 0; i < n; ++i) acc += -bx * in[s ^ (size_t{1} << i)];
+      out[s] = acc;
+    }
+  };
+  return lanczos_min_eig(dim, matvec, max_iter, out_energy);
+}
+
 int j1j2_ground_energy(int n, double j1, double j2, double bz, int periodic,
                        int marshall, int max_iter, double* out_energy) {
   if (n < 3 || n > 28) return 1;

@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numsamples", type=int, default=500)
     p.add_argument("--learningrate", type=float, default=1e-3)
     p.add_argument("--decay-scale", type=float, default=10.0,
-                   help="lr/(1+step/scale) schedule scale")
+                   help="1/((1/lr)+(step/scale)) harmonic schedule scale")
     p.add_argument("--seed", type=int, default=333)
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--chunk-size", type=int, default=None)
@@ -48,7 +48,7 @@ def main(argv=None):
     config = TrainConfig(
         num_samples=args.numsamples,
         learning_rate=args.learningrate,
-        schedule="inverse",
+        schedule="harmonic",
         decay_scale=args.decay_scale,
         chunk_size=args.chunk_size,
         seed=args.seed,

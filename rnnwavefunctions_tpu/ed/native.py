@@ -46,6 +46,11 @@ def _load() -> ctypes.CDLL:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ctypes.c_int, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.tfim2d_ground_energy.restype = ctypes.c_int
+    lib.tfim2d_ground_energy.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+    ]
     lib.j1j2_ground_energy.restype = ctypes.c_int
     lib.j1j2_ground_energy.argtypes = [
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -69,6 +74,19 @@ def tfim1d_ground_energy(
                                   ctypes.byref(out))
     if rc != 0:
         raise ValueError(f"native ED failed (rc={rc}, n={n})")
+    return out.value
+
+
+def tfim2d_ground_energy(
+    nx: int, ny: int, bx: float, jz: float = 1.0, max_iter: int = 300
+) -> float:
+    """Lanczos ground-state energy of the 2D OBC TFIM (Nx*Ny up to ~24)."""
+    lib = _load()
+    out = ctypes.c_double()
+    rc = lib.tfim2d_ground_energy(nx, ny, float(bx), float(jz), max_iter,
+                                  ctypes.byref(out))
+    if rc != 0:
+        raise ValueError(f"native ED failed (rc={rc}, {nx}x{ny})")
     return out.value
 
 

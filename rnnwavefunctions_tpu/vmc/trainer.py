@@ -39,11 +39,16 @@ class TrainConfig:
 
     num_samples: int = 500
     learning_rate: float = 5e-3
-    # "constant" (1DTFIM/J1J2, TrainingRNN_1DTFIM.py:221); "inverse":
-    # lr/(1+step/decay_scale) (2D trainers, Training1DRNN_2DTFIM.py:229 with
-    # scale 10, Training2DRNN_2DTFIM.py:228 with scale 5000); "exponential":
-    # lr * decay_rate^(step/decay_steps) (tf.train.exponential_decay wrapper
-    # the reference builds with decay_rate=1.0, TrainingRNN_1DTFIM.py:111).
+    # "constant"    (1DTFIM/J1J2, TrainingRNN_1DTFIM.py:221);
+    # "inverse"     lr/(1+step/decay_scale) (2DRNN trainer,
+    #               Training2DRNN_2DTFIM.py:228 with scale 5000);
+    # "harmonic"    1/((1/lr)+(step/decay_scale)) = lr/(1+lr*step/scale)
+    #               (snake-2D trainer, Training1DRNN_2DTFIM.py:229 with
+    #               scale 10; J1J2's commented variant,
+    #               TrainingRNN_J1J2.py:302);
+    # "exponential" lr * decay_rate^(step/decay_steps)
+    #               (tf.train.exponential_decay wrapper the reference builds
+    #               with decay_rate=1.0, TrainingRNN_1DTFIM.py:111).
     schedule: str = "constant"
     decay_scale: float = 10.0
     decay_rate: float = 1.0
@@ -64,6 +69,11 @@ def make_schedule(config: TrainConfig) -> Callable[[jax.Array], jax.Array]:
     if config.schedule == "inverse":
         return lambda step: config.learning_rate / (
             1.0 + step.astype(jnp.float32) / config.decay_scale
+        )
+    if config.schedule == "harmonic":
+        return lambda step: 1.0 / (
+            1.0 / config.learning_rate
+            + step.astype(jnp.float32) / config.decay_scale
         )
     if config.schedule == "exponential":
 

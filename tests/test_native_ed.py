@@ -45,3 +45,10 @@ def test_lanczos_beyond_dense_reach():
     e16 = native.tfim1d_ground_energy(16, 1.0)
     assert e18 < e16  # more sites -> lower total energy
     assert -1.30 < e18 / 18 < -1.20  # thermodynamic limit is -4/pi = -1.273
+
+
+def test_tfim2d_lanczos_matches_dense():
+    for nx, ny, bx in [(3, 2, 1.0), (2, 4, 2.5), (3, 3, 3.0)]:
+        want = exact.ground_state_energy(exact.tfim2d_dense(nx, ny, bx))
+        got = native.tfim2d_ground_energy(nx, ny, bx)
+        np.testing.assert_allclose(got, want, rtol=1e-9)

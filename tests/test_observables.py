@@ -64,6 +64,10 @@ def test_schedules():
     s = make_schedule(TrainConfig(learning_rate=1e-2, schedule="inverse",
                                   decay_scale=10.0))
     np.testing.assert_allclose(float(s(jnp.int32(10))), 1e-2 / 2)
+    s = make_schedule(TrainConfig(learning_rate=1e-2, schedule="harmonic",
+                                  decay_scale=10.0))
+    # 1/((1/lr)+(step/10)): at step 1000 -> 1/(100+100) = 5e-3
+    np.testing.assert_allclose(float(s(jnp.int32(1000))), 5e-3, rtol=1e-6)
     s = make_schedule(TrainConfig(learning_rate=1e-2, schedule="exponential",
                                   decay_rate=0.5, decay_steps=100,
                                   staircase=True))
