@@ -75,48 +75,75 @@ def _logp_rows(l0, l1, s):
     return jnp.where(s > 0.5, l1, l0) - lse
 
 
-def _tfim_flip_kernel(
-    samples_ref,   # (N, T) int32
-    wxT_ref, whT_ref, bxT_ref, bhT_ref, hwT_ref, hbT_ref,
-    eoff_ref,      # (1, T) f32: sum_i exp(0.5 dlogp_i)
-    lp_ref,        # (1, T) f32: base log p
-    h_hist,        # scratch (N, U, T): hidden AFTER site n's step
-    pfx,           # scratch (N, T): prefix logp sums (inclusive)
-    fl,            # scratch (N, T): site-n logp of the flipped target
-    wf_h,          # scratch (U, GROUP*T): wavefront hidden states
-    wf_x,          # scratch (1, GROUP*T): wavefront previous-spin inputs
-    wf_acc,        # scratch (1, GROUP*T): wavefront logp accumulators
+def _make_flip_kernel(sample_mode: bool):
+    """Kernel factory: teacher-forced (``sample_mode=False``, reads a given
+    sample batch) or fully fused sample-and-estimate (``sample_mode=True``,
+    draws the batch in-kernel — the base pass doubles as the autoregressive
+    sampler, so one kernel launch produces samples, their log-probs, AND the
+    flip-ratio sums with no re-rollout)."""
+
+    def kernel(*refs):
+        if sample_mode:
+            (seed_ref, wxT_ref, whT_ref, bxT_ref, bhT_ref, hwT_ref, hbT_ref,
+             samples_ref, eoff_ref, lp_ref, h_hist, pfx, fl,
+             wf_h, wf_x, wf_acc) = refs
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        else:
+            (samples_ref, wxT_ref, whT_ref, bxT_ref, bhT_ref, hwT_ref,
+             hbT_ref, eoff_ref, lp_ref, h_hist, pfx, fl,
+             wf_h, wf_x, wf_acc) = refs
+        n_sites = samples_ref.shape[0]
+        t = eoff_ref.shape[1]
+        u = whT_ref.shape[1]
+        wxT, whT = wxT_ref[:], whT_ref[:]
+        bxT, bhT = bxT_ref[:], bhT_ref[:]
+        hwT, hbT = hwT_ref[:], hbT_ref[:]
+        weights = (wxT, whT, bxT, bhT, hwT, hbT)
+        zero_row = jnp.zeros((1, t), jnp.float32)
+
+        def read_s(n):
+            return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
+
+        # ---- base pass: (draw and) store hidden history, prefix sums,
+        # flipped-site logps
+        def base_body(n, carry):
+            h, x, acc = carry
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+            h_new, l0, l1 = _gru_site_step_rows(x, x_scale, h, *weights)
+            if sample_mode:
+                p0 = jax.nn.sigmoid(l0 - l1)
+                bits = pltpu.prng_random_bits((1, t))
+                usig = jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.int32), 9
+                )
+                uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
+                s = jnp.where(uni >= p0, 1.0, 0.0)
+                samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
+            else:
+                s = read_s(n)
+            acc = acc + _logp_rows(l0, l1, s)
+            h_hist[pl.ds(n, 1)] = h_new[None]
+            pfx[pl.ds(n, 1), :] = acc
+            fl[pl.ds(n, 1), :] = _logp_rows(l0, l1, 1.0 - s)
+            return h_new, s, acc
+
+        h0 = jnp.zeros((u, t), jnp.float32)
+        _, _, lp_base = jax.lax.fori_loop(
+            0, n_sites, base_body, (h0, zero_row, zero_row)
+        )
+        lp_ref[:] = lp_base
+        _flip_wavefront(
+            samples_ref, weights, eoff_ref, lp_base, h_hist, pfx, fl,
+            wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row,
+        )
+
+    return kernel
+
+
+def _flip_wavefront(
+    samples_ref, weights, eoff_ref, lp_base, h_hist, pfx, fl,
+    wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row,
 ):
-    n_sites = samples_ref.shape[0]
-    t = samples_ref.shape[1]
-    u = whT_ref.shape[1]
-    wxT, whT = wxT_ref[:], whT_ref[:]
-    bxT, bhT = bxT_ref[:], bhT_ref[:]
-    hwT, hbT = hwT_ref[:], hbT_ref[:]
-    weights = (wxT, whT, bxT, bhT, hwT, hbT)
-    # the same weights act on the (U, GROUP*T) wavefront block
-    zero_row = jnp.zeros((1, t), jnp.float32)
-
-    def read_s(n):
-        return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
-
-    # ---- base pass: store hidden history, prefix sums, flipped-site logps
-    def base_body(n, carry):
-        h, x, acc = carry
-        s = read_s(n)
-        x_scale = jnp.where(n > 0, 1.0, 0.0)
-        h_new, l0, l1 = _gru_site_step_rows(x, x_scale, h, *weights)
-        acc = acc + _logp_rows(l0, l1, s)
-        h_hist[pl.ds(n, 1)] = h_new[None]
-        pfx[pl.ds(n, 1), :] = acc
-        fl[pl.ds(n, 1), :] = _logp_rows(l0, l1, 1.0 - s)
-        return h_new, s, acc
-
-    h0 = jnp.zeros((u, t), jnp.float32)
-    _, _, lp_base = jax.lax.fori_loop(
-        0, n_sites, base_body, (h0, zero_row, zero_row)
-    )
-    lp_ref[:] = lp_base
 
     # ---- grouped wavefront over flips --------------------------------------
     num_groups = -(-n_sites // GROUP)
@@ -192,17 +219,11 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
 
     grid = (b_pad // tile,)
     eoff, lp = pl.pallas_call(
-        _tfim_flip_kernel,
+        _make_flip_kernel(sample_mode=False),
         grid=grid,
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + _flip_weight_specs(u),
         out_specs=(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -211,21 +232,73 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n, u, tile), jnp.float32),
-            pltpu.VMEM((n, tile), jnp.float32),
-            pltpu.VMEM((n, tile), jnp.float32),
-            pltpu.VMEM((u, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        ],
-    )(
-        seq,
-        cell["wx"].T,
-        cell["wh"].T,
-        cell["bx"][:, None],
-        cell["bh"][:, None],
-        head["w"].T,
-        head["b"][:, None],
-    )
+        scratch_shapes=_flip_scratch(n, u, tile),
+    )(seq, *_flip_weightsT(params))
     return eoff[0, :b], lp[0, :b]
+
+
+def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
+                             n_sites: int):
+    """Fully fused: draw the Monte-Carlo batch AND estimate the flip-ratio
+    sums in one kernel launch (the sampling rollout doubles as the base pass
+    of the wavefront estimator — no separate sample + re-rollout).
+
+    Returns (samples (B, N) int32, base_log_prob (B,), ratio_sum (B,)).
+    """
+    (cell,) = params["rnn"]
+    u = cell["wh"].shape[0]
+    tile = _pick_tile(n_sites, u)
+    b_pad = _round_up(max(num_samples, 8), tile)
+
+    samples, eoff, lp = pl.pallas_call(
+        _make_flip_kernel(sample_mode=True),
+        grid=(b_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ] + _flip_weight_specs(u),
+        out_specs=(
+            pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+        ),
+        scratch_shapes=_flip_scratch(n_sites, u, tile),
+    )(seed.reshape(1, 1).astype(jnp.int32), *_flip_weightsT(params))
+    return (
+        samples[:, :num_samples].T,
+        lp[0, :num_samples],
+        eoff[0, :num_samples],
+    )
+
+
+def _flip_weightsT(params):
+    (cell,) = params["rnn"]
+    head = params["head"]
+    return (
+        cell["wx"].T, cell["wh"].T,
+        cell["bx"][:, None], cell["bh"][:, None],
+        head["w"].T, head["b"][:, None],
+    )
+
+
+def _flip_weight_specs(u):
+    full = lambda a, b: pl.BlockSpec(
+        (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return [full(3 * u, 2), full(3 * u, u), full(3 * u, 1), full(3 * u, 1),
+            full(2, u), full(2, 1)]
+
+
+def _flip_scratch(n, u, tile):
+    return [
+        pltpu.VMEM((n, u, tile), jnp.float32),
+        pltpu.VMEM((n, tile), jnp.float32),
+        pltpu.VMEM((n, tile), jnp.float32),
+        pltpu.VMEM((u, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+    ]

@@ -111,9 +111,44 @@ class VMCTrainer:
         self.local_energy = make_local_energy_fn(
             ansatz, hamiltonian, config.chunk_size
         )
+        self._fused_sample_energy = self._maybe_build_fused_sample_energy()
         self._step_fn = self._build_step()
         self._multi_step_cache = {}
         self._eval_fn = None
+
+    def _maybe_build_fused_sample_energy(self):
+        """Single-kernel sample + local-energy path (TFIM + single-layer
+        pRNN on TPU): the sampling rollout doubles as the base pass of the
+        wavefront flip estimator, so one launch replaces sample + base +
+        flip evaluations."""
+        ansatz, ham = self.ansatz, self.hamiltonian
+        flip_element = getattr(ham, "uniform_flip_element", None)
+        if (
+            flip_element is None
+            or flip_element == 0.0
+            or getattr(ham, "encoding", "flat") != "flat"
+            or not getattr(ansatz, "plain_positive", False)
+            or not hasattr(ansatz, "_use_pallas")
+            or not ansatz._kernelizable()
+            or len(getattr(ansatz, "units", ())) != 1
+        ):
+            return None
+        from ..ops import tfim_flip_kernel as tk
+
+        n = ansatz.num_sites
+        if not tk.supports(n, ansatz.units[0]) or not ansatz._use_pallas():
+            return None
+
+        def fused(params, key, num_samples):
+            bits = jax.random.key_data(key).reshape(-1)
+            seed = (bits[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            samples, lp, ratio = tk.tfim_sample_and_flip_sum(
+                params, seed, num_samples, n
+            )
+            diag = jax.vmap(ham.diagonal)(samples)
+            return samples, lp, diag + flip_element * ratio
+
+        return fused
 
     # -- state --------------------------------------------------------------
 
@@ -134,28 +169,38 @@ class VMCTrainer:
         ansatz = self.ansatz
         key = mesh_lib.device_key(jax.random.fold_in(key, step))
 
-        with jax.named_scope("vmc_sample"):
-            samples, logp_sampling = ansatz.sample_with_log_prob(
-                params, key, self.local_samples
-            )
-        samples = jax.lax.stop_gradient(samples)
         is_complex = getattr(ansatz, "is_complex", False)
-
-        # log psi of the drawn samples (ratio denominators).  For a plain
-        # positive ansatz the sampling density *is* the wavefunction density,
-        # so 0.5*logp is free; parity/complex ansatze need the full pass.
-        if getattr(ansatz, "plain_positive", False):
-            log_amp_s = 0.5 * logp_sampling
-        elif is_complex:
-            log_amp_s = ansatz.log_amp_parts(params, samples)
+        if self._fused_sample_energy is not None:
+            with jax.named_scope("vmc_sample_and_energy"):
+                samples, logp_sampling, e_re = self._fused_sample_energy(
+                    params, key, self.local_samples
+                )
+            samples = jax.lax.stop_gradient(samples)
+            e_re = jax.lax.stop_gradient(e_re)
+            e_im = None
         else:
-            log_amp_s = ansatz.log_amp(params, samples)
-        log_amp_s = jax.lax.stop_gradient(log_amp_s)
+            with jax.named_scope("vmc_sample"):
+                samples, logp_sampling = ansatz.sample_with_log_prob(
+                    params, key, self.local_samples
+                )
+            samples = jax.lax.stop_gradient(samples)
 
-        with jax.named_scope("vmc_local_energy"):
-            e_re, e_im = jax.lax.stop_gradient(
-                self.local_energy(params, samples, log_amp_s)
-            )
+            # log psi of the drawn samples (ratio denominators).  For a plain
+            # positive ansatz the sampling density *is* the wavefunction
+            # density, so 0.5*logp is free; parity/complex ansatze need the
+            # full pass.
+            if getattr(ansatz, "plain_positive", False):
+                log_amp_s = 0.5 * logp_sampling
+            elif is_complex:
+                log_amp_s = ansatz.log_amp_parts(params, samples)
+            else:
+                log_amp_s = ansatz.log_amp(params, samples)
+            log_amp_s = jax.lax.stop_gradient(log_amp_s)
+
+            with jax.named_scope("vmc_local_energy"):
+                e_re, e_im = jax.lax.stop_gradient(
+                    self.local_energy(params, samples, log_amp_s)
+                )
 
         # Global (mesh-wide) statistics over ICI.
         e_mean_re = mesh_lib.pmean(jnp.mean(e_re))

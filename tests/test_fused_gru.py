@@ -120,3 +120,24 @@ def test_tfim_flip_kernel_matches_generic(setup):
         sums.append(np.exp(laf - la))
     want = np.sum(sums, axis=0)
     np.testing.assert_allclose(np.asarray(ratio_sum), want, rtol=2e-4)
+
+
+def test_sample_and_flip_kernel_consistent(setup):
+    """Fused sample+flip kernel: drawn samples' log-probs and ratio sums
+    must match independent recomputation (PRNG is zero in interpret mode —
+    the deterministic chain still exercises the full fused path)."""
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (
+        tfim_flip_ratio_sum, tfim_sample_and_flip_sum,
+    )
+
+    ansatz, params, _ = setup
+    with pltpu.force_tpu_interpret_mode():
+        samples, lp, ratio = tfim_sample_and_flip_sum(
+            params, jnp.int32(7), 24, ansatz.num_sites
+        )
+        ratio2, lp2 = tfim_flip_ratio_sum(params, samples)
+    want_lp = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ratio), np.asarray(ratio2),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
