@@ -75,12 +75,15 @@ def _logp_rows(l0, l1, s):
     return jnp.where(s > 0.5, l1, l0) - lse
 
 
-def _make_flip_kernel(sample_mode: bool):
+def _make_flip_kernel(sample_mode: bool, per_flip: bool = False):
     """Kernel factory: teacher-forced (``sample_mode=False``, reads a given
     sample batch) or fully fused sample-and-estimate (``sample_mode=True``,
     draws the batch in-kernel — the base pass doubles as the autoregressive
     sampler, so one kernel launch produces samples, their log-probs, AND the
-    flip-ratio sums with no re-rollout)."""
+    flip-ratio sums with no re-rollout).  With ``per_flip=True`` the first
+    output is the (N, T) matrix of flipped-configuration log-probs instead of
+    the ratio sum (needed by the parity-symmetrized estimator, which combines
+    forward and reversed chains per flip)."""
 
     def kernel(*refs):
         if sample_mode:
@@ -134,7 +137,7 @@ def _make_flip_kernel(sample_mode: bool):
         lp_ref[:] = lp_base
         _flip_wavefront(
             samples_ref, weights, eoff_ref, lp_base, h_hist, pfx, fl,
-            wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row,
+            wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip,
         )
 
     return kernel
@@ -142,7 +145,7 @@ def _make_flip_kernel(sample_mode: bool):
 
 def _flip_wavefront(
     samples_ref, weights, eoff_ref, lp_base, h_hist, pfx, fl,
-    wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row,
+    wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip=False,
 ):
 
     # ---- grouped wavefront over flips --------------------------------------
@@ -195,11 +198,15 @@ def _flip_wavefront(
                     init_col(i)
 
                 acc = wf_acc[:, pl.ds(k * t, t)]
-                eoff_ref[:] = eoff_ref[:] + jnp.exp(0.5 * (acc - lp_base))
+                if per_flip:
+                    eoff_ref[pl.ds(i, 1), :] = acc
+                else:
+                    eoff_ref[:] = eoff_ref[:] + jnp.exp(0.5 * (acc - lp_base))
 
         return 0
 
-    eoff_ref[:] = zero_row
+    if not per_flip:
+        eoff_ref[:] = zero_row
     jax.lax.fori_loop(0, num_groups, group_body, 0)
 
 
@@ -235,6 +242,39 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
         scratch_shapes=_flip_scratch(n, u, tile),
     )(seq, *_flip_weightsT(params))
     return eoff[0, :b], lp[0, :b]
+
+
+def tfim_flip_log_probs(params, samples: jax.Array):
+    """(B, N) int samples -> (lp_flips (B, N), base_log_prob (B,)).
+
+    ``lp_flips[b, i] = log p(sigma_b with site i flipped)`` — the per-flip
+    variant used by the parity-symmetrized estimator (the symmetrized
+    density sums forward and reversed chains *before* the ratio, so ratio
+    sums don't decompose per direction)."""
+    (cell,) = params["rnn"]
+    b, n = samples.shape
+    u = cell["wh"].shape[0]
+    tile = _pick_tile(n, u)
+    b_pad = _round_up(max(b, 8), tile)
+    seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+
+    lpf, lp = pl.pallas_call(
+        _make_flip_kernel(sample_mode=False, per_flip=True),
+        grid=(b_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ] + _flip_weight_specs(u),
+        out_specs=(
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+        ),
+        scratch_shapes=_flip_scratch(n, u, tile),
+    )(seq, *_flip_weightsT(params))
+    return lpf[:, :b].T, lp[0, :b]
 
 
 def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,

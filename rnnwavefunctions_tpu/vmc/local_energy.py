@@ -93,6 +93,43 @@ def make_local_energy_fn(
     else:
         fused_fn = None
 
+    # Fused parity-symmetrized single-flip path: the symmetrized density
+    # needs per-flip log-probs of the forward AND reversed chains (the sum
+    # happens before the ratio, RNNwavefunction_paritysym.py:145), combined
+    # with logaddexp on the XLA side.
+    parity_ok = (
+        flip_element is not None
+        and flip_element != 0.0
+        and getattr(hamiltonian, "encoding", "flat") == "flat"
+        and getattr(ansatz, "parity", False)
+        and hasattr(ansatz, "_use_pallas")
+        and ansatz._kernelizable()
+        and len(getattr(ansatz, "units", (0,))) == 1
+    )
+    if fused_fn is None and parity_ok:
+
+        def local_energy_parity(params, samples, log_amp_samples):
+            from ..ops import tfim_flip_kernel
+            from ..ops.tfim_flip_kernel import tfim_flip_log_probs
+
+            if not ansatz._use_pallas() or not tfim_flip_kernel.supports(
+                samples.shape[-1], ansatz.units[0]
+            ):
+                return local_energy(params, samples, log_amp_samples)
+
+            lpf1, lp1 = tfim_flip_log_probs(params, samples)
+            lpf2_rev, lp2 = tfim_flip_log_probs(params, samples[:, ::-1])
+            # flip of site i in the original chain is the flip of site
+            # N-1-i in the reversed chain
+            lpf2 = lpf2_rev[:, ::-1]
+            num = jnp.logaddexp(lpf1, lpf2)            # (B, N), + const
+            den = jnp.logaddexp(lp1, lp2)[:, None]     # same const cancels
+            ratio_sum = jnp.sum(jnp.exp(0.5 * (num - den)), axis=1)
+            diag = jax.vmap(hamiltonian.diagonal)(samples)
+            return diag + flip_element * ratio_sum, None
+
+        fused_fn = local_energy_parity
+
     # Fused triangular spin-exchange path (J1-J2 OBC + single-layer cRNN).
     exch = getattr(hamiltonian, "exchange_kernel_info", None)
     if (

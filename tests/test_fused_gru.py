@@ -141,3 +141,30 @@ def test_sample_and_flip_kernel_consistent(setup):
     np.testing.assert_allclose(np.asarray(ratio), np.asarray(ratio2),
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
+
+
+def test_parity_fused_local_energy_matches_generic():
+    """Per-flip kernel + logaddexp combination == generic parity estimator."""
+    from rnnwavefunctions_tpu.hamiltonians.tfim1d import TFIM1D
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import tfim_flip_log_probs
+    from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+    n, bx = 9, 1.1
+    ansatz = PRNN1D(num_sites=n, units=(12,), parity=True, impl="jnp")
+    ham = TFIM1D(num_sites=n, bx=bx)
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 21)
+
+    le = make_local_energy_fn(ansatz, ham)
+    want, _ = le(params, samples, ansatz.log_amp(params, samples))
+
+    with pltpu.force_tpu_interpret_mode():
+        lpf1, lp1 = tfim_flip_log_probs(params, samples)
+        lpf2_rev, lp2 = tfim_flip_log_probs(params, samples[:, ::-1])
+    lpf2 = np.asarray(lpf2_rev)[:, ::-1]
+    num = np.logaddexp(np.asarray(lpf1), lpf2)
+    den = np.logaddexp(np.asarray(lp1), np.asarray(lp2))[:, None]
+    ratio_sum = np.sum(np.exp(0.5 * (num - den)), axis=1)
+    diag = np.asarray(jax.vmap(ham.diagonal)(samples))
+    got = diag - bx * ratio_sum
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
