@@ -130,6 +130,33 @@ def make_local_energy_fn(
 
         fused_fn = local_energy_parity
 
+    # Fused wavefront flip path for the 2D MDRNN (grid-encoded TFIM).
+    mdrnn_ok = (
+        flip_element is not None
+        and flip_element != 0.0
+        and getattr(hamiltonian, "encoding", None) == "grid"
+        and type(ansatz).__name__ == "MDRNN2D"
+        and hasattr(ansatz, "_use_pallas")
+        and ansatz._kernelizable()
+    )
+    if fused_fn is None and mdrnn_ok:
+
+        def local_energy_mdrnn(params, samples, log_amp_samples):
+            from ..ops import mdrnn_flip_kernel
+
+            if not ansatz._use_pallas() or not mdrnn_flip_kernel.supports(
+                ansatz.nx, ansatz.ny, ansatz.units
+            ):
+                return local_energy(params, samples, log_amp_samples)
+
+            diag = jax.vmap(hamiltonian.diagonal)(samples)
+            ratio_sum, _ = mdrnn_flip_kernel.mdrnn_flip_ratio_sum(
+                params, samples, ansatz.nx, ansatz.ny
+            )
+            return diag + flip_element * ratio_sum, None
+
+        fused_fn = local_energy_mdrnn
+
     # Fused triangular spin-exchange path (J1-J2 OBC + single-layer cRNN).
     exch = getattr(hamiltonian, "exchange_kernel_info", None)
     if (

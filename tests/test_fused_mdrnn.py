@@ -58,3 +58,29 @@ def test_mdrnn_sampler_shape_and_consistency(setup):
     assert samples.shape == (16, ansatz.nx, ansatz.ny)
     want = np.asarray(ansatz._log_prob_jnp(params, samples))
     np.testing.assert_allclose(np.asarray(lp), want, atol=1e-4)
+
+
+def test_mdrnn_flip_kernel_matches_explicit_flips(setup):
+    """Wavefront 2D flip estimator vs explicit single-site flips."""
+    from rnnwavefunctions_tpu.ops.mdrnn_flip_kernel import mdrnn_flip_ratio_sum
+
+    ansatz, params, samples = setup
+    with pltpu.force_tpu_interpret_mode():
+        ratio_sum, lp = mdrnn_flip_ratio_sum(
+            params, samples, ansatz.nx, ansatz.ny
+        )
+    want_lp = np.asarray(ansatz._log_prob_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+
+    la = 0.5 * want_lp
+    total = np.zeros(samples.shape[0])
+    s_np = np.asarray(samples)
+    for x in range(ansatz.nx):
+        for y in range(ansatz.ny):
+            flipped = s_np.copy()
+            flipped[:, x, y] = 1 - flipped[:, x, y]
+            laf = 0.5 * np.asarray(
+                ansatz._log_prob_jnp(params, jnp.asarray(flipped))
+            )
+            total += np.exp(laf - la)
+    np.testing.assert_allclose(np.asarray(ratio_sum), total, rtol=2e-4)
