@@ -44,7 +44,7 @@ def test_fused_paths_fall_back_cleanly():
     cases = [
         # multi-layer stack: flip kernel is single-layer only
         (PRNN1D(num_sites=6, units=(8, 8)), TFIM1D(num_sites=6, bx=1.0)),
-        # parity density is not autoregressive-decomposable
+        # parity has its own fused path on TPU; on CPU it must fall back
         (PRNN1D(num_sites=6, units=(8,), parity=True), TFIM1D(num_sites=6)),
         # periodic J1J2 wraps the prefix order
         (CRNNU1(num_sites=6, units=(8,)),
