@@ -103,10 +103,16 @@ int lanczos_min_eig(size_t dim, MatVec matvec, int max_iter, double* out) {
       bnew += w[i] * w[i];
     }
     bnew = std::sqrt(bnew);
-    if (k >= 9 && (k % 5 == 4 || bnew < 1e-12)) {
+    // Krylov exhaustion (invariant subspace found): must bail BEFORE the
+    // v[i] /= bnew below regardless of k, or tiny dimensions (dim <= 10)
+    // divide by ~0 and poison the recurrence with inf/NaN.
+    if (bnew < 1e-12) {
+      *out = tridiag_min_eig(alpha, beta);
+      return 0;
+    }
+    if (k >= 9 && k % 5 == 4) {
       const double cur = tridiag_min_eig(alpha, beta);
-      if (std::fabs(cur - prev_min) < 1e-11 * (1.0 + std::fabs(cur)) ||
-          bnew < 1e-12) {
+      if (std::fabs(cur - prev_min) < 1e-11 * (1.0 + std::fabs(cur))) {
         *out = cur;
         return 0;
       }

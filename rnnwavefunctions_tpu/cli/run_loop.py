@@ -1,11 +1,21 @@
 """Shared training-loop driver for the CLI entry points.
 
 Replicates the reference's L3 run_X loop behavior (SURVEY.md §2.3/§3.1):
-per step sample + local energies + update (all fused in ``trainer.step``),
+sample + local energies + update per step (all fused in the trainer),
 record mean/var energy, print every ``log_every`` steps, persist the .npy
 series every ``save_every`` steps and a checkpoint every ``ckpt_every``
 steps, with cold-restart resume (``TrainingRNN_1DTFIM.py:199-227``; the loop
 range is ``range(start, numsteps + 1)`` inclusive, as in the reference).
+
+Dispatch granularity: metrics are only *consumed* on the ``log_every``
+cadence — the reference itself prints/saves on a 10-step cadence
+(``TrainingRNN_1DTFIM.py:213-227``) — so the loop runs ``log_every`` steps
+per device dispatch through ``VMCTrainer.run_steps`` (one jitted
+``lax.scan``), not one dispatch per step.  The per-step metrics series is
+preserved exactly (``run_steps`` returns full per-step arrays); what is
+elided is the host<->device round-trip per step, which in this environment
+costs ~5x variable link latency (CLAUDE.md) and would forfeit the benchmarked
+throughput.
 """
 
 from __future__ import annotations
@@ -18,6 +28,18 @@ import jax
 from ..utils.checkpoints import Checkpointer
 from ..utils.metrics import MetricsSeries
 from ..vmc.trainer import VMCTrainer
+
+
+def _append_block(metrics: MetricsSeries, ms) -> None:
+    """Append one ``run_steps`` metrics block (leading axis = steps)."""
+    me = jax.device_get(ms["mean_energy"])
+    ve = jax.device_get(ms["var_energy"])
+    im = jax.device_get(ms["mean_energy_im"]) if "mean_energy_im" in ms else None
+    for j in range(len(me)):
+        m = float(me[j])
+        if im is not None:
+            m = complex(m, float(im[j]))
+        metrics.append(m, float(ve[j]))
 
 
 def run_training(
@@ -40,32 +62,56 @@ def run_training(
         state = ckpt.restore(state)
     key = jax.random.PRNGKey(trainer.config.seed)
 
+    start = int(state.step)
+    if resume:
+        # The checkpoint step counter is the source of truth; the .npy series
+        # flushes more often than checkpoints save, so on an interrupted run
+        # it can be ahead — drop the already-recorded steps we will re-train.
+        metrics.truncate(start)
+
     # parameter printout, as the reference does at startup
     # (TrainingRNN_1DTFIM.py:127-136)
     from ..utils.summary import summarize_params
 
     print(summarize_params(state.params))
 
-    start = int(state.step)
-    for it in range(start, num_steps + 1):
-        if profile_dir is not None and it == start + 10:
-            jax.profiler.start_trace(profile_dir)
-        state, m = trainer.step(state, key)
-        me = float(jax.device_get(m["mean_energy"]))
-        if "mean_energy_im" in m:
-            me = complex(me, float(jax.device_get(m["mean_energy_im"])))
-        ve = float(jax.device_get(m["var_energy"]))
-        metrics.append(me, ve)
-        if profile_dir is not None and it == start + 15:
-            jax.profiler.stop_trace()
+    trace_started = False
+    try:
+        it = start
+        while it <= num_steps:
+            # block ends at the next log_every multiple (so the freshest
+            # metrics entry at block end is exactly the logging step)
+            log_point = ((it + log_every - 1) // log_every) * log_every
+            block = min(log_point, num_steps) - it + 1
 
-        if it % log_every == 0:
-            metrics.print_line(it, trainer.config.num_samples)
-            metrics.log_jsonl(it)
-        if it % save_every == 0:
-            metrics.flush_npy()
-        if ckpt_every and it % ckpt_every == 0 and it > start:
-            ckpt.save(state)
+            if profile_dir is not None and not trace_started and it > start:
+                jax.profiler.start_trace(profile_dir)
+                trace_started = True
+            state, ms = trainer.run_steps(state, key, block)
+            _append_block(metrics, ms)
+            if trace_started:
+                jax.profiler.stop_trace()
+                trace_started = False
+                profile_dir = None  # one traced block is enough
+
+            last = it + block - 1
+            if last % log_every == 0:
+                metrics.print_line(last, trainer.config.num_samples)
+                metrics.log_jsonl(last)
+            if any((it + j) % save_every == 0 for j in range(block)):
+                metrics.flush_npy()
+            if (
+                ckpt_every
+                and any(
+                    (it + j) % ckpt_every == 0 and it + j > start
+                    for j in range(block)
+                )
+            ):
+                ckpt.save(state)
+            it += block
+    finally:
+        if trace_started:
+            jax.profiler.stop_trace()
 
     ckpt.save(state)
     ckpt.wait()

@@ -131,11 +131,11 @@ class CRNNU1:
     ) -> Tuple[jax.Array, jax.Array]:
         if self._use_pallas():
             from ..ops import fused_crnn
+            from ..ops.seeding import seed_from_key
 
-            bits = jax.random.key_data(key).reshape(-1)
-            seed = (bits[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
             return fused_crnn.crnn_sample(
-                params, seed, num_samples, self.num_sites, self.u1
+                params, seed_from_key(key), num_samples, self.num_sites,
+                self.u1,
             )
         d = self.local_dim
 

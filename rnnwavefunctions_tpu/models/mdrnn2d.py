@@ -178,11 +178,10 @@ class MDRNN2D:
     ) -> Tuple[jax.Array, jax.Array]:
         if self._use_pallas():
             from ..ops import fused_mdrnn
+            from ..ops.seeding import seed_from_key
 
-            bits = jax.random.key_data(key).reshape(-1)
-            seed = (bits[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
             return fused_mdrnn.mdrnn_sample(
-                params, seed, num_samples, self.nx, self.ny
+                params, seed_from_key(key), num_samples, self.nx, self.ny
             )
         # integer site ids (not key arrays) thread through the flip logic;
         # each site derives its key by folding its id into the base key.

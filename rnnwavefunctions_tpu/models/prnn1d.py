@@ -137,11 +137,10 @@ class PRNN1D:
         symmetrized) autoregressive log-density."""
         if self._use_pallas():
             from ..ops import fused_gru
+            from ..ops.seeding import seed_from_key
 
-            bits = jax.random.key_data(key).reshape(-1)
-            seed = (bits[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
             return fused_gru._sample_pallas(
-                params, seed, num_samples, self.num_sites
+                params, seed_from_key(key), num_samples, self.num_sites
             )
         d = self.local_dim
 

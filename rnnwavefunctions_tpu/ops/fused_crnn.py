@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
+from .seeding import TILE_SEED_STRIDE
 
 TILE = 512
 LOG_ZERO = -1e9
@@ -171,7 +172,7 @@ def _make_sample_kernel(n_sites: int, u1: bool):
                samples_ref, lp_ref):
         t = lp_ref.shape[1]
         u = whT.shape[1]
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE)
         w = (wxT[:], whT[:], bxT[:], bhT[:], awT[:], abT[:], pwT[:], pbT[:])
 
         def body(n, carry):

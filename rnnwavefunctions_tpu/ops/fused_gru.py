@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .seeding import TILE_SEED_STRIDE
+
 TILE = 512  # batch rows per grid program
 
 
@@ -192,7 +194,7 @@ def _make_sample_kernel(num_layers: int):
         wrefs, samples_ref, logp_ref = rest[:-2], rest[-2], rest[-1]
         n_sites = samples_ref.shape[0]
         t = samples_ref.shape[1]
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE)
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
         u = hwT.shape[1]
 

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _logp_rows, _round_up
+from .seeding import TILE_SEED_STRIDE
 
 TILE = 256
 
@@ -57,7 +58,9 @@ def _make_sweep_kernel(nx: int, ny: int, sample_mode: bool):
         if sample_mode:
             (seed_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
              samples_ref, lp_ref, vh, vx) = refs
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            pltpu.prng_seed(
+                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
+            )
         else:
             (samples_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
              lp_ref, vh, vx) = refs

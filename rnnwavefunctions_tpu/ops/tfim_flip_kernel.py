@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _gru_site_step_rows, _round_up
+from .seeding import TILE_SEED_STRIDE
 
 FLIP_TILE = 256  # sample rows per grid program
 GROUP = 8        # flips advanced together per wavefront iteration
@@ -90,7 +91,9 @@ def _make_flip_kernel(sample_mode: bool, per_flip: bool = False):
             (seed_ref, wxT_ref, whT_ref, bxT_ref, bhT_ref, hwT_ref, hbT_ref,
              samples_ref, eoff_ref, lp_ref, h_hist, pfx, fl,
              wf_h, wf_x, wf_acc) = refs
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            pltpu.prng_seed(
+                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
+            )
         else:
             (samples_ref, wxT_ref, whT_ref, bxT_ref, bhT_ref, hwT_ref,
              hbT_ref, eoff_ref, lp_ref, h_hist, pfx, fl,

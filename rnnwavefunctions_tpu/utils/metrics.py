@@ -57,6 +57,12 @@ class MetricsSeries:
         self.mean_energy.append(mean_e)
         self.var_energy.append(var_e)
 
+    def truncate(self, num_steps: int) -> None:
+        """Drop entries beyond ``num_steps`` (resume alignment: the restored
+        checkpoint's step counter wins over a series that flushed ahead)."""
+        del self.mean_energy[num_steps:]
+        del self.var_energy[num_steps:]
+
     def flush_npy(self) -> None:
         np.save(self.mean_path, np.asarray(self.mean_energy))
         np.save(self.var_path, np.asarray(self.var_energy))

@@ -140,10 +140,10 @@ class VMCTrainer:
             return None
 
         def fused(params, key, num_samples):
-            bits = jax.random.key_data(key).reshape(-1)
-            seed = (bits[-1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            from ..ops.seeding import seed_from_key
+
             samples, lp, ratio = tk.tfim_sample_and_flip_sum(
-                params, seed, num_samples, n
+                params, seed_from_key(key), num_samples, n
             )
             diag = jax.vmap(ham.diagonal)(samples)
             return samples, lp, diag + flip_element * ratio
@@ -345,20 +345,35 @@ class VMCTrainer:
         callback: Optional[Callable[[int, Dict[str, Any]], None]] = None,
     ):
         """Train for ``num_steps``; returns (state, meanE list, varE list) —
-        the reference ``run_X`` contract (``TrainingRNN_1DTFIM.py:229``)."""
+        the reference ``run_X`` contract (``TrainingRNN_1DTFIM.py:229``).
+
+        Runs ``log_every`` steps per device dispatch (``run_steps``' device-
+        side ``lax.scan``) — metrics are only consumed on the log cadence, so
+        per-step host round-trips would buy nothing but link latency."""
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
         if state is None:
             state = self.init(jax.random.fold_in(key, 0))
         mean_energy, var_energy = [], []
-        for it in range(num_steps):
-            state, metrics = self.step(state, key)
-            me = float(jax.device_get(metrics["mean_energy"]))
-            if "mean_energy_im" in metrics:
-                me = complex(me, float(jax.device_get(metrics["mean_energy_im"])))
-            ve = float(jax.device_get(metrics["var_energy"]))
-            mean_energy.append(me)
-            var_energy.append(ve)
-            if callback is not None and it % log_every == 0:
-                callback(it, {"mean_energy": me, "var_energy": ve})
+        it = 0
+        while it < num_steps:
+            block = min(log_every, num_steps - it)
+            state, ms = self.run_steps(state, key, block)
+            me_arr = jax.device_get(ms["mean_energy"])
+            ve_arr = jax.device_get(ms["var_energy"])
+            im_arr = (
+                jax.device_get(ms["mean_energy_im"])
+                if "mean_energy_im" in ms
+                else None
+            )
+            for j in range(block):
+                me = float(me_arr[j])
+                if im_arr is not None:
+                    me = complex(me, float(im_arr[j]))
+                ve = float(ve_arr[j])
+                mean_energy.append(me)
+                var_energy.append(ve)
+                if callback is not None and (it + j) % log_every == 0:
+                    callback(it + j, {"mean_energy": me, "var_energy": ve})
+            it += block
         return state, mean_energy, var_energy
