@@ -15,15 +15,21 @@ Three structural ideas cut this down:
    matrix in HBM at all.
 2. **Grouped wavefront**: suffixes are batched G flips at a time.  One
    iteration per lattice site advances all G diverged trajectories with a
-   single (3U, U) x (U, G*T) matmul; each flip's column block is
+   single (3U, U) x (U, G*T) matmul per layer; each flip's column block is
    (re)initialized from the VMEM hidden-state history the moment its
    divergence site comes up — ~N^2/(2G) fat MXU iterations instead of
    ~N^2/2 tiny latency-bound ones (uninitialized columns compute ignored
    garbage for at most G-1 iterations, a G/N overhead fraction).
 3. **Feature-major layout**: every activation keeps the batch on the lane
-   dimension ((U, T) hidden, (1, T) spins/accumulators), so per-site reads
-   are natural row slices, there are no relayouts in the loop, and no
-   (x, 1) lane-padding waste.
+   dimension ((L*U, T) stacked hidden, (1, T) spins/accumulators), so
+   per-site reads are natural row slices, there are no relayouts in the
+   loop, and no (x, 1) lane-padding waste.
+
+Multi-layer stacks (the ``tf.nn.rnn_cell.MultiRNNCell`` capability,
+``1DTFIM/RNNwavefunction.py:32``) are handled by concatenating the L
+per-layer hidden states along the sublane (feature) dimension — the history
+and wavefront scratch carry (L*U, T) blocks and the site step peels static
+(U, T) slices per layer.
 
 Returns  sum_i exp(0.5 * (log p(sigma^(i)) - log p(sigma)))  per sample
 (the pRNN amplitude-ratio sum of ``TrainingRNN_1DTFIM.py:74``) plus the base
@@ -37,36 +43,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_gru import _gru_site_step_rows, _round_up
+from .fused_gru import (
+    _round_up,
+    _split_cells,
+    _stacked_site_step_rows,
+    _weightsT,
+    _weightT_specs,
+)
 from .seeding import TILE_SEED_STRIDE
 
 FLIP_TILE = 256  # sample rows per grid program
 GROUP = 8        # flips advanced together per wavefront iteration
 _MIN_TILE = 128  # Pallas TPU lane-dim block minimum
-_VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the (N, U, T) hidden history
+_VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the (N, L*U, T) hidden history
 
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _hist_bytes(n: int, u: int, tile: int) -> int:
-    return n * _round8(u) * tile * 4
+def _norm_units(units) -> tuple:
+    return (units,) if isinstance(units, int) else tuple(units)
 
 
-def _pick_tile(n: int, u: int) -> int:
+def _hist_bytes(n: int, units, tile: int) -> int:
+    units = _norm_units(units)
+    return n * _round8(sum(units)) * tile * 4
+
+
+def _pick_tile(n: int, units) -> int:
     """Largest power-of-two tile (<= FLIP_TILE, >= 128) whose hidden-state
     history fits the VMEM budget."""
     tile = FLIP_TILE
-    while tile > _MIN_TILE and _hist_bytes(n, u, tile) > _VMEM_BUDGET:
+    while tile > _MIN_TILE and _hist_bytes(n, units, tile) > _VMEM_BUDGET:
         tile //= 2
     return tile
 
 
-def supports(n: int, u: int) -> bool:
-    """True when the (N, U, MIN_TILE) hidden history fits VMEM — beyond that
-    (N ~ 360 at 50 units) the generic batched estimator takes over."""
-    return _hist_bytes(n, u, _MIN_TILE) <= _VMEM_BUDGET
+def supports(n: int, units) -> bool:
+    """True when the (N, L*U, MIN_TILE) hidden history fits VMEM — beyond
+    that (N ~ 360 at 1x50 units) the generic batched estimator takes over.
+    ``units`` is the ansatz layer-width tuple (uniform widths)."""
+    return _hist_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
 
 
 def _logp_rows(l0, l1, s):
@@ -76,7 +94,16 @@ def _logp_rows(l0, l1, s):
     return jnp.where(s > 0.5, l1, l0) - lse
 
 
-def _make_flip_kernel(sample_mode: bool, per_flip: bool = False):
+def _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u):
+    """Stacked GRU + head step over a concatenated (L*U, T) hidden block."""
+    hs = tuple(h_cat[l * u : (l + 1) * u] for l in range(len(cells)))
+    hs, l0, l1 = _stacked_site_step_rows(x, x_scale, hs, cells, hwT, hbT)
+    h_new = hs[0] if len(cells) == 1 else jnp.concatenate(hs, axis=0)
+    return h_new, l0, l1
+
+
+def _make_flip_kernel(num_layers: int, sample_mode: bool,
+                      per_flip: bool = False):
     """Kernel factory: teacher-forced (``sample_mode=False``, reads a given
     sample batch) or fully fused sample-and-estimate (``sample_mode=True``,
     draws the batch in-kernel — the base pass doubles as the autoregressive
@@ -85,37 +112,41 @@ def _make_flip_kernel(sample_mode: bool, per_flip: bool = False):
     output is the (N, T) matrix of flipped-configuration log-probs instead of
     the ratio sum (needed by the parity-symmetrized estimator, which combines
     forward and reversed chains per flip)."""
+    nw = 4 * num_layers + 2
 
     def kernel(*refs):
         if sample_mode:
-            (seed_ref, wxT_ref, whT_ref, bxT_ref, bhT_ref, hwT_ref, hbT_ref,
-             samples_ref, eoff_ref, lp_ref, h_hist, pfx, fl,
-             wf_h, wf_x, wf_acc) = refs
+            seed_ref = refs[0]
+            wrefs = refs[1 : 1 + nw]
+            (samples_ref, eoff_ref, lp_ref, h_hist, pfx, fl,
+             wf_h, wf_x, wf_acc) = refs[1 + nw :]
             pltpu.prng_seed(
                 seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
             )
         else:
-            (samples_ref, wxT_ref, whT_ref, bxT_ref, bhT_ref, hwT_ref,
-             hbT_ref, eoff_ref, lp_ref, h_hist, pfx, fl,
-             wf_h, wf_x, wf_acc) = refs
+            samples_ref = refs[0]
+            wrefs = refs[1 : 1 + nw]
+            (eoff_ref, lp_ref, h_hist, pfx, fl,
+             wf_h, wf_x, wf_acc) = refs[1 + nw :]
         n_sites = samples_ref.shape[0]
         t = eoff_ref.shape[1]
-        u = whT_ref.shape[1]
-        wxT, whT = wxT_ref[:], whT_ref[:]
-        bxT, bhT = bxT_ref[:], bhT_ref[:]
-        hwT, hbT = hwT_ref[:], hbT_ref[:]
-        weights = (wxT, whT, bxT, bhT, hwT, hbT)
+        cells, hwT, hbT = _split_cells(wrefs, num_layers)
+        u = hwT.shape[1]
+        lu = num_layers * u
         zero_row = jnp.zeros((1, t), jnp.float32)
 
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
+
+        def step(x, x_scale, h_cat):
+            return _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u)
 
         # ---- base pass: (draw and) store hidden history, prefix sums,
         # flipped-site logps
         def base_body(n, carry):
             h, x, acc = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
-            h_new, l0, l1 = _gru_site_step_rows(x, x_scale, h, *weights)
+            h_new, l0, l1 = step(x, x_scale, h)
             if sample_mode:
                 p0 = jax.nn.sigmoid(l0 - l1)
                 bits = pltpu.prng_random_bits((1, t))
@@ -133,13 +164,13 @@ def _make_flip_kernel(sample_mode: bool, per_flip: bool = False):
             fl[pl.ds(n, 1), :] = _logp_rows(l0, l1, 1.0 - s)
             return h_new, s, acc
 
-        h0 = jnp.zeros((u, t), jnp.float32)
+        h0 = jnp.zeros((lu, t), jnp.float32)
         _, _, lp_base = jax.lax.fori_loop(
             0, n_sites, base_body, (h0, zero_row, zero_row)
         )
         lp_ref[:] = lp_base
         _flip_wavefront(
-            samples_ref, weights, eoff_ref, lp_base, h_hist, pfx, fl,
+            step, eoff_ref, lp_base, h_hist, pfx, fl,
             wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip,
         )
 
@@ -147,7 +178,7 @@ def _make_flip_kernel(sample_mode: bool, per_flip: bool = False):
 
 
 def _flip_wavefront(
-    samples_ref, weights, eoff_ref, lp_base, h_hist, pfx, fl,
+    step, eoff_ref, lp_base, h_hist, pfx, fl,
     wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip=False,
 ):
 
@@ -165,10 +196,10 @@ def _flip_wavefront(
         wf_acc[:, pl.ds(k * t, t)] = p_before + fl[pl.ds(i, 1), :]
 
     def wavefront_step(n):
-        """Advance all GROUP trajectories one site with one fat matmul."""
+        """Advance all GROUP trajectories one site with fat matmuls."""
         s_n = read_s(n)                                   # (1, T)
         tgt = jnp.concatenate([s_n] * GROUP, axis=1)      # (1, GROUP*T)
-        h_new, l0, l1 = _gru_site_step_rows(wf_x[:], 1.0, wf_h[:], *weights)
+        h_new, l0, l1 = step(wf_x[:], 1.0, wf_h[:])
         wf_h[:] = h_new
         wf_x[:] = tgt
         wf_acc[:] = wf_acc[:] + _logp_rows(l0, l1, tgt)
@@ -217,23 +248,22 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
     """(B, N) int samples -> (ratio_sum (B,), base_log_prob (B,)).
 
     ``ratio_sum[b] = sum_i psi(sigma_b with site i flipped) / psi(sigma_b)``
-    for the single-layer pRNN (psi = sqrt p).
+    for the (stacked) pRNN (psi = sqrt p).
     """
-    (cell,) = params["rnn"]
-    head = params["head"]
+    num_layers = len(params["rnn"])
     b, n = samples.shape
-    u = cell["wh"].shape[0]
-    tile = _pick_tile(n, u)
+    units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+    tile = _pick_tile(n, units)
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     grid = (b_pad // tile,)
     eoff, lp = pl.pallas_call(
-        _make_flip_kernel(sample_mode=False),
+        _make_flip_kernel(num_layers, sample_mode=False),
         grid=grid,
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _flip_weight_specs(u),
+        ] + _weightT_specs(units[0], num_layers),
         out_specs=(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -242,8 +272,8 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-        scratch_shapes=_flip_scratch(n, u, tile),
-    )(seq, *_flip_weightsT(params))
+        scratch_shapes=_flip_scratch(n, units, tile),
+    )(seq, *_weightsT(params))
     return eoff[0, :b], lp[0, :b]
 
 
@@ -254,19 +284,19 @@ def tfim_flip_log_probs(params, samples: jax.Array):
     variant used by the parity-symmetrized estimator (the symmetrized
     density sums forward and reversed chains *before* the ratio, so ratio
     sums don't decompose per direction)."""
-    (cell,) = params["rnn"]
+    num_layers = len(params["rnn"])
     b, n = samples.shape
-    u = cell["wh"].shape[0]
-    tile = _pick_tile(n, u)
+    units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+    tile = _pick_tile(n, units)
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     lpf, lp = pl.pallas_call(
-        _make_flip_kernel(sample_mode=False, per_flip=True),
+        _make_flip_kernel(num_layers, sample_mode=False, per_flip=True),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _flip_weight_specs(u),
+        ] + _weightT_specs(units[0], num_layers),
         out_specs=(
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -275,73 +305,57 @@ def tfim_flip_log_probs(params, samples: jax.Array):
             jax.ShapeDtypeStruct((n, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-        scratch_shapes=_flip_scratch(n, u, tile),
-    )(seq, *_flip_weightsT(params))
+        scratch_shapes=_flip_scratch(n, units, tile),
+    )(seq, *_weightsT(params))
     return lpf[:, :b].T, lp[0, :b]
 
 
 def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
-                             n_sites: int):
-    """Fully fused: draw the Monte-Carlo batch AND estimate the flip-ratio
-    sums in one kernel launch (the sampling rollout doubles as the base pass
-    of the wavefront estimator — no separate sample + re-rollout).
+                             n_sites: int, per_flip: bool = False):
+    """Fully fused: draw the Monte-Carlo batch AND estimate the flip
+    log-probs in one kernel launch (the sampling rollout doubles as the base
+    pass of the wavefront estimator — no separate sample + re-rollout).
 
-    Returns (samples (B, N) int32, base_log_prob (B,), ratio_sum (B,)).
+    Returns (samples (B, N) int32, base_log_prob (B,), ratio_sum (B,)) —
+    or, with ``per_flip=True`` (the parity-symmetrized combination needs the
+    per-flip log-probs), (samples, base_log_prob, lp_flips (B, N)).
     """
-    (cell,) = params["rnn"]
-    u = cell["wh"].shape[0]
-    tile = _pick_tile(n_sites, u)
+    num_layers = len(params["rnn"])
+    units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+    tile = _pick_tile(n_sites, units)
     b_pad = _round_up(max(num_samples, 8), tile)
+    eoff_rows = n_sites if per_flip else 1
 
     samples, eoff, lp = pl.pallas_call(
-        _make_flip_kernel(sample_mode=True),
+        _make_flip_kernel(num_layers, sample_mode=True, per_flip=per_flip),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + _flip_weight_specs(u),
+        ] + _weightT_specs(units[0], num_layers),
         out_specs=(
             pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((eoff_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((eoff_rows, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-        scratch_shapes=_flip_scratch(n_sites, u, tile),
-    )(seed.reshape(1, 1).astype(jnp.int32), *_flip_weightsT(params))
-    return (
-        samples[:, :num_samples].T,
-        lp[0, :num_samples],
-        eoff[0, :num_samples],
-    )
+        scratch_shapes=_flip_scratch(n_sites, units, tile),
+    )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
+    out = eoff[:, :num_samples].T if per_flip else eoff[0, :num_samples]
+    return samples[:, :num_samples].T, lp[0, :num_samples], out
 
 
-def _flip_weightsT(params):
-    (cell,) = params["rnn"]
-    head = params["head"]
-    return (
-        cell["wx"].T, cell["wh"].T,
-        cell["bx"][:, None], cell["bh"][:, None],
-        head["w"].T, head["b"][:, None],
-    )
-
-
-def _flip_weight_specs(u):
-    full = lambda a, b: pl.BlockSpec(
-        (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
-    return [full(3 * u, 2), full(3 * u, u), full(3 * u, 1), full(3 * u, 1),
-            full(2, u), full(2, 1)]
-
-
-def _flip_scratch(n, u, tile):
+def _flip_scratch(n, units, tile):
+    units = _norm_units(units)
+    lu = sum(units)
     return [
-        pltpu.VMEM((n, u, tile), jnp.float32),
+        pltpu.VMEM((n, lu, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
-        pltpu.VMEM((u, GROUP * tile), jnp.float32),
+        pltpu.VMEM((lu, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
     ]

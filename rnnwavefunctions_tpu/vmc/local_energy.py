@@ -11,11 +11,17 @@ TPU-native analogue of the reference's host-side chunk loop), and a masked
 contraction.  It runs under ``stop_gradient``: local energies are data for the
 surrogate loss, exactly like the reference's ``Eloc`` placeholder.
 
+Dispatch to the fused Pallas wavefront kernels is decided **statically at
+build time** (backend, layer count, VMEM reach are all known then), so fused
+estimators carry no dead fallback branches and the trainer can skip the
+separate base log-amplitude pass entirely: every fused kernel returns the
+base-pass log-amp as a free by-product, surfaced as the third return value.
+
 Complex wavefunctions are handled **without complex dtypes**: log psi is a
 real pair (Re, Im) and the ratio contraction uses
 ``exp(dRe) * (cos(dIm), sin(dIm))`` — some TPU backends do not implement
 complex64, and XLA lowers it to real pairs regardless.  Local energies are
-returned as an ``(e_re, e_im)`` tuple; ``e_im`` is ``None`` for real ansatze.
+returned as ``(e_re, e_im, log_amp)``; ``e_im`` is ``None`` for real ansatze.
 """
 
 from __future__ import annotations
@@ -45,151 +51,143 @@ def _chunked_apply(fn: Callable, flat: jax.Array, chunk_size: Optional[int]):
     )
 
 
+def _flip_kernel_ok(ansatz, hamiltonian, encoding: str) -> bool:
+    """Static gate for the wavefront single-flip kernels (pRNN family)."""
+    flip_element = getattr(hamiltonian, "uniform_flip_element", None)
+    if (
+        flip_element is None
+        or flip_element == 0.0
+        or getattr(hamiltonian, "encoding", "flat") != encoding
+        or not hasattr(ansatz, "_use_pallas")
+        or not ansatz._kernelizable()
+        or not ansatz._use_pallas()
+    ):
+        return False
+    from ..ops import tfim_flip_kernel
+
+    return tfim_flip_kernel.supports(ansatz.num_sites, ansatz.units)
+
+
 def make_local_energy_fn(
     ansatz: Any,
     hamiltonian: Any,
     chunk_size: Optional[int] = None,
 ) -> Callable:
-    """Returns ``local_energy(params, samples, log_amp_samples) ->
-    (e_re, e_im | None)``.
+    """Returns ``local_energy(params, samples, log_amp_samples=None) ->
+    (e_re, e_im | None, log_amp)``.
 
     ``log_amp_samples`` is log psi of the drawn samples (the denominator of
     every amplitude ratio, ``TrainingRNN_1DTFIM.py:74`` /
     ``TrainingRNN_J1J2.py:279``) — a real array for positive ansatze, an
-    ``(Re, Im)`` pair for complex ones; passing it in avoids re-evaluating
-    the diagonal configurations.
+    ``(Re, Im)`` pair for complex ones.  The returned function carries a
+    ``needs_log_amp`` attribute: the generic path requires it; the fused
+    kernel paths compute the base pass in-kernel, ignore the argument, and
+    return the base log-amp by-product as the third output (the generic path
+    passes ``log_amp_samples`` through), so callers never pay a separate
+    rollout for the ratio denominators.
     """
     is_complex = getattr(ansatz, "is_complex", False)
-
-    # Fused triangular single-flip path (TFIM + single-layer pRNN on TPU):
-    # O(N^2/2) site steps, no flip-matrix materialization.  Falls back to the
-    # generic connected-configs path otherwise.
     flip_element = getattr(hamiltonian, "uniform_flip_element", None)
-    fused_ok = (
-        flip_element is not None
-        and getattr(hamiltonian, "encoding", "flat") == "flat"
-        and getattr(ansatz, "plain_positive", False)
-        and hasattr(ansatz, "_use_pallas")
-        and ansatz._kernelizable()
-        and len(getattr(ansatz, "units", (0,))) == 1  # flip kernel: 1 layer
-    )
-    if fused_ok and flip_element != 0.0:
 
-        def local_energy_fused(params, samples, log_amp_samples):
-            from ..ops import tfim_flip_kernel
-            from ..ops.tfim_flip_kernel import tfim_flip_ratio_sum
+    # ---- fused triangular single-flip path (TFIM + pRNN family on TPU):
+    # O(N^2/2) site steps, no flip-matrix materialization.
+    if (
+        getattr(ansatz, "plain_positive", False)
+        and not is_complex
+        and type(ansatz).__name__ != "MDRNN2D"
+        and _flip_kernel_ok(ansatz, hamiltonian, "flat")
+    ):
+        from ..ops.tfim_flip_kernel import tfim_flip_ratio_sum
 
-            if not ansatz._use_pallas() or not tfim_flip_kernel.supports(
-                samples.shape[-1] if samples.ndim == 2 else samples[0].size,
-                ansatz.units[0],
-            ):
-                return local_energy(params, samples, log_amp_samples)
-
+        def local_energy_fused(params, samples, log_amp_samples=None):
             diag = jax.vmap(hamiltonian.diagonal)(samples)
-            ratio_sum, _ = tfim_flip_ratio_sum(params, samples)
-            return diag + flip_element * ratio_sum, None
+            ratio_sum, lp = tfim_flip_ratio_sum(params, samples)
+            return diag + flip_element * ratio_sum, None, 0.5 * lp
 
-        fused_fn = local_energy_fused
-    else:
-        fused_fn = None
+        local_energy_fused.needs_log_amp = False
+        return local_energy_fused
 
-    # Fused parity-symmetrized single-flip path: the symmetrized density
+    # ---- fused parity-symmetrized single-flip path: the symmetrized density
     # needs per-flip log-probs of the forward AND reversed chains (the sum
     # happens before the ratio, RNNwavefunction_paritysym.py:145), combined
     # with logaddexp on the XLA side.
-    parity_ok = (
-        flip_element is not None
-        and flip_element != 0.0
-        and getattr(hamiltonian, "encoding", "flat") == "flat"
-        and getattr(ansatz, "parity", False)
-        and hasattr(ansatz, "_use_pallas")
-        and ansatz._kernelizable()
-        and len(getattr(ansatz, "units", (0,))) == 1
-    )
-    if fused_fn is None and parity_ok:
+    if getattr(ansatz, "parity", False) and _flip_kernel_ok(
+        ansatz, hamiltonian, "flat"
+    ):
+        from ..ops.tfim_flip_kernel import tfim_flip_log_probs
 
-        def local_energy_parity(params, samples, log_amp_samples):
-            from ..ops import tfim_flip_kernel
-            from ..ops.tfim_flip_kernel import tfim_flip_log_probs
-
-            if not ansatz._use_pallas() or not tfim_flip_kernel.supports(
-                samples.shape[-1], ansatz.units[0]
-            ):
-                return local_energy(params, samples, log_amp_samples)
-
+        def local_energy_parity(params, samples, log_amp_samples=None):
             lpf1, lp1 = tfim_flip_log_probs(params, samples)
             lpf2_rev, lp2 = tfim_flip_log_probs(params, samples[:, ::-1])
             # flip of site i in the original chain is the flip of site
             # N-1-i in the reversed chain
             lpf2 = lpf2_rev[:, ::-1]
             num = jnp.logaddexp(lpf1, lpf2)            # (B, N), + const
-            den = jnp.logaddexp(lp1, lp2)[:, None]     # same const cancels
-            ratio_sum = jnp.sum(jnp.exp(0.5 * (num - den)), axis=1)
+            den = jnp.logaddexp(lp1, lp2)              # same const cancels
+            ratio_sum = jnp.sum(jnp.exp(0.5 * (num - den[:, None])), axis=1)
             diag = jax.vmap(hamiltonian.diagonal)(samples)
-            return diag + flip_element * ratio_sum, None
+            # symmetrized base log psi = 0.5 log(0.5 (p1 + p2)) — free here
+            la = 0.5 * (den - jnp.log(2.0))
+            return diag + flip_element * ratio_sum, None, la
 
-        fused_fn = local_energy_parity
+        local_energy_parity.needs_log_amp = False
+        return local_energy_parity
 
-    # Fused wavefront flip path for the 2D MDRNN (grid-encoded TFIM).
-    mdrnn_ok = (
+    # ---- fused wavefront flip path for the 2D MDRNN (grid-encoded TFIM).
+    if (
         flip_element is not None
         and flip_element != 0.0
         and getattr(hamiltonian, "encoding", None) == "grid"
         and type(ansatz).__name__ == "MDRNN2D"
         and hasattr(ansatz, "_use_pallas")
         and ansatz._kernelizable()
-    )
-    if fused_fn is None and mdrnn_ok:
+        and ansatz._use_pallas()
+    ):
+        from ..ops import mdrnn_flip_kernel
 
-        def local_energy_mdrnn(params, samples, log_amp_samples):
-            from ..ops import mdrnn_flip_kernel
+        if mdrnn_flip_kernel.supports(ansatz.nx, ansatz.ny, ansatz.units):
 
-            if not ansatz._use_pallas() or not mdrnn_flip_kernel.supports(
-                ansatz.nx, ansatz.ny, ansatz.units
-            ):
-                return local_energy(params, samples, log_amp_samples)
+            def local_energy_mdrnn(params, samples, log_amp_samples=None):
+                diag = jax.vmap(hamiltonian.diagonal)(samples)
+                ratio_sum, lp = mdrnn_flip_kernel.mdrnn_flip_ratio_sum(
+                    params, samples, ansatz.nx, ansatz.ny
+                )
+                return diag + flip_element * ratio_sum, None, 0.5 * lp
 
-            diag = jax.vmap(hamiltonian.diagonal)(samples)
-            ratio_sum, _ = mdrnn_flip_kernel.mdrnn_flip_ratio_sum(
-                params, samples, ansatz.nx, ansatz.ny
-            )
-            return diag + flip_element * ratio_sum, None
+            local_energy_mdrnn.needs_log_amp = False
+            return local_energy_mdrnn
 
-        fused_fn = local_energy_mdrnn
-
-    # Fused triangular spin-exchange path (J1-J2 OBC + single-layer cRNN).
+    # ---- fused triangular spin-exchange path (J1-J2 OBC + 1-layer cRNN).
     exch = getattr(hamiltonian, "exchange_kernel_info", None)
     if (
-        fused_fn is None
-        and exch is not None
+        exch is not None
         and is_complex
         and hasattr(ansatz, "_use_pallas")
         and ansatz._kernelizable()
-        and len(getattr(ansatz, "units", (0,))) == 1  # exchange kernel: 1 layer
+        and ansatz._use_pallas()
+        and len(getattr(ansatz, "units", (0,))) == 1  # cRNN kernels: 1 layer
     ):
+        from ..ops import tfim_flip_kernel
+        from ..ops.j1j2_exchange_kernel import j1j2_exchange_offdiag
 
-        def local_energy_exchange(params, samples, log_amp_samples):
-            from ..ops import tfim_flip_kernel
-            from ..ops.j1j2_exchange_kernel import j1j2_exchange_offdiag
+        if tfim_flip_kernel.supports(ansatz.num_sites, ansatz.units):
 
-            if not ansatz._use_pallas() or not tfim_flip_kernel.supports(
-                samples.shape[-1], ansatz.units[0]
-            ):
-                return local_energy(params, samples, log_amp_samples)
+            def local_energy_exchange(params, samples, log_amp_samples=None):
+                diag = jax.vmap(hamiltonian.diagonal)(samples)
+                e_re, e_im, lp_re, lp_im = j1j2_exchange_offdiag(
+                    params,
+                    samples,
+                    u1=ansatz.u1,
+                    el_nn=exch["el_nn"],
+                    el_nnn=exch["el_nnn"],
+                    has_nnn=exch["has_nnn"],
+                )
+                return diag + e_re, e_im, (lp_re, lp_im)
 
-            diag = jax.vmap(hamiltonian.diagonal)(samples)
-            e_re, e_im, _, _ = j1j2_exchange_offdiag(
-                params,
-                samples,
-                u1=ansatz.u1,
-                el_nn=exch["el_nn"],
-                el_nnn=exch["el_nnn"],
-                has_nnn=exch["has_nnn"],
-            )
-            return diag + e_re, e_im
+            local_energy_exchange.needs_log_amp = False
+            return local_energy_exchange
 
-        fused_fn = local_energy_exchange
-
+    # ---- generic connected-configs path -----------------------------------
     def local_energy(params, samples, log_amp_samples):
         diag, flips, elements, mask = jax.vmap(hamiltonian.connected)(samples)
         s, k = flips.shape[0], flips.shape[1]
@@ -209,7 +207,11 @@ def make_local_energy_fn(
             w = jnp.where(mask, el * mag, 0.0)
             off_re = jnp.sum(w * jnp.cos(d_im), axis=1)
             off_im = jnp.sum(w * jnp.sin(d_im), axis=1)
-            return diag.astype(off_re.dtype) + off_re, off_im
+            return (
+                diag.astype(off_re.dtype) + off_re,
+                off_im,
+                log_amp_samples,
+            )
 
         la = _chunked_apply(
             lambda c: ansatz.log_amp(params, c), flat, chunk_size
@@ -217,6 +219,7 @@ def make_local_energy_fn(
         ratios = jnp.exp(la - log_amp_samples[:, None])
         contrib = elements.astype(ratios.dtype) * ratios
         offdiag = jnp.sum(jnp.where(mask, contrib, 0.0), axis=1)
-        return diag.astype(offdiag.dtype) + offdiag, None
+        return diag.astype(offdiag.dtype) + offdiag, None, log_amp_samples
 
-    return fused_fn if fused_fn is not None else local_energy
+    local_energy.needs_log_amp = True
+    return local_energy

@@ -120,7 +120,7 @@ class VMCTrainer:
         """Single-kernel sample + local-energy path (TFIM + single-layer
         pRNN on TPU): the sampling rollout doubles as the base pass of the
         wavefront flip estimator, so one launch replaces sample + base +
-        flip evaluations."""
+        flip evaluations.  Returns ``(samples, log_amp, e_re, e_im)``."""
         ansatz, ham = self.ansatz, self.hamiltonian
         flip_element = getattr(ham, "uniform_flip_element", None)
         if (
@@ -130,13 +130,12 @@ class VMCTrainer:
             or not getattr(ansatz, "plain_positive", False)
             or not hasattr(ansatz, "_use_pallas")
             or not ansatz._kernelizable()
-            or len(getattr(ansatz, "units", ())) != 1
         ):
             return None
         from ..ops import tfim_flip_kernel as tk
 
         n = ansatz.num_sites
-        if not tk.supports(n, ansatz.units[0]) or not ansatz._use_pallas():
+        if not tk.supports(n, ansatz.units) or not ansatz._use_pallas():
             return None
 
         def fused(params, key, num_samples):
@@ -146,7 +145,7 @@ class VMCTrainer:
                 params, seed_from_key(key), num_samples, n
             )
             diag = jax.vmap(ham.diagonal)(samples)
-            return samples, lp, diag + flip_element * ratio
+            return samples, 0.5 * lp, diag + flip_element * ratio, None
 
         return fused
 
@@ -172,12 +171,9 @@ class VMCTrainer:
         is_complex = getattr(ansatz, "is_complex", False)
         if self._fused_sample_energy is not None:
             with jax.named_scope("vmc_sample_and_energy"):
-                samples, logp_sampling, e_re = self._fused_sample_energy(
+                samples, _, e_re, e_im = self._fused_sample_energy(
                     params, key, self.local_samples
                 )
-            samples = jax.lax.stop_gradient(samples)
-            e_re = jax.lax.stop_gradient(e_re)
-            e_im = None
         else:
             with jax.named_scope("vmc_sample"):
                 samples, logp_sampling = ansatz.sample_with_log_prob(
@@ -188,19 +184,25 @@ class VMCTrainer:
             # log psi of the drawn samples (ratio denominators).  For a plain
             # positive ansatz the sampling density *is* the wavefunction
             # density, so 0.5*logp is free; parity/complex ansatze need the
-            # full pass.
-            if getattr(ansatz, "plain_positive", False):
+            # full pass — unless a fused estimator computes the base pass
+            # in-kernel anyway (needs_log_amp=False), in which case no
+            # separate rollout is paid at all.
+            if not self.local_energy.needs_log_amp:
+                log_amp_s = None
+            elif getattr(ansatz, "plain_positive", False):
                 log_amp_s = 0.5 * logp_sampling
             elif is_complex:
                 log_amp_s = ansatz.log_amp_parts(params, samples)
             else:
                 log_amp_s = ansatz.log_amp(params, samples)
-            log_amp_s = jax.lax.stop_gradient(log_amp_s)
 
             with jax.named_scope("vmc_local_energy"):
-                e_re, e_im = jax.lax.stop_gradient(
-                    self.local_energy(params, samples, log_amp_s)
+                e_re, e_im, _ = self.local_energy(
+                    params, samples, log_amp_s
                 )
+        samples = jax.lax.stop_gradient(samples)
+        e_re = jax.lax.stop_gradient(e_re)
+        e_im = jax.lax.stop_gradient(e_im) if e_im is not None else None
 
         # Global (mesh-wide) statistics over ICI.
         e_mean_re = mesh_lib.pmean(jnp.mean(e_re))
@@ -209,6 +211,12 @@ class VMCTrainer:
         # (TrainingRNN_1DTFIM.py:207, TrainingRNN_J1J2.py:282).
         var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean_re) ** 2))
 
+        # The differentiable log-amp pass routes through the ansatz's
+        # custom_vjp (Pallas forward, jnp BPTT backward).  Measured on-chip:
+        # this beats both a pure-jnp forward and a known-value forward that
+        # reuses the estimator's by-product (141 vs 167 steps/s on parity
+        # N=100) — the custom_vjp boundary keeps the jnp scan out of the
+        # outer linearization, which XLA compiles better.
         def loss_fn(p):
             if is_complex:
                 la_re, la_im = ansatz.log_amp_parts(p, samples)
@@ -303,13 +311,15 @@ class VMCTrainer:
             samples, logp_sampling = ansatz.sample_with_log_prob(
                 params, key, self.local_samples
             )
-            if getattr(ansatz, "plain_positive", False):
+            if not self.local_energy.needs_log_amp:
+                log_amp_s = None
+            elif getattr(ansatz, "plain_positive", False):
                 log_amp_s = 0.5 * logp_sampling
             elif getattr(ansatz, "is_complex", False):
                 log_amp_s = ansatz.log_amp_parts(params, samples)
             else:
                 log_amp_s = ansatz.log_amp(params, samples)
-            e_re, e_im = self.local_energy(params, samples, log_amp_s)
+            e_re, e_im, _ = self.local_energy(params, samples, log_amp_s)
             e_mean = mesh_lib.pmean(jnp.mean(e_re))
             var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean) ** 2))
             mag = mesh_lib.pmean(

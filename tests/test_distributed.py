@@ -32,7 +32,7 @@ def test_sharded_gradient_matches_single_device():
 
     samples = ansatz.sample(params, jax.random.PRNGKey(1), s)
     la = ansatz.log_amp(params, samples)
-    e_loc, _ = le(params, samples, la)
+    e_loc, _, _ = le(params, samples, la)
     e_mean = jnp.mean(e_loc)
 
     def loss_single(p):
@@ -112,7 +112,7 @@ def test_mesh_energy_statistics_match_single_device_estimator():
     params = ansatz.init(jax.random.PRNGKey(4))
     le = make_local_energy_fn(ansatz, ham)
     samples = ansatz.sample(params, jax.random.PRNGKey(5), s)
-    e, _ = le(params, samples, ansatz.log_amp(params, samples))
+    e, _, _ = le(params, samples, ansatz.log_amp(params, samples))
 
     mesh = make_mesh()
 

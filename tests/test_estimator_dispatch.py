@@ -61,5 +61,5 @@ def test_fused_paths_fall_back_cleanly():
             la = ansatz.log_amp_parts(params, samples)
         else:
             la = ansatz.log_amp(params, samples)
-        e_re, e_im = le(params, samples, la)
+        e_re, e_im, _ = le(params, samples, la)
         assert np.isfinite(np.asarray(e_re)).all()

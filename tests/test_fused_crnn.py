@@ -78,7 +78,7 @@ def test_j1j2_exchange_kernel_matches_generic():
     samples = ansatz.sample(params, jax.random.PRNGKey(1), 33)
 
     le = make_local_energy_fn(ansatz, ham)
-    want_re, want_im = le(params, samples, ansatz.log_amp_parts(params, samples))
+    want_re, want_im, _ = le(params, samples, ansatz.log_amp_parts(params, samples))
 
     info = ham.exchange_kernel_info
     with pltpu.force_tpu_interpret_mode():

@@ -143,6 +143,68 @@ def test_sample_and_flip_kernel_consistent(setup):
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
 
 
+def test_tfim_flip_kernel_stacked_matches_explicit():
+    """2-layer stacked wavefront flip kernel vs explicit flip recompute."""
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (
+        tfim_flip_log_probs, tfim_flip_ratio_sum,
+    )
+
+    ansatz = PRNN1D(num_sites=11, units=(12, 12), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(3))
+    samples = ansatz.sample(params, jax.random.PRNGKey(4), 19)
+    with pltpu.force_tpu_interpret_mode():
+        ratio_sum, lp = tfim_flip_ratio_sum(params, samples)
+        lpf, lp2 = tfim_flip_log_probs(params, samples)
+    want_lp = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp2), want_lp, atol=1e-4)
+    sums = []
+    for i in range(ansatz.num_sites):
+        flipped = np.asarray(samples).copy()
+        flipped[:, i] = 1 - flipped[:, i]
+        lf = np.asarray(
+            ansatz._log_prob_plain_jnp(params, jnp.asarray(flipped))
+        )
+        np.testing.assert_allclose(np.asarray(lpf)[:, i], lf, atol=1e-4)
+        sums.append(np.exp(0.5 * (lf - want_lp)))
+    np.testing.assert_allclose(
+        np.asarray(ratio_sum), np.sum(sums, axis=0), rtol=2e-4
+    )
+
+
+def test_sample_and_flip_kernel_stacked_consistent():
+    """Fused sample+flip with a 2-layer stack agrees with recomputation."""
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (
+        tfim_flip_ratio_sum, tfim_sample_and_flip_sum,
+    )
+
+    ansatz = PRNN1D(num_sites=9, units=(10, 10), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(5))
+    with pltpu.force_tpu_interpret_mode():
+        samples, lp, ratio = tfim_sample_and_flip_sum(params, jnp.int32(3), 16, 9)
+        ratio2, lp2 = tfim_flip_ratio_sum(params, samples)
+    want_lp = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ratio), np.asarray(ratio2), rtol=1e-5)
+
+
+def test_sample_and_flip_kernel_per_flip_consistent():
+    """Fused sample+per-flip log-probs (the parity sample mode)."""
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (
+        tfim_flip_log_probs, tfim_sample_and_flip_sum,
+    )
+
+    ansatz = PRNN1D(num_sites=8, units=(10,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(6))
+    with pltpu.force_tpu_interpret_mode():
+        samples, lp, lpf = tfim_sample_and_flip_sum(
+            params, jnp.int32(11), 16, 8, per_flip=True
+        )
+        lpf2, lp2 = tfim_flip_log_probs(params, samples)
+    np.testing.assert_allclose(np.asarray(lpf), np.asarray(lpf2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
+
+
 def test_parity_fused_local_energy_matches_generic():
     """Per-flip kernel + logaddexp combination == generic parity estimator."""
     from rnnwavefunctions_tpu.hamiltonians.tfim1d import TFIM1D
@@ -156,7 +218,7 @@ def test_parity_fused_local_energy_matches_generic():
     samples = ansatz.sample(params, jax.random.PRNGKey(1), 21)
 
     le = make_local_energy_fn(ansatz, ham)
-    want, _ = le(params, samples, ansatz.log_amp(params, samples))
+    want, _, _ = le(params, samples, ansatz.log_amp(params, samples))
 
     with pltpu.force_tpu_interpret_mode():
         lpf1, lp1 = tfim_flip_log_probs(params, samples)

@@ -108,7 +108,7 @@ def test_j1j2_local_energy_matches_dense():
     params = ansatz.init(jax.random.PRNGKey(6))
     samples = ansatz.sample(params, jax.random.PRNGKey(7), 24)
     le = make_local_energy_fn(ansatz, ham)
-    e_re, e_im = le(params, samples, ansatz.log_amp_parts(params, samples))
+    e_re, e_im, _ = le(params, samples, ansatz.log_amp_parts(params, samples))
     got = np.asarray(e_re) + 1j * np.asarray(e_im)
 
     h = exact.j1j2_dense(n, 1.0, 0.3, marshall_sign=True)
