@@ -35,27 +35,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
 from .tfim_flip_kernel import _pick_tile
-from .fused_crnn import _crnn_site_rows, _weightsT, _weightT_specs
+from .fused_crnn import LOG_ZERO, _crnn_site_rows, _weightsT, _weightT_specs
+from .seeding import TILE_SEED_STRIDE
 
 GROUP = 8
 
 
 def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
-                 has_nnn: bool):
-    def kernel(
-        samples_ref,                       # (N, T) int32
-        wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
-        eoff_re_ref, eoff_im_ref,          # (1, T) f32
-        lp_re_ref, lp_im_ref,              # (1, T) f32 base log-amp parts
-        h_hist,                            # scratch (N, U, T)
-        pfx_re, pfx_im,                    # scratch (N, T): inclusive prefixes
-        cup,                               # scratch (N, T): ups before site n
-        wf_h,                              # scratch (U, GROUP*T)
-        wf_x, wf_xv,                       # scratch (1, GROUP*T): input + valid
-        wf_up,                             # scratch (1, GROUP*T): up-counts
-        wf_re, wf_im,                      # scratch (1, GROUP*T): accumulators
-    ):
-        t = samples_ref.shape[1]
+                 has_nnn: bool, sample_mode: bool = False):
+    def kernel(*refs):
+        if sample_mode:
+            (seed_ref,
+             wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
+             samples_ref, eoff_re_ref, eoff_im_ref, lp_re_ref, lp_im_ref,
+             h_hist, pfx_re, pfx_im, cup,
+             wf_h, wf_x, wf_xv, wf_up, wf_re, wf_im) = refs
+            pltpu.prng_seed(
+                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
+            )
+        else:
+            (samples_ref,                  # (N, T) int32
+             wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
+             eoff_re_ref, eoff_im_ref,     # (1, T) f32
+             lp_re_ref, lp_im_ref,         # (1, T) f32 base log-amp parts
+             h_hist,                       # scratch (N, U, T)
+             pfx_re, pfx_im,               # scratch (N, T): inclusive prefixes
+             cup,                          # scratch (N, T): ups before site n
+             wf_h,                         # scratch (U, GROUP*T)
+             wf_x, wf_xv,                  # scratch (1, GROUP*T): input+valid
+             wf_up,                        # scratch (1, GROUP*T): up-counts
+             wf_re, wf_im,                 # scratch (1, GROUP*T): accumulators
+             ) = refs
+        t = eoff_re_ref.shape[1]
         u = whT.shape[1]
         w = (wxT[:], whT[:], bxT[:], bhT[:], awT[:], abT[:], pwT[:], pbT[:])
         zero_row = jnp.zeros((1, t), jnp.float32)
@@ -66,12 +77,25 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
         # ---- base pass
         def base_body(n, carry):
             h, x, num_up, re, im = carry
-            s = read_s(n)
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             nf = n.astype(jnp.float32)
             h_new, lp0, lp1, ph0, ph1 = _crnn_site_rows(
                 x, x_scale, h, w, nf, num_up, n_sites, u1
             )
+            if sample_mode:
+                bits = pltpu.prng_random_bits((1, t))
+                usig = jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.int32), 9
+                )
+                uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
+                p0 = jnp.exp(lp0)
+                s = jnp.where(uni >= p0, 1.0, 0.0)
+                # clamp to the allowed class (see fused_crnn sample kernel)
+                s = jnp.where(lp1 < 0.5 * LOG_ZERO, 0.0, s)
+                s = jnp.where(lp0 < 0.5 * LOG_ZERO, 1.0, s)
+                samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
+            else:
+                s = read_s(n)
             re = re + 0.5 * jnp.where(s > 0.5, lp1, lp0)
             im = im + jnp.where(s > 0.5, ph1, ph0)
             h_hist[pl.ds(n, 1)] = h_new[None]
@@ -202,18 +226,70 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
         out_shape=tuple(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32) for _ in range(4)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n, u, tile), jnp.float32),
-            pltpu.VMEM((n, tile), jnp.float32),
-            pltpu.VMEM((n, tile), jnp.float32),
-            pltpu.VMEM((n, tile), jnp.float32),
-            pltpu.VMEM((u, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        ],
+        scratch_shapes=_scratch(n, u, tile),
     )(seq, *_weightsT(params))
     eoff_re, eoff_im, lp_re, lp_im = outs
     return eoff_re[0, :b], eoff_im[0, :b], lp_re[0, :b], lp_im[0, :b]
+
+
+def _scratch(n, u, tile):
+    return [
+        pltpu.VMEM((n, u, tile), jnp.float32),
+        pltpu.VMEM((n, tile), jnp.float32),
+        pltpu.VMEM((n, tile), jnp.float32),
+        pltpu.VMEM((n, tile), jnp.float32),
+        pltpu.VMEM((u, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+    ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_samples", "n_sites", "u1", "el_nn", "el_nnn",
+                     "has_nnn"),
+)
+def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
+                             u1: bool, el_nn: float, el_nnn: float,
+                             has_nnn: bool):
+    """Fully fused: draw the U(1)-masked Monte-Carlo batch AND estimate the
+    exchange off-diagonal sums in one kernel launch (the sampling rollout
+    doubles as the base pass; the separate ``crnn_sample`` launch and its
+    re-rollout disappear — the one-pass-per-step structure of
+    ``TrainingRNN_J1J2.py:247-279`` without the host ping-pong).
+
+    Returns (samples (B, N) int32, eoff_re, eoff_im, lp_re, lp_im), the lp_*
+    being the base log-amplitude parts of the drawn samples.
+    """
+    (cell,) = params["rnn"]
+    u = cell["wh"].shape[0]
+    tile = _pick_tile(n_sites, u)
+    b_pad = _round_up(max(num_samples, 8), tile)
+
+    outs = pl.pallas_call(
+        _make_kernel(n_sites, u1, el_nn, el_nnn, has_nnn, sample_mode=True),
+        grid=(b_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ] + _weightT_specs(u),
+        out_specs=(
+            pl.BlockSpec((n_sites, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ) + tuple(
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
+        ) + tuple(
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32) for _ in range(4)
+        ),
+        scratch_shapes=_scratch(n_sites, u, tile),
+    )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
+    seq, eoff_re, eoff_im, lp_re, lp_im = outs
+    b = num_samples
+    return (seq[:, :b].T, eoff_re[0, :b], eoff_im[0, :b],
+            lp_re[0, :b], lp_im[0, :b])

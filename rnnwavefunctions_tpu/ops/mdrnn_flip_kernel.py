@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _logp_rows, _round_up
 from .fused_mdrnn import _mdrnn_site_rows, _mdrnn_weightsT, _mdrnn_weightT_specs
+from .seeding import TILE_SEED_STRIDE
 
 GROUP = 8
 _MIN_TILE = 128
@@ -73,18 +74,21 @@ def visit_order(nx: int, ny: int):
     return xx, yy
 
 
-def _make_kernel(nx: int, ny: int):
+def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
     ns = nx * ny
 
-    def kernel(
-        samples_ref,                        # (NS, T) int32, visit order
-        uhT, uvT, whT, wvT, bT, hwT, hbT,
-        eoff_ref, lp_ref,                   # (1, T) f32
-        cell_hist,                          # scratch (NS, U, T)
-        pfx,                                # scratch (NS, T)
-        rowbuf,                             # scratch (nx, U, GROUP*T)
-        wf_h, wf_x, wf_acc,                 # scratch (U|1|1, GROUP*T)
-    ):
+    def kernel(*refs):
+        if sample_mode:
+            (seed_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
+             samples_ref, eoff_ref, lp_ref,
+             cell_hist, pfx, rowbuf, wf_h, wf_x, wf_acc) = refs
+            pltpu.prng_seed(
+                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
+            )
+        else:
+            (samples_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
+             eoff_ref, lp_ref,
+             cell_hist, pfx, rowbuf, wf_h, wf_x, wf_acc) = refs
         t = eoff_ref.shape[1]
         u = whT.shape[0]
         w = (uhT[:], uvT[:], whT[:], wvT[:], bT[:], hwT[:], hbT[:])
@@ -113,8 +117,18 @@ def _make_kernel(nx: int, ny: int):
                 yy > 0, cell_hist[pl.ds(jnp.maximum(vis_up, 0), 1)][0], 0.0
             )
             x_v = jnp.where(yy > 0, read_s(jnp.maximum(vis_up, 0)), 0.0)
-            s = read_s(m)
             h_new, l0, l1 = _mdrnn_site_rows(x_h, sh, x_v, sv, h_h, h_v, w)
+            if sample_mode:
+                p0 = jax.nn.sigmoid(l0 - l1)
+                bits = pltpu.prng_random_bits((1, t))
+                usig = jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.int32), 9
+                )
+                uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
+                s = jnp.where(uni >= p0, 1.0, 0.0)
+                samples_ref[pl.ds(m, 1), :] = s.astype(jnp.int32)
+            else:
+                s = read_s(m)
             acc = acc + _logp_rows(l0, l1, s)
             cell_hist[pl.ds(m, 1)] = h_new[None]
             pfx[pl.ds(m, 1), :] = acc
@@ -216,6 +230,18 @@ def _make_kernel(nx: int, ny: int):
     return kernel
 
 
+def _scratch(nx, ny, u, tile):
+    ns = nx * ny
+    return [
+        pltpu.VMEM((ns, u, tile), jnp.float32),
+        pltpu.VMEM((ns, tile), jnp.float32),
+        pltpu.VMEM((nx, u, GROUP * tile), jnp.float32),
+        pltpu.VMEM((u, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+    ]
+
+
 def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
     """samples (B, Nx, Ny) int -> (ratio_sum (B,), base_log_prob (B,))."""
     b = samples.shape[0]
@@ -241,13 +267,48 @@ def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((ns, u, tile), jnp.float32),
-            pltpu.VMEM((ns, tile), jnp.float32),
-            pltpu.VMEM((nx, u, GROUP * tile), jnp.float32),
-            pltpu.VMEM((u, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        ],
+        scratch_shapes=_scratch(nx, ny, u, tile),
     )(seq, *_mdrnn_weightsT(params))
     return eoff[0, :b], lp[0, :b]
+
+
+def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
+                              nx: int, ny: int):
+    """Fully fused: draw the Monte-Carlo batch (boustrophedon sweep with the
+    on-core PRNG) AND estimate the flip-ratio sums in one kernel launch —
+    the sampling sweep doubles as the wavefront estimator's base pass, so
+    the separate sampler launch and its re-rollout disappear.
+
+    Returns (samples (B, Nx, Ny) int32, base_log_prob (B,), ratio_sum (B,)).
+    """
+    u = params["cell"]["wh"].shape[0]
+    ns = nx * ny
+    tile = _pick_tile(nx, ny, u)
+    b_pad = _round_up(max(num_samples, 8), tile)
+
+    seq, eoff, lp = pl.pallas_call(
+        _make_kernel(nx, ny, sample_mode=True),
+        grid=(b_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ] + _mdrnn_weightT_specs(u),
+        out_specs=(
+            pl.BlockSpec((ns, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ns, b_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+        ),
+        scratch_shapes=_scratch(nx, ny, u, tile),
+    )(seed.reshape(1, 1).astype(jnp.int32), *_mdrnn_weightsT(params))
+    # visit order (NS, B) -> lattice (B, Nx, Ny)
+    xx, yy = visit_order(nx, ny)
+    samples = (
+        jnp.zeros((num_samples, nx, ny), jnp.int32)
+        .at[:, xx, yy]
+        .set(seq[:, :num_samples].T)
+    )
+    return samples, lp[0, :num_samples], eoff[0, :num_samples]

@@ -117,37 +117,126 @@ class VMCTrainer:
         self._eval_fn = None
 
     def _maybe_build_fused_sample_energy(self):
-        """Single-kernel sample + local-energy path (TFIM + single-layer
-        pRNN on TPU): the sampling rollout doubles as the base pass of the
-        wavefront flip estimator, so one launch replaces sample + base +
-        flip evaluations.  Returns ``(samples, log_amp, e_re, e_im)``."""
+        """Single-kernel sample + local-energy paths: the sampling rollout
+        doubles as the base pass of the wavefront estimator, so one launch
+        replaces the separate sampler + base + off-diagonal evaluations —
+        the one-pass-per-step structure of the reference loops
+        (``Training2DRNN_2DTFIM.py:199``, ``TrainingRNN_J1J2.py:247``)
+        without the host ping-pong.  Covers all four reference workloads:
+        plain/parity TFIM pRNN, grid-TFIM MDRNN, and OBC J1-J2 cRNN.
+        Returns ``fused(params, key, n) -> (samples, log_amp, e_re, e_im)``
+        or None when no fused kernel applies."""
+        from ..ops.seeding import seed_from_key
+        from .local_energy import _flip_kernel_ok
+
         ansatz, ham = self.ansatz, self.hamiltonian
+        is_complex = getattr(ansatz, "is_complex", False)
         flip_element = getattr(ham, "uniform_flip_element", None)
+
+        # plain positive pRNN + flat TFIM: one launch for everything
         if (
-            flip_element is None
-            or flip_element == 0.0
-            or getattr(ham, "encoding", "flat") != "flat"
-            or not getattr(ansatz, "plain_positive", False)
-            or not hasattr(ansatz, "_use_pallas")
-            or not ansatz._kernelizable()
+            getattr(ansatz, "plain_positive", False)
+            and not is_complex
+            and type(ansatz).__name__ != "MDRNN2D"
+            and _flip_kernel_ok(ansatz, ham, "flat")
         ):
-            return None
-        from ..ops import tfim_flip_kernel as tk
+            from ..ops import tfim_flip_kernel as tk
 
-        n = ansatz.num_sites
-        if not tk.supports(n, ansatz.units) or not ansatz._use_pallas():
-            return None
+            n = ansatz.num_sites
 
-        def fused(params, key, num_samples):
-            from ..ops.seeding import seed_from_key
+            def fused_plain(params, key, num_samples):
+                samples, lp, ratio = tk.tfim_sample_and_flip_sum(
+                    params, seed_from_key(key), num_samples, n
+                )
+                diag = jax.vmap(ham.diagonal)(samples)
+                return samples, 0.5 * lp, diag + flip_element * ratio, None
 
-            samples, lp, ratio = tk.tfim_sample_and_flip_sum(
-                params, seed_from_key(key), num_samples, n
-            )
-            diag = jax.vmap(ham.diagonal)(samples)
-            return samples, 0.5 * lp, diag + flip_element * ratio, None
+            return fused_plain
 
-        return fused
+        # parity-symmetrized pRNN: the sample+per-flip launch covers the
+        # forward chain; one teacher-forced per-flip launch covers the
+        # reversed chain (sampling stays plain, as in the reference —
+        # RNNwavefunction_paritysym.py symmetrizes only the density).
+        if getattr(ansatz, "parity", False) and _flip_kernel_ok(
+            ansatz, ham, "flat"
+        ):
+            from ..ops import tfim_flip_kernel as tk
+
+            n = ansatz.num_sites
+
+            def fused_parity(params, key, num_samples):
+                samples, lp1, lpf1 = tk.tfim_sample_and_flip_sum(
+                    params, seed_from_key(key), num_samples, n, per_flip=True
+                )
+                lpf2_rev, lp2 = tk.tfim_flip_log_probs(params, samples[:, ::-1])
+                num = jnp.logaddexp(lpf1, lpf2_rev[:, ::-1])
+                den = jnp.logaddexp(lp1, lp2)
+                ratio_sum = jnp.sum(
+                    jnp.exp(0.5 * (num - den[:, None])), axis=1
+                )
+                diag = jax.vmap(ham.diagonal)(samples)
+                la = 0.5 * (den - jnp.log(2.0))
+                return samples, la, diag + flip_element * ratio_sum, None
+
+            return fused_parity
+
+        # 2D MDRNN + grid TFIM
+        if (
+            flip_element is not None
+            and flip_element != 0.0
+            and getattr(ham, "encoding", None) == "grid"
+            and type(ansatz).__name__ == "MDRNN2D"
+            and hasattr(ansatz, "_use_pallas")
+            and ansatz._kernelizable()
+            and ansatz._use_pallas()
+        ):
+            from ..ops import mdrnn_flip_kernel as mk
+
+            if mk.supports(ansatz.nx, ansatz.ny, ansatz.units):
+                nx, ny = ansatz.nx, ansatz.ny
+
+                def fused_mdrnn(params, key, num_samples):
+                    samples, lp, ratio = mk.mdrnn_sample_and_flip_sum(
+                        params, seed_from_key(key), num_samples, nx, ny
+                    )
+                    diag = jax.vmap(ham.diagonal)(samples)
+                    return samples, 0.5 * lp, diag + flip_element * ratio, None
+
+                return fused_mdrnn
+
+        # J1-J2 OBC + single-layer cRNN
+        exch = getattr(ham, "exchange_kernel_info", None)
+        if (
+            exch is not None
+            and is_complex
+            and hasattr(ansatz, "_use_pallas")
+            and ansatz._kernelizable()
+            and ansatz._use_pallas()
+            and len(getattr(ansatz, "units", (0,))) == 1
+        ):
+            from ..ops import tfim_flip_kernel as tk
+            from ..ops.j1j2_exchange_kernel import j1j2_sample_and_exchange
+
+            if tk.supports(ansatz.num_sites, ansatz.units):
+                n = ansatz.num_sites
+
+                def fused_j1j2(params, key, num_samples):
+                    samples, e_re, e_im, lp_re, lp_im = j1j2_sample_and_exchange(
+                        params,
+                        seed_from_key(key),
+                        num_samples,
+                        n,
+                        u1=ansatz.u1,
+                        el_nn=exch["el_nn"],
+                        el_nnn=exch["el_nnn"],
+                        has_nnn=exch["has_nnn"],
+                    )
+                    diag = jax.vmap(ham.diagonal)(samples)
+                    return samples, (lp_re, lp_im), diag + e_re, e_im
+
+                return fused_j1j2
+
+        return None
 
     # -- state --------------------------------------------------------------
 

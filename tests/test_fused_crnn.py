@@ -95,3 +95,36 @@ def test_j1j2_exchange_kernel_matches_generic():
     wre, wim = ansatz._log_amp_parts_jnp(params, samples)
     np.testing.assert_allclose(np.asarray(lp_re), np.asarray(wre), atol=1e-4)
     np.testing.assert_allclose(np.asarray(lp_im), np.asarray(wim), atol=1e-4)
+
+
+def test_j1j2_sample_and_exchange_consistent():
+    """Fused sample+exchange kernel: the drawn batch's off-diagonal sums and
+    base log-amps match the teacher-forced exchange kernel, and every drawn
+    configuration satisfies the U(1) zero-magnetization constraint."""
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    from rnnwavefunctions_tpu.ops.j1j2_exchange_kernel import (
+        j1j2_exchange_offdiag, j1j2_sample_and_exchange,
+    )
+
+    n = 10
+    ansatz = CRNNU1(num_sites=n, units=(8,), impl="jnp")
+    ham = J1J2(num_sites=n, j2=0.2)
+    info = ham.exchange_kernel_info
+    params = ansatz.init(jax.random.PRNGKey(3))
+    with pltpu.force_tpu_interpret_mode():
+        samples, e_re, e_im, lp_re, lp_im = j1j2_sample_and_exchange(
+            params, jnp.int32(9), 16, n, u1=True,
+            el_nn=info["el_nn"], el_nnn=info["el_nnn"],
+            has_nnn=info["has_nnn"],
+        )
+        e_re2, e_im2, lp_re2, lp_im2 = j1j2_exchange_offdiag(
+            params, samples, u1=True, el_nn=info["el_nn"],
+            el_nnn=info["el_nnn"], has_nnn=info["has_nnn"],
+        )
+    # U(1): exactly N/2 up spins per sample (enforced in-kernel)
+    np.testing.assert_array_equal(np.asarray(samples).sum(axis=1), n // 2)
+    want_re, want_im = ansatz._log_amp_parts_jnp(params, samples)
+    np.testing.assert_allclose(np.asarray(lp_re), np.asarray(want_re), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp_im), np.asarray(want_im), atol=1e-4)
+    for a, b in [(e_re, e_re2), (e_im, e_im2), (lp_re, lp_re2), (lp_im, lp_im2)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -84,3 +84,27 @@ def test_mdrnn_flip_kernel_matches_explicit_flips(setup):
             )
             total += np.exp(laf - la)
     np.testing.assert_allclose(np.asarray(ratio_sum), total, rtol=2e-4)
+
+
+def test_mdrnn_sample_and_flip_consistent():
+    """Fused sample+flip sweep: drawn samples' log-probs and ratio sums
+    match independent recomputation (PRNG is zero in interpret mode — the
+    deterministic chain still exercises the full fused path)."""
+    from rnnwavefunctions_tpu.ops.mdrnn_flip_kernel import (
+        mdrnn_flip_ratio_sum, mdrnn_sample_and_flip_sum,
+    )
+
+    nx, ny = 5, 5
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=8, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(7))
+    with pltpu.force_tpu_interpret_mode():
+        samples, lp, ratio = mdrnn_sample_and_flip_sum(
+            params, jnp.int32(5), 12, nx, ny
+        )
+        ratio2, lp2 = mdrnn_flip_ratio_sum(params, samples, nx, ny)
+    assert samples.shape == (12, nx, ny)
+    want_lp = np.asarray(ansatz._log_prob_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ratio), np.asarray(ratio2),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)

@@ -71,6 +71,7 @@ def test_parity_fused_estimator_single_log_amp_trace():
         TrainConfig(num_samples=16), mesh=make_mesh(1),
     )
     assert not trainer.local_energy.needs_log_amp
+    assert trainer._fused_sample_energy is not None  # sample+per-flip launch
     counts = _trace_one_step(trainer)
     assert counts["log_amp"] == 1  # loss only; estimator is in-kernel
 
@@ -83,8 +84,22 @@ def test_j1j2_fused_estimator_single_log_amp_trace():
         TrainConfig(num_samples=16), mesh=make_mesh(1),
     )
     assert not trainer.local_energy.needs_log_amp
+    assert trainer._fused_sample_energy is not None  # one-launch step
     counts = _trace_one_step(trainer)
     assert counts["log_amp_parts"] == 1  # loss only
+
+
+def test_mdrnn_fused_sample_energy_step():
+    from rnnwavefunctions_tpu import MDRNN2D, TFIM2D
+
+    ansatz = MDRNN2D(nx=5, ny=5, units=8, impl="pallas")
+    trainer = VMCTrainer(
+        ansatz, TFIM2D(nx=5, ny=5, bx=3.0, encoding="grid"),
+        TrainConfig(num_samples=16), mesh=make_mesh(1),
+    )
+    assert trainer._fused_sample_energy is not None
+    assert not trainer.local_energy.needs_log_amp
+    _trace_one_step(trainer)
 
 
 def test_fused_estimator_by_product_matches_log_amp():
