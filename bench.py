@@ -1,50 +1,101 @@
-"""Benchmark harness: flagship VMC throughput on the reference headline config.
+"""Benchmark harness: VMC throughput + MFU on the reference workloads.
 
-Workload: 1D TFIM, N=100 sites, 1x50 GRU units, 500 Monte-Carlo samples per
+Flagship: 1D TFIM, N=100 sites, 1x50 GRU units, 500 Monte-Carlo samples per
 step — the reference's largest published 1DTFIM configuration
 (``/root/reference/1DTFIM/run_1dTFIM.py:9`` scaled to the N=100 DMRG anchor,
 ``Tutorials/1DTFIM/Tutorial_1DTFIM.ipynb`` cell 24).  One full VMC step =
 autoregressive sampling + (N+1)*S off-diagonal log-prob evaluations + policy
-gradient + Adam update, all in one jitted program.
+gradient + Adam update, all in one jitted program.  Also measured: the
+parity-symmetrized N=100 chain, the complex J1-J2 N=100 chain, and the 2D
+MDRNN on 6x6 — one row per fused estimator family, so regressions on any
+path are visible in ``BENCH_r*.json``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout (driver contract): the flagship metric, with
+per-workload rows embedded under ``"workloads"`` (each carrying steps/s,
+samples/s, analytic model TFLOP/s and MFU).
+
+MFU convention: model FLOPs count matmul FLOPs only (2*M*N*K), summed over
+the passes a step actually executes — base/sampling rollouts, wavefront
+iterations (G columns each), the loss forward, and its BPTT backward counted
+as 3x a forward rollout (vjp forward recompute + ~2x for the two backward
+matmul chains).  Peak is f32 through the v5e MXU, 197/4 = 49.2 TFLOP/s
+(f32 runs the 8-pass path; bf16 peak 197).  The kernels' K dimension is the
+hidden width (50), which underfills the 128-deep systolic array — the
+hardware roof for this model shape is ~50/128 of peak.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).  TF1
-1.13 on a Colab-class GPU runs this config at roughly 1-2 s/step (unrolled
-100-step graph sampling + three chunked 25k-row session feeds + BPTT), i.e.
-~250-500 samples/s.  We use 500 samples/s as the reference estimate, so
-``vs_baseline`` is a conservative speedup multiplier.
+1.13 on a Colab-class GPU runs the flagship config at roughly 1-2 s/step
+(unrolled 100-step graph sampling + three chunked 25k-row session feeds +
+BPTT), i.e. ~250-500 samples/s.  We use 500 samples/s as the reference
+estimate, so ``vs_baseline`` is a conservative speedup multiplier.
 """
 
 import json
+import sys
 import time
 
 import jax
 
 REFERENCE_SAMPLES_PER_SEC_EST = 500.0
+PEAK_F32_FLOPS = 49.2e12  # v5e MXU, f32 (bf16 peak 197 TFLOP/s / 4)
 
-N_SITES = 100
-UNITS = (50,)
 NUM_SAMPLES = 500
-WARMUP_STEPS = 3
+WARMUP_STEPS = 20
 STEPS_PER_TRIAL = 20
 NUM_TRIALS = 5
+GROUP = 8  # wavefront group width (ops/tfim_flip_kernel.GROUP)
 
 
-def main():
-    from rnnwavefunctions_tpu import PRNN1D, TFIM1D, TrainConfig, VMCTrainer
+def _wavefront_cols(n_bonds, n_sites, first_site):
+    """Total wavefront (iteration, column-block) site-advances: every group
+    of GROUP trajectories advances together from its first divergence site
+    to the end of the chain."""
+    total = 0
+    g0 = 0
+    while g0 < n_bonds:
+        total += max(0, n_sites - (g0 + first_site)) * GROUP
+        g0 += GROUP
+    return total
 
-    trainer = VMCTrainer(
-        PRNN1D(num_sites=N_SITES, units=UNITS),
-        TFIM1D(num_sites=N_SITES, bx=1.0),
-        TrainConfig(num_samples=NUM_SAMPLES, learning_rate=5e-3),
-    )
+
+def flops_tfim_plain(n, u, s):
+    c = 6 * u * u + 4 * u  # per site-column
+    base = n * c                       # fused sample + base pass
+    wf = _wavefront_cols(n, n, 1) * c  # flip suffixes
+    loss = 4 * n * c                   # pallas fwd + jnp vjp (fwd + 2x bwd)
+    return s * (base + wf + loss)
+
+
+def flops_tfim_parity(n, u, s):
+    c = 6 * u * u + 4 * u
+    one_dir = n * c + _wavefront_cols(n, n, 1) * c
+    loss = 2 * 4 * n * c  # both chain directions
+    return s * (2 * one_dir + loss)
+
+
+def flops_j1j2(n, u, s):
+    c = 6 * u * u + 8 * u  # two heads
+    base = n * c
+    wf = (_wavefront_cols(n - 1, n, 0) + _wavefront_cols(n - 2, n, 0)) * c
+    loss = 4 * n * c
+    return s * (base + wf + loss)
+
+
+def flops_mdrnn(nx, ny, u, s):
+    ns = nx * ny
+    c = 4 * u * u + 4 * u  # Wh, Wv matmuls + head
+    base = ns * c
+    wf = _wavefront_cols(ns, ns, 0) * c
+    loss = 4 * ns * c
+    return s * (base + wf + loss)
+
+
+def measure(trainer):
     state = trainer.init()
     key = jax.random.PRNGKey(0)
-
     # warmup + compile of the device-side multi-step (one dispatch runs
     # STEPS_PER_TRIAL full VMC updates in a lax.scan)
-    state, metrics = trainer.run_steps(state, key, STEPS_PER_TRIAL)
+    state, metrics = trainer.run_steps(state, key, WARMUP_STEPS)
     float(metrics["mean_energy"][-1])  # value fetch = hard synchronization
 
     # The device link in this environment has variable latency (and
@@ -56,19 +107,60 @@ def main():
         state, metrics = trainer.run_steps(state, key, STEPS_PER_TRIAL)
         energy = float(metrics["mean_energy"][-1])
         rates.append(STEPS_PER_TRIAL / (time.perf_counter() - t0))
-    assert energy < 0.0  # sanity: a real TFIM energy was computed
+    assert energy < 0.0  # sanity: a real energy was computed
+    return sorted(rates)[len(rates) // 2]
 
-    steps_per_sec = sorted(rates)[len(rates) // 2]
-    samples_per_sec = steps_per_sec * NUM_SAMPLES
+
+def main():
+    from rnnwavefunctions_tpu import (
+        CRNNU1,
+        J1J2,
+        MDRNN2D,
+        PRNN1D,
+        TFIM1D,
+        TFIM2D,
+        TrainConfig,
+        VMCTrainer,
+    )
+
+    cfg = TrainConfig(num_samples=NUM_SAMPLES, learning_rate=5e-3)
+    workloads = [
+        ("1dtfim_n100", PRNN1D(num_sites=100, units=(50,)),
+         TFIM1D(num_sites=100, bx=1.0), flops_tfim_plain(100, 50, NUM_SAMPLES)),
+        ("parity_n100", PRNN1D(num_sites=100, units=(50,), parity=True),
+         TFIM1D(num_sites=100, bx=1.0), flops_tfim_parity(100, 50, NUM_SAMPLES)),
+        ("j1j2_n100", CRNNU1(num_sites=100, units=(50,)),
+         J1J2(num_sites=100, j2=0.2), flops_j1j2(100, 50, NUM_SAMPLES)),
+        ("mdrnn_6x6", MDRNN2D(nx=6, ny=6, units=50),
+         TFIM2D(nx=6, ny=6, bx=3.0, encoding="grid"),
+         flops_mdrnn(6, 6, 50, NUM_SAMPLES)),
+    ]
+
+    rows = {}
+    for name, ansatz, ham, flops_per_step in workloads:
+        trainer = VMCTrainer(ansatz, ham, cfg)
+        steps_per_sec = measure(trainer)
+        tflops = steps_per_sec * flops_per_step / 1e12
+        rows[name] = {
+            "steps_per_sec": round(steps_per_sec, 1),
+            "samples_per_sec": round(steps_per_sec * NUM_SAMPLES, 1),
+            "model_tflops_per_sec": round(tflops, 2),
+            "mfu": round(tflops * 1e12 / PEAK_F32_FLOPS, 4),
+        }
+        print(f"{name}: {rows[name]}", file=sys.stderr)
+
+    flag = rows["1dtfim_n100"]
     print(
         json.dumps(
             {
                 "metric": "1dtfim_n100_vmc_samples_per_sec",
-                "value": round(samples_per_sec, 1),
+                "value": flag["samples_per_sec"],
                 "unit": "samples/s",
                 "vs_baseline": round(
-                    samples_per_sec / REFERENCE_SAMPLES_PER_SEC_EST, 2
+                    flag["samples_per_sec"] / REFERENCE_SAMPLES_PER_SEC_EST, 2
                 ),
+                "mfu": flag["mfu"],
+                "workloads": rows,
             }
         )
     )
