@@ -24,22 +24,41 @@ the pRNN amplitude-ratio contraction (``Training1DRNN_2DTFIM.py:79``).
 from __future__ import annotations
 
 import dataclasses
+from typing import Union
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
 class TFIM2D:
+    """``jz`` is either a scalar (uniform couplings) or an (Nx, Ny) array —
+    the reference estimator's signature takes a per-site coupling array
+    where ``Jz[i, j]`` weights both the (i,j)-(i+1,j) and (i,j)-(i,j+1)
+    bonds (``Training1DRNN_2DTFIM.py:13,33-49``: row bonds use ``Jz[i, :]``,
+    column bonds ``Jz[:, i]``)."""
+
     nx: int
     ny: int
     bx: float = 2.0
-    jz: float = 1.0
+    jz: Union[float, tuple] = 1.0
     encoding: str = "flat"  # "flat" (y-major vector) or "grid" ((nx, ny) array)
 
     def __post_init__(self):
         if self.encoding not in ("flat", "grid"):
             raise ValueError(f"unknown encoding {self.encoding!r}")
+        if not np.isscalar(self.jz):
+            arr = np.asarray(self.jz, np.float32)
+            if arr.shape != (self.nx, self.ny):
+                raise ValueError(
+                    f"per-bond jz must be ({self.nx}, {self.ny}); "
+                    f"got {arr.shape}"
+                )
+            # store hashable (frozen dataclasses are used as static config)
+            object.__setattr__(
+                self, "jz", tuple(tuple(float(v) for v in row) for row in arr)
+            )
 
     @property
     def n_sites(self) -> int:
@@ -60,11 +79,25 @@ class TFIM2D:
         """Marker for the fused single-flip kernel path (flat encoding)."""
         return -self.bx
 
+    def _jz_yx(self):
+        """Per-site couplings as a (ny, nx) array ([y, x] indexing, matching
+        ``_grid``), or None for the uniform-scalar case."""
+        if np.isscalar(self.jz):
+            return None
+        return jnp.asarray(np.asarray(self.jz, np.float32).T)
+
     def diagonal(self, sigma: jax.Array) -> jax.Array:
         g = self._grid(sigma)
         z = (2 * g - 1).astype(jnp.float32)
-        return -self.jz * (
-            jnp.sum(z[:, :-1] * z[:, 1:]) + jnp.sum(z[:-1, :] * z[1:, :])
+        jzt = self._jz_yx()
+        if jzt is None:
+            return -self.jz * (
+                jnp.sum(z[:, :-1] * z[:, 1:]) + jnp.sum(z[:-1, :] * z[1:, :])
+            )
+        # bond (x,y)-(x+1,y) weighted by Jz[x,y]; (x,y)-(x,y+1) by Jz[x,y]
+        return -(
+            jnp.sum(jzt[:, :-1] * z[:, :-1] * z[:, 1:])
+            + jnp.sum(jzt[:-1, :] * z[:-1, :] * z[1:, :])
         )
 
     def connected(self, sigma: jax.Array):

@@ -83,7 +83,95 @@ def gru_apply(p: Params, x: jax.Array, h: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Stacked (multi-layer) GRU, the MultiRNNCell analogue
+# LSTM (the reference snake-2D ansatz's default cell argument,
+# ``/root/reference/2DTFIM_1DRNN/RNNwavefunction.py:9`` —
+# ``tf.contrib.rnn.LSTMCell``; every shipped runner passes GRU instead, so
+# this is a capability-surface variant, jnp path only)
+# ---------------------------------------------------------------------------
+
+def lstm_init(key: jax.Array, input_dim: int, units: int, dtype=jnp.float32) -> Params:
+    """Parameters for one LSTM layer; gates packed [i | j | f | o] along the
+    last axis (TF BasicLSTMCell/LSTMCell packing)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "wx": _glorot(k1, (input_dim, 4 * units), dtype),
+        "wh": _glorot(k2, (units, 4 * units), dtype),
+        "b": jnp.zeros((4 * units,), dtype),
+    }
+
+
+def lstm_apply(p: Params, x: jax.Array, state) -> Tuple[jax.Array, Any]:
+    """One LSTM step: (B, in), ((B, U) h, (B, U) c) -> (h', (h', c')).
+
+    TF LSTMCell semantics with forget_bias = 1.0:
+      i, j, f, o = split(x W + h U + b)
+      c' = c * sigmoid(f + 1) + sigmoid(i) * tanh(j)
+      h' = tanh(c') * sigmoid(o)
+    """
+    h, c = state
+    u = h.shape[-1]
+    g = (
+        jnp.dot(x, p["wx"], preferred_element_type=h.dtype)
+        + jnp.dot(h, p["wh"], preferred_element_type=h.dtype)
+        + p["b"]
+    )
+    i, j = g[..., :u], g[..., u : 2 * u]
+    f, o = g[..., 2 * u : 3 * u], g[..., 3 * u :]
+    c_new = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+    h_new = jnp.tanh(c_new) * jax.nn.sigmoid(o)
+    return h_new, (h_new, c_new)
+
+
+# ---------------------------------------------------------------------------
+# Stacked (multi-layer) recurrent trunk, the MultiRNNCell analogue —
+# cell kind selectable ("gru" | "lstm")
+# ---------------------------------------------------------------------------
+
+def stacked_rnn_init(
+    key: jax.Array, input_dim: int, units: Sequence[int],
+    dtype=jnp.float32, cell: str = "gru",
+) -> List[Params]:
+    init = {"gru": gru_init, "lstm": lstm_init}[cell]
+    params = []
+    in_dim = input_dim
+    for u in units:
+        key, sub = jax.random.split(key)
+        params.append(init(sub, in_dim, u, dtype))
+        in_dim = u
+    return params
+
+
+def stacked_rnn_apply(
+    params: List[Params], x: jax.Array, states, cell: str = "gru"
+):
+    """Apply the stack; returns (top output, new per-layer states tuple)."""
+    new_states = []
+    inp = x
+    for p, st in zip(params, states):
+        if cell == "gru":
+            out = gru_apply(p, inp, st)
+            new_states.append(out)
+        else:
+            out, st_new = lstm_apply(p, inp, st)
+            new_states.append(st_new)
+        inp = out
+    return inp, tuple(new_states)
+
+
+def stacked_rnn_zero_state(
+    batch: int, units: Sequence[int], dtype=jnp.float32, cell: str = "gru"
+):
+    if cell == "gru":
+        return tuple(jnp.zeros((batch, u), dtype) for u in units)
+    return tuple(
+        (jnp.zeros((batch, u), dtype), jnp.zeros((batch, u), dtype))
+        for u in units
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stacked GRU aliases (the original single-kind API; kept for the cRNN and
+# the Pallas kernel reference paths)
 # ---------------------------------------------------------------------------
 
 def stacked_gru_init(
@@ -91,32 +179,20 @@ def stacked_gru_init(
 ) -> List[Params]:
     """Stack of GRU layers (``tf.nn.rnn_cell.MultiRNNCell`` analogue,
     ``/root/reference/1DTFIM/RNNwavefunction.py:32``)."""
-    params = []
-    in_dim = input_dim
-    for u in units:
-        key, sub = jax.random.split(key)
-        params.append(gru_init(sub, in_dim, u, dtype))
-        in_dim = u
-    return params
+    return stacked_rnn_init(key, input_dim, units, dtype, cell="gru")
 
 
 def stacked_gru_apply(
     params: List[Params], x: jax.Array, hs: Tuple[jax.Array, ...]
 ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
     """Apply the stack; returns (top output, new states tuple)."""
-    new_hs = []
-    inp = x
-    for p, h in zip(params, hs):
-        h_new = gru_apply(p, inp, h)
-        new_hs.append(h_new)
-        inp = h_new
-    return inp, tuple(new_hs)
+    return stacked_rnn_apply(params, x, hs, cell="gru")
 
 
 def stacked_gru_zero_state(
     batch: int, units: Sequence[int], dtype=jnp.float32
 ) -> Tuple[jax.Array, ...]:
-    return tuple(jnp.zeros((batch, u), dtype) for u in units)
+    return stacked_rnn_zero_state(batch, units, dtype, cell="gru")
 
 
 # ---------------------------------------------------------------------------

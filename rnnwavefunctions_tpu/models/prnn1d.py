@@ -65,7 +65,11 @@ class PRNN1D:
     parity: bool = False
     dtype: Any = jnp.float32
     accum_dtype: Any = jnp.float32
-    # "auto": fused Pallas kernels on TPU when supported (single layer,
+    # recurrent cell kind: "gru" (every reference runner) or "lstm" (the
+    # snake-2D ansatz signature's default argument,
+    # ``2DTFIM_1DRNN/RNNwavefunction.py:9``); lstm runs the jnp scan path.
+    cell: str = "gru"
+    # "auto": fused Pallas kernels on TPU when supported (uniform-width GRU,
     # local_dim 2, float32); "pallas": force; "jnp": pure lax.scan path.
     impl: str = "auto"
 
@@ -83,6 +87,7 @@ class PRNN1D:
         return (
             len(set(self.units)) == 1  # uniform-width stacks
             and self.local_dim == 2
+            and self.cell == "gru"  # lstm: jnp scan path only
             and self.dtype == jnp.float32
             and self.accum_dtype == jnp.float32
         )
@@ -118,14 +123,16 @@ class PRNN1D:
     def init(self, key: jax.Array) -> Any:
         k_rnn, k_head = jax.random.split(key)
         return {
-            "rnn": cells.stacked_gru_init(k_rnn, self.local_dim, self.units, self.dtype),
+            "rnn": cells.stacked_rnn_init(
+                k_rnn, self.local_dim, self.units, self.dtype, self.cell
+            ),
             "head": cells.dense_init(k_head, self.units[-1], self.local_dim, self.dtype),
         }
 
     # -- internals ----------------------------------------------------------
 
     def _step_logits(self, params, x, hs):
-        out, hs = cells.stacked_gru_apply(params["rnn"], x, hs)
+        out, hs = cells.stacked_rnn_apply(params["rnn"], x, hs, self.cell)
         return cells.dense_apply(params["head"], out), hs
 
     # -- sampling -----------------------------------------------------------
@@ -154,7 +161,9 @@ class PRNN1D:
             return (x_next, hs), (draw, site_logp.astype(self.accum_dtype))
 
         x0 = jnp.zeros((num_samples, d), self.dtype)  # the zero "sigma_0" input
-        hs0 = cells.stacked_gru_zero_state(num_samples, self.units, self.dtype)
+        hs0 = cells.stacked_rnn_zero_state(
+            num_samples, self.units, self.dtype, self.cell
+        )
         keys = jax.random.split(key, self.num_sites)
         _, (draws, site_logps) = jax.lax.scan(step, (x0, hs0), keys)
         samples = draws.T  # (N, S) -> (S, N)
@@ -189,7 +198,7 @@ class PRNN1D:
             site_logp = jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
             return hs, site_logp.astype(self.accum_dtype)
 
-        hs0 = cells.stacked_gru_zero_state(s, self.units, self.dtype)
+        hs0 = cells.stacked_rnn_zero_state(s, self.units, self.dtype, self.cell)
         _, site_logps = jax.lax.scan(step, hs0, (inputs, targets))
         return jnp.sum(site_logps, axis=0)
 

@@ -27,14 +27,20 @@ def PRNNSnake2D(
     local_dim: int = 2,
     dtype: Any = jnp.float32,
     accum_dtype: Any = jnp.float32,
+    cell: str = "gru",
 ) -> PRNN1D:
-    """A PRNN1D over the flattened (y-major) Nx x Ny lattice."""
+    """A PRNN1D over the flattened (y-major) Nx x Ny lattice.
+
+    ``cell`` mirrors the reference signature's cell argument (default LSTM
+    there, ``2DTFIM_1DRNN/RNNwavefunction.py:9``, though every shipped
+    runner passes GRU — GRU stays our default for kernel coverage)."""
     ansatz = PRNN1D(
         num_sites=nx * ny,
         units=units,
         local_dim=local_dim,
         dtype=dtype,
         accum_dtype=accum_dtype,
+        cell=cell,
     )
     # attach lattice metadata without breaking dataclass frozen-ness
     object.__setattr__(ansatz, "lattice", (nx, ny))

@@ -135,3 +135,40 @@ def test_vmc_2dtfim_converges(kind):
     assert abs(est - e_exact) < 5e-2 * abs(e_exact), (
         f"{kind}: {est:.5f} vs exact {e_exact:.5f}"
     )
+
+
+def test_tfim2d_per_bond_couplings():
+    """Per-site Jz arrays weight the bonds as the reference estimator does
+    (Jz[i,j] on both (i,j)-(i+1,j) and (i,j)-(i,j+1),
+    Training1DRNN_2DTFIM.py:33-49); a ones-array reduces to the scalar."""
+    nx, ny = 3, 2
+    rng = np.random.default_rng(0)
+    jz = rng.uniform(0.5, 1.5, size=(nx, ny))
+    ham = TFIM2D(nx=nx, ny=ny, bx=0.7, jz=jz, encoding="grid")
+    ham_uniform = TFIM2D(nx=nx, ny=ny, bx=0.7, encoding="grid")
+    ham_ones = TFIM2D(nx=nx, ny=ny, bx=0.7, jz=np.ones((nx, ny)),
+                      encoding="grid")
+    sigma = jnp.asarray([[1, 0], [0, 0], [1, 1]], jnp.int32)  # (nx, ny)
+
+    z = 2.0 * np.asarray(sigma) - 1.0
+    want = 0.0
+    for i in range(nx - 1):
+        for j in range(ny):
+            want += -jz[i, j] * z[i, j] * z[i + 1, j]
+    for i in range(nx):
+        for j in range(ny - 1):
+            want += -jz[i, j] * z[i, j] * z[i, j + 1]
+    np.testing.assert_allclose(float(ham.diagonal(sigma)), want, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(ham_ones.diagonal(sigma)), float(ham_uniform.diagonal(sigma)),
+        rtol=1e-6,
+    )
+    # flat (snake) encoding agrees with grid encoding on the same lattice
+    flat = np.zeros(nx * ny, np.int32)
+    for y in range(ny):
+        for x in range(nx):
+            flat[y * nx + x] = int(sigma[x, y])
+    ham_flat = TFIM2D(nx=nx, ny=ny, bx=0.7, jz=jz, encoding="flat")
+    np.testing.assert_allclose(
+        float(ham_flat.diagonal(jnp.asarray(flat))), want, rtol=1e-6
+    )

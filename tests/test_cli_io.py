@@ -77,3 +77,24 @@ def test_checkpoint_roundtrip(tmp_path):
     restored, m = trainer.step(restored, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["mean_energy"]))
     ckpt.close()
+
+
+def test_cli_evaluate_restores_and_measures(tmp_path):
+    """Train briefly via the CLI, then measure the checkpoint with the
+    evaluate entry point (restore plumbing + JSON output)."""
+    from rnnwavefunctions_tpu.cli import evaluate
+
+    run_1dtfim.main([
+        "--numsteps", "10", "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--workdir", str(tmp_path), "--num-devices", "1",
+    ])
+    ckpt_dir = [d for d in os.listdir(tmp_path) if d.startswith("ckpt_")][0]
+    result = evaluate.main([
+        str(tmp_path / ckpt_dir), "--workload", "1dtfim",
+        "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--num-batches", "3", "--num-devices", "1",
+    ])
+    assert result["step"] == 11
+    assert np.isfinite(result["energy"]) and result["energy"] < 0.0
+    assert result["err_bar"] > 0.0
+    assert result["num_samples_total"] == 96
