@@ -54,6 +54,12 @@ def run_training(
     profile_dir: Optional[str] = None,
 ):
     """Returns (final_state, mean_energy list, var_energy list)."""
+    from ..parallel.multihost import is_primary
+
+    # Multi-host: every process trains (collectives are cooperative) and
+    # every process calls ckpt.save (Orbax saves are collective), but only
+    # the primary writes/prints the metrics artifacts.
+    primary = is_primary()
     metrics = MetricsSeries(workdir, tag, resume=resume)
     ckpt = Checkpointer(os.path.join(workdir, f"ckpt_{tag}"))
 
@@ -73,7 +79,8 @@ def run_training(
     # (TrainingRNN_1DTFIM.py:127-136)
     from ..utils.summary import summarize_params
 
-    print(summarize_params(state.params))
+    if primary:
+        print(summarize_params(state.params))
 
     trace_started = False
     try:
@@ -95,10 +102,12 @@ def run_training(
                 profile_dir = None  # one traced block is enough
 
             last = it + block - 1
-            if last % log_every == 0:
+            if primary and last % log_every == 0:
                 metrics.print_line(last, trainer.config.num_samples)
                 metrics.log_jsonl(last)
-            if any((it + j) % save_every == 0 for j in range(block)):
+            if primary and any(
+                (it + j) % save_every == 0 for j in range(block)
+            ):
                 metrics.flush_npy()
             if (
                 ckpt_every
@@ -115,5 +124,6 @@ def run_training(
 
     ckpt.save(state)
     ckpt.wait()
-    metrics.flush_npy()
+    if primary:
+        metrics.flush_npy()
     return state, metrics.mean_energy, metrics.var_energy
