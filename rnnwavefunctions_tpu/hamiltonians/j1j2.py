@@ -46,14 +46,16 @@ class J1J2:
 
     @property
     def exchange_kernel_info(self):
-        """Marker for the fused triangular exchange-kernel path (OBC only:
-        periodic bonds wrap the autoregressive prefix order)."""
-        if self.periodic or self.j1 == 0.0:
+        """Marker for the fused triangular exchange-kernel path.  Periodic
+        chains are covered too: the wrap-around bonds run as full-length
+        trajectories in an extra wavefront block in-kernel."""
+        if self.j1 == 0.0:
             return None
         return {
             "el_nn": (-self.j1 / 2) if self.marshall_sign else (self.j1 / 2),
             "el_nnn": self.j2 / 2,
             "has_nnn": self.j2 != 0.0,
+            "periodic": self.periodic,
         }
 
     def diagonal(self, sigma: jax.Array) -> jax.Array:

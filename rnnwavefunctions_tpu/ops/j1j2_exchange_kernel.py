@@ -20,8 +20,9 @@ statically, U(1) masking inside every suffix with the exchanged up-counts,
 and complex ratios as real pairs
 ``sum_k el_k exp(dRe_k) (cos dIm_k, sin dIm_k)``.
 
-Open-boundary only (periodic bonds wrap the prefix order; the generic
-estimator remains the fallback there).
+Periodic chains are handled too: the <= 3 wrap-around bonds diverge at
+site 0/1 of the prefix order, so they run as full-length trajectories in
+one extra shared wavefront block (~N/G extra iterations).
 """
 
 from __future__ import annotations
@@ -42,7 +43,8 @@ GROUP = 8
 
 
 def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
-                 has_nnn: bool, sample_mode: bool = False):
+                 has_nnn: bool, periodic: bool = False,
+                 sample_mode: bool = False):
     def kernel(*refs):
         if sample_mode:
             (seed_ref,
@@ -187,20 +189,92 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
 
             jax.lax.fori_loop(0, num_groups, group_body, 0)
 
+        # ---- periodic wrap bonds: trajectories diverge at site 0/1, so each
+        # is a full-length rollout; <= 3 of them share one wavefront block
+        # (static per-column flip pairs, unused columns masked out).
+        def wrap_family(bonds):
+            def init_wcol(k, i):
+                sl = pl.ds(k * t, t)
+                wf_h[:, sl] = jnp.where(
+                    i > 0, h_hist[pl.ds(max(i - 1, 0), 1)][0], 0.0
+                )
+                wf_x[:, sl] = jnp.where(
+                    i > 0, read_s(max(i - 1, 0)), 0.0
+                )
+                wf_xv[:, sl] = (1.0 if i > 0 else 0.0) + zero_row
+                wf_up[:, sl] = cup[pl.ds(i, 1), :]
+                wf_re[:, sl] = (
+                    pfx_re[pl.ds(max(i - 1, 0), 1), :] if i > 0 else zero_row
+                )
+                wf_im[:, sl] = (
+                    pfx_im[pl.ds(max(i - 1, 0), 1), :] if i > 0 else zero_row
+                )
+
+            for k, (a, _, _) in enumerate(bonds):
+                if a == 0:
+                    init_wcol(k, 0)
+
+            def site_body(n, _):
+                for k, (a, _, _) in enumerate(bonds):
+                    if a > 0:
+                        @pl.when(n == a)
+                        def _(k=k, a=a):
+                            init_wcol(k, a)
+
+                s_n = read_s(n)
+                tgts = []
+                for k in range(GROUP):
+                    if k < len(bonds):
+                        a, bsite, _ = bonds[k]
+                        flip = jnp.where((n == a) | (n == bsite), 1.0, 0.0)
+                        tgts.append(jnp.abs(s_n - flip))
+                    else:
+                        tgts.append(s_n)
+                tgt = jnp.concatenate(tgts, axis=1)
+                nf = n.astype(jnp.float32)
+                h_new, lp0, lp1, ph0, ph1 = _crnn_site_rows(
+                    wf_x[:], wf_xv[:], wf_h[:], w, nf, wf_up[:],
+                    n_sites, u1,
+                )
+                wf_h[:] = h_new
+                wf_x[:] = tgt
+                wf_xv[:] = jnp.ones_like(wf_xv)
+                wf_up[:] = wf_up[:] + tgt
+                wf_re[:] = wf_re[:] + 0.5 * jnp.where(tgt > 0.5, lp1, lp0)
+                wf_im[:] = wf_im[:] + jnp.where(tgt > 0.5, ph1, ph0)
+                return 0
+
+            jax.lax.fori_loop(0, n_sites, site_body, 0)
+
+            for k, (a, bsite, el) in enumerate(bonds):
+                sl = pl.ds(k * t, t)
+                anti = jnp.where(read_s(a) != read_s(bsite), 1.0, 0.0)
+                d_re = wf_re[:, sl] - base_re
+                d_im = wf_im[:, sl] - base_im
+                mag = anti * jnp.exp(d_re)
+                eoff_re_ref[:] = eoff_re_ref[:] + el * mag * jnp.cos(d_im)
+                eoff_im_ref[:] = eoff_im_ref[:] + el * mag * jnp.sin(d_im)
+
         eoff_re_ref[:] = zero_row
         eoff_im_ref[:] = zero_row
         family(1, n_sites - 1, el_nn, eoff_re_ref, eoff_im_ref)
         if has_nnn:
             family(2, n_sites - 2, el_nnn, eoff_re_ref, eoff_im_ref)
+        if periodic:
+            bonds = [(0, n_sites - 1, el_nn)]
+            if has_nnn:
+                bonds += [(0, n_sites - 2, el_nnn), (1, n_sites - 1, el_nnn)]
+            wrap_family(bonds)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("u1", "el_nn", "el_nnn", "has_nnn")
+    jax.jit, static_argnames=("u1", "el_nn", "el_nnn", "has_nnn", "periodic")
 )
 def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
-                          el_nnn: float, has_nnn: bool):
+                          el_nnn: float, has_nnn: bool,
+                          periodic: bool = False):
     """(B, N) samples -> (eoff_re, eoff_im, lp_re, lp_im), each (B,).
 
     eoff = sum over valid NN/NNN exchanges of el * psi(sigma')/psi(sigma),
@@ -214,7 +288,7 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     outs = pl.pallas_call(
-        _make_kernel(n, u1, el_nn, el_nnn, has_nnn),
+        _make_kernel(n, u1, el_nn, el_nnn, has_nnn, periodic),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -250,11 +324,11 @@ def _scratch(n, u, tile):
 @functools.partial(
     jax.jit,
     static_argnames=("num_samples", "n_sites", "u1", "el_nn", "el_nnn",
-                     "has_nnn"),
+                     "has_nnn", "periodic"),
 )
 def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
                              u1: bool, el_nn: float, el_nnn: float,
-                             has_nnn: bool):
+                             has_nnn: bool, periodic: bool = False):
     """Fully fused: draw the U(1)-masked Monte-Carlo batch AND estimate the
     exchange off-diagonal sums in one kernel launch (the sampling rollout
     doubles as the base pass; the separate ``crnn_sample`` launch and its
@@ -270,7 +344,8 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
     b_pad = _round_up(max(num_samples, 8), tile)
 
     outs = pl.pallas_call(
-        _make_kernel(n_sites, u1, el_nn, el_nnn, has_nnn, sample_mode=True),
+        _make_kernel(n_sites, u1, el_nn, el_nnn, has_nnn, periodic,
+                     sample_mode=True),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -181,6 +181,7 @@ def make_local_energy_fn(
                     el_nn=exch["el_nn"],
                     el_nnn=exch["el_nnn"],
                     has_nnn=exch["has_nnn"],
+                    periodic=exch["periodic"],
                 )
                 return diag + e_re, e_im, (lp_re, lp_im)
 

@@ -230,6 +230,7 @@ class VMCTrainer:
                         el_nn=exch["el_nn"],
                         el_nnn=exch["el_nnn"],
                         has_nnn=exch["has_nnn"],
+                        periodic=exch["periodic"],
                     )
                     diag = jax.vmap(ham.diagonal)(samples)
                     return samples, (lp_re, lp_im), diag + e_re, e_im

@@ -31,22 +31,23 @@ def test_j1j2_diagonal_matches_connected():
 
 
 def test_exchange_marker_gating():
-    assert J1J2(num_sites=8, periodic=True).exchange_kernel_info is None
     assert J1J2(num_sites=8, j1=0.0).exchange_kernel_info is None
     info = J1J2(num_sites=8, j2=0.3, marshall_sign=True).exchange_kernel_info
-    assert info == {"el_nn": -0.5, "el_nnn": 0.15, "has_nnn": True}
+    assert info == {"el_nn": -0.5, "el_nnn": 0.15, "has_nnn": True,
+                    "periodic": False}
     assert not J1J2(num_sites=8, j2=0.0).exchange_kernel_info["has_nnn"]
+    assert J1J2(num_sites=8, periodic=True).exchange_kernel_info["periodic"]
 
 
 def test_fused_paths_fall_back_cleanly():
     """Configurations outside kernel coverage must still produce correct
     estimators (generic path), on any backend."""
     cases = [
-        # multi-layer stack: flip kernel is single-layer only
+        # multi-layer stack (has a fused TPU path; falls back on CPU)
         (PRNN1D(num_sites=6, units=(8, 8)), TFIM1D(num_sites=6, bx=1.0)),
         # parity has its own fused path on TPU; on CPU it must fall back
         (PRNN1D(num_sites=6, units=(8,), parity=True), TFIM1D(num_sites=6)),
-        # periodic J1J2 wraps the prefix order
+        # periodic J1J2 (fused on TPU via the wrap-bond wavefront block)
         (CRNNU1(num_sites=6, units=(8,)),
          J1J2(num_sites=6, j2=0.2, periodic=True)),
         # grid-encoded 2D Hamiltonian has no flat flip kernel

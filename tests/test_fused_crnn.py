@@ -128,3 +128,40 @@ def test_j1j2_sample_and_exchange_consistent():
     np.testing.assert_allclose(np.asarray(lp_im), np.asarray(want_im), atol=1e-4)
     for a, b in [(e_re, e_re2), (e_im, e_im2), (lp_re, lp_re2), (lp_im, lp_im2)]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_j1j2_periodic_exchange_matches_generic():
+    """Periodic chains: the wrap-bond wavefront block must reproduce the
+    generic connected-configs estimator (all 2N padded exchanges)."""
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    from rnnwavefunctions_tpu.ops.j1j2_exchange_kernel import (
+        j1j2_exchange_offdiag,
+    )
+    from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+    n = 8
+    for j2, marshall in [(0.3, False), (0.0, True)]:
+        ansatz = CRNNU1(num_sites=n, units=(8,), impl="jnp")
+        ham = J1J2(num_sites=n, j2=j2, periodic=True, marshall_sign=marshall)
+        params = ansatz.init(jax.random.PRNGKey(4))
+        samples = ansatz.sample(params, jax.random.PRNGKey(5), 21)
+
+        le = make_local_energy_fn(ansatz, ham)
+        want_re, want_im, _ = le(
+            params, samples, ansatz.log_amp_parts(params, samples)
+        )
+
+        info = ham.exchange_kernel_info
+        with pltpu.force_tpu_interpret_mode():
+            e_re, e_im, _, _ = j1j2_exchange_offdiag(
+                params, samples, u1=True, el_nn=info["el_nn"],
+                el_nnn=info["el_nnn"], has_nnn=info["has_nnn"],
+                periodic=True,
+            )
+        diag = np.asarray(jax.vmap(ham.diagonal)(samples))
+        np.testing.assert_allclose(
+            diag + np.asarray(e_re), np.asarray(want_re), rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_im), np.asarray(want_im), rtol=2e-4, atol=1e-5
+        )
