@@ -1,0 +1,189 @@
+"""Hidden-dimension (tensor-parallel) sharding tests on the simulated mesh.
+
+A ("dp", "tp") mesh splits Monte-Carlo chains over dp and the GRU hidden
+dimension over tp (Megatron-style column sharding; one all-gather of h per
+site step, psum'd head logits).  The sharded trunk must reproduce the
+unsharded log-probabilities, sampler draws, and parameter gradients exactly,
+and a full tp-sharded VMC step must train.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from rnnwavefunctions_tpu import PRNN1D, TFIM1D
+from rnnwavefunctions_tpu.parallel import tensor as tp
+from rnnwavefunctions_tpu.parallel.mesh import DP_AXIS
+from rnnwavefunctions_tpu.vmc.loss import surrogate_loss
+
+UNITS = (16,)
+K = 4  # tp shards
+
+
+def _mesh():
+    return tp.make_dp_tp_mesh(2, K)
+
+
+def _setup(n=8, s=16):
+    ansatz = PRNN1D(num_sites=n, units=UNITS, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), s)
+    return ansatz, params, samples
+
+
+def test_tp_log_prob_matches_unsharded():
+    ansatz, params, samples = _setup()
+    mesh = _mesh()
+
+    def fn(params, samples):
+        idx = jax.lax.axis_index(tp.TP_AXIS)
+        shard = tp.shard_params(params, K, idx)
+        return tp.tp_log_prob(shard, samples, UNITS, K)
+
+    lp = jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=(P(), P(DP_AXIS)),
+                      out_specs=P(DP_AXIS), check_vma=False)
+    )(params, samples)
+    want = ansatz._log_prob_plain_jnp(params, samples)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(want), atol=1e-5)
+
+
+def test_tp_sampler_matches_unsharded():
+    """With the key folded over dp only, all tp members draw the identical
+    chains — and they equal the unsharded jnp sampler's draws."""
+    ansatz, params, _ = _setup()
+    mesh = _mesh()
+    key = jax.random.PRNGKey(3)
+
+    def fn(params):
+        idx = jax.lax.axis_index(tp.TP_AXIS)
+        shard = tp.shard_params(params, K, idx)
+        draws, lp = tp.tp_sample_with_log_prob(
+            shard, key, 8, ansatz.num_sites, UNITS, K
+        )
+        return draws, lp
+
+    draws, lp = jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                      check_vma=False)
+    )(params)
+    want_draws, want_lp = ansatz.sample_with_log_prob(params, key, 8)
+    np.testing.assert_array_equal(np.asarray(draws), np.asarray(want_draws))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(want_lp), atol=1e-5)
+
+
+def test_tp_gradient_matches_unsharded():
+    """d mean(log p)/d params through the sharded trunk == unsharded grad
+    (shard_map + dynamic_slice transpose reassembles the full cotangent)."""
+    ansatz, params, samples = _setup()
+    mesh = _mesh()
+
+    def fn(p, s):
+        shard = tp.shard_params(p, K, jax.lax.axis_index(tp.TP_AXIS))
+        lp = tp.tp_log_prob(shard, s, UNITS, K)
+        # batch mean, replicated on every device (lp is tp-replicated)
+        return jax.lax.psum(jnp.sum(lp), DP_AXIS) / samples.shape[0]
+
+    sharded = jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(), P(DP_AXIS)), out_specs=P(),
+        check_vma=False,
+    )
+
+    def loss_tp(p):
+        return sharded(p, samples)
+
+    def loss_ref(p):
+        return jnp.mean(ansatz._log_prob_plain_jnp(p, samples))
+
+    g1 = jax.grad(loss_tp)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_inner_grad_pmean_matches_unsharded():
+    """The training-step pattern — jax.grad *inside* shard_map, then
+    pmean over BOTH axes — must reassemble the exact reference gradient for
+    every leaf.  (The inner head-psum transposes to a psum, so each member's
+    local grad is already K x its slice contribution; pmean-over-tp both
+    assembles the disjoint slices and removes the K, and the b/k in-shard
+    scaling makes the replicated bias behave identically.)"""
+    ansatz, params, samples = _setup()
+    mesh = _mesh()
+
+    def device_fn(p, s):
+        def loss_fn(pp):
+            sh = tp.shard_params(pp, K, jax.lax.axis_index(tp.TP_AXIS))
+            return jnp.mean(tp.tp_log_prob(sh, s, UNITS, K))
+
+        g = jax.grad(loss_fn)(p)
+        return jax.tree.map(
+            lambda x: jax.lax.pmean(jax.lax.pmean(x, tp.TP_AXIS), DP_AXIS), g
+        )
+
+    g1 = jax.jit(
+        jax.shard_map(device_fn, mesh=mesh, in_specs=(P(), P(DP_AXIS)),
+                      out_specs=P(), check_vma=False)
+    )(params, samples)
+    g2 = jax.grad(
+        lambda p: jnp.mean(ansatz._log_prob_plain_jnp(p, samples))
+    )(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_vmc_step_trains():
+    """Full dp x tp VMC step: sample, TFIM local energies, surrogate grad,
+    SGD — energy decreases."""
+    n, s_global = 6, 16
+    ansatz, params, _ = _setup(n=n)
+    ham = TFIM1D(num_sites=n, bx=1.0)
+    mesh = _mesh()
+    s_local = s_global // mesh.shape[DP_AXIS]
+
+    def device_step(params, key):
+        idx = jax.lax.axis_index(tp.TP_AXIS)
+        key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
+        shard = tp.shard_params(params, K, idx)
+        samples, logp = tp.tp_sample_with_log_prob(
+            shard, key, s_local, n, UNITS, K
+        )
+        samples = jax.lax.stop_gradient(samples)
+        # generic flip estimator through the sharded trunk
+        eye = jnp.eye(n, dtype=samples.dtype)
+        flips = jnp.where(
+            eye[None] == 1, 1 - samples[:, None, :], samples[:, None, :]
+        ).reshape(s_local * n, n)
+        la = 0.5 * tp.tp_log_prob(shard, flips, UNITS, K).reshape(s_local, n)
+        ratio = jnp.exp(la - 0.5 * logp[:, None])
+        diag = jax.vmap(ham.diagonal)(samples)
+        e = jax.lax.stop_gradient(diag - ham.bx * jnp.sum(ratio, axis=1))
+        e_mean = jax.lax.pmean(jnp.mean(e), DP_AXIS)
+
+        def loss_fn(p):
+            sh = tp.shard_params(p, K, jax.lax.axis_index(tp.TP_AXIS))
+            la_s = 0.5 * tp.tp_log_prob(sh, samples, UNITS, K)
+            return surrogate_loss(la_s, None, e, None, e_mean, None)
+
+        grads = jax.grad(loss_fn)(params)
+        # pmean over tp assembles the slice grads at 1x (see the
+        # inner-grad test); pmean over dp averages the chain shards
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jax.lax.pmean(g, tp.TP_AXIS), DP_AXIS),
+            grads,
+        )
+        params = jax.tree.map(lambda p, g: p - 0.05 * g, params, grads)
+        return params, e_mean
+
+    step = jax.jit(
+        jax.shard_map(device_step, mesh=mesh, in_specs=(P(), P()),
+                      out_specs=(P(), P()), check_vma=False)
+    )
+    key = jax.random.PRNGKey(7)
+    energies = []
+    for it in range(40):
+        params, e = step(params, jax.random.fold_in(key, it))
+        energies.append(float(e))
+    assert np.mean(energies[-5:]) < np.mean(energies[:5]) - 0.5
+    assert np.isfinite(energies).all()
