@@ -283,7 +283,8 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
     b, n = samples.shape
     (cell,) = params["rnn"]
     u = cell["wh"].shape[0]
-    tile = _pick_tile(n, u)
+    tile, spill = _pick_tile(n, u)
+    assert not spill, "exchange kernel requires a VMEM-resident history"
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
@@ -340,7 +341,8 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
     """
     (cell,) = params["rnn"]
     u = cell["wh"].shape[0]
-    tile = _pick_tile(n_sites, u)
+    tile, spill = _pick_tile(n_sites, u)
+    assert not spill, "exchange kernel requires a VMEM-resident history"
     b_pad = _round_up(max(num_samples, 8), tile)
 
     outs = pl.pallas_call(

@@ -71,19 +71,45 @@ def _hist_bytes(n: int, units, tile: int) -> int:
     return n * _round8(sum(units)) * tile * 4
 
 
-def _pick_tile(n: int, units) -> int:
-    """Largest power-of-two tile (<= FLIP_TILE, >= 128) whose hidden-state
-    history fits the VMEM budget."""
+def _resident_bytes(n: int, units, tile: int) -> int:
+    """VMEM bytes excluding the hidden history (samples + pfx + fl +
+    wavefront blocks + the spill staging ring)."""
+    lu = _round8(sum(_norm_units(units)))
+    rows = 3 * n  # samples (int32) + pfx + fl
+    wf = lu * GROUP + 2 * GROUP + 2 * lu  # wf_h/wf_x/wf_acc + DMA ring
+    return (rows + wf) * tile * 4
+
+
+def _pick_tile(n: int, units):
+    """(tile, spill): largest power-of-two tile (<= FLIP_TILE, >= 128) whose
+    hidden-state history fits the VMEM budget; when even the minimum tile
+    cannot hold the history, spill it to HBM (manual DMA) and size the tile
+    by the VMEM-resident pieces only."""
     tile = FLIP_TILE
     while tile > _MIN_TILE and _hist_bytes(n, units, tile) > _VMEM_BUDGET:
         tile //= 2
-    return tile
+    if _hist_bytes(n, units, tile) <= _VMEM_BUDGET:
+        return tile, False
+    tile = FLIP_TILE
+    while tile > _MIN_TILE and _resident_bytes(n, units, tile) > _VMEM_BUDGET:
+        tile //= 2
+    return tile, True
 
 
 def supports(n: int, units) -> bool:
-    """True when the (N, L*U, MIN_TILE) hidden history fits VMEM — beyond
-    that (N ~ 360 at 1x50 units) the generic batched estimator takes over.
-    ``units`` is the ansatz layer-width tuple (uniform widths)."""
+    """True when the wavefront estimator applies: either the (N, L*U, T)
+    hidden history fits VMEM (N ~ 360 single-layer at 50 units) or the
+    VMEM-resident pieces fit with the history spilled to HBM via DMA —
+    which covers the reference's largest published chains (N=1000)."""
+    return (
+        _hist_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+        or _resident_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+    )
+
+
+def supports_resident(n: int, units) -> bool:
+    """VMEM-resident history only (the cRNN exchange kernel has no spill
+    path yet)."""
     return _hist_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
 
 
@@ -103,7 +129,7 @@ def _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u):
 
 
 def _make_flip_kernel(num_layers: int, sample_mode: bool,
-                      per_flip: bool = False):
+                      per_flip: bool = False, spill: bool = False):
     """Kernel factory: teacher-forced (``sample_mode=False``, reads a given
     sample batch) or fully fused sample-and-estimate (``sample_mode=True``,
     draws the batch in-kernel — the base pass doubles as the autoregressive
@@ -111,28 +137,43 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
     flip-ratio sums with no re-rollout).  With ``per_flip=True`` the first
     output is the (N, T) matrix of flipped-configuration log-probs instead of
     the ratio sum (needed by the parity-symmetrized estimator, which combines
-    forward and reversed chains per flip)."""
+    forward and reversed chains per flip).
+
+    ``spill=True`` keeps the (N, L*U, T) hidden history in HBM (long chains,
+    SURVEY.md §5's N=1000 case): the base pass streams history rows out
+    through a 2-slot VMEM ring (the DMA of site n-2 completes while site n
+    computes), and each wavefront column initialization DMAs one (L*U, T)
+    row back — ~N * 4*L*U*T bytes of traffic per tile, negligible against
+    the O(N^2/2) wavefront matmuls."""
     nw = 4 * num_layers + 2
 
     def kernel(*refs):
         if sample_mode:
             seed_ref = refs[0]
             wrefs = refs[1 : 1 + nw]
-            (samples_ref, eoff_ref, lp_ref, h_hist, pfx, fl,
-             wf_h, wf_x, wf_acc) = refs[1 + nw :]
+            rest = refs[1 + nw :]
             pltpu.prng_seed(
                 seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
             )
         else:
             samples_ref = refs[0]
             wrefs = refs[1 : 1 + nw]
+            rest = refs[1 + nw :]
+        if sample_mode:
+            samples_ref = rest[0]
+            rest = rest[1:]
+        if spill:
+            (eoff_ref, lp_ref, h_hist, pfx, fl, wf_h, wf_x, wf_acc,
+             ring, staging, sem_wr, sem_rd) = rest
+        else:
             (eoff_ref, lp_ref, h_hist, pfx, fl,
-             wf_h, wf_x, wf_acc) = refs[1 + nw :]
+             wf_h, wf_x, wf_acc) = rest
         n_sites = samples_ref.shape[0]
         t = eoff_ref.shape[1]
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
         u = hwT.shape[1]
         lu = num_layers * u
+        tid = pl.program_id(0)
         zero_row = jnp.zeros((1, t), jnp.float32)
 
         def read_s(n):
@@ -140,6 +181,52 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
 
         def step(x, x_scale, h_cat):
             return _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u)
+
+        if spill:
+            # history row i of this tile lives at h_hist[tid, i] in HBM,
+            # padded to lu_pad sublanes (DMA slices need 8-aligned dims)
+            lu_pad = _round8(lu)
+
+            def _ring_dma(slot, i):
+                return pltpu.make_async_copy(
+                    ring.at[pl.ds(slot * lu_pad, lu_pad)],
+                    h_hist.at[tid, i],
+                    sem_wr.at[slot],
+                )
+
+            def hist_write(n, h_new):
+                slot = n % 2
+                # the slot's previous DMA (site n-2) must have drained
+                @pl.when(n >= 2)
+                def _():
+                    _ring_dma(slot, n - 2).wait()
+
+                ring[pl.ds(slot * lu_pad, lu), :] = h_new
+                _ring_dma(slot, n).start()
+
+            def hist_drain():
+                @pl.when(n_sites >= 2)
+                def _():
+                    _ring_dma((n_sites - 2) % 2, n_sites - 2).wait()
+
+                @pl.when(n_sites >= 1)
+                def _():
+                    _ring_dma((n_sites - 1) % 2, n_sites - 1).wait()
+
+            def hist_read_into_wf(i, k):
+                cp = pltpu.make_async_copy(h_hist.at[tid, i], staging, sem_rd)
+                cp.start()
+                cp.wait()
+                wf_h[:, pl.ds(k * t, t)] = staging[0:lu, :]
+        else:
+            def hist_write(n, h_new):
+                h_hist[pl.ds(n, 1)] = h_new[None]
+
+            def hist_drain():
+                pass
+
+            def hist_read_into_wf(i, k):
+                wf_h[:, pl.ds(k * t, t)] = h_hist[pl.ds(i, 1)][0]
 
         # ---- base pass: (draw and) store hidden history, prefix sums,
         # flipped-site logps
@@ -159,7 +246,7 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
             else:
                 s = read_s(n)
             acc = acc + _logp_rows(l0, l1, s)
-            h_hist[pl.ds(n, 1)] = h_new[None]
+            hist_write(n, h_new)
             pfx[pl.ds(n, 1), :] = acc
             fl[pl.ds(n, 1), :] = _logp_rows(l0, l1, 1.0 - s)
             return h_new, s, acc
@@ -168,9 +255,10 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
         _, _, lp_base = jax.lax.fori_loop(
             0, n_sites, base_body, (h0, zero_row, zero_row)
         )
+        hist_drain()
         lp_ref[:] = lp_base
         _flip_wavefront(
-            step, eoff_ref, lp_base, h_hist, pfx, fl,
+            step, eoff_ref, lp_base, hist_read_into_wf, pfx, fl,
             wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip,
         )
 
@@ -178,7 +266,7 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
 
 
 def _flip_wavefront(
-    step, eoff_ref, lp_base, h_hist, pfx, fl,
+    step, eoff_ref, lp_base, hist_read_into_wf, pfx, fl,
     wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip=False,
 ):
 
@@ -188,7 +276,7 @@ def _flip_wavefront(
     def init_col(i):
         """Initialize the wavefront block of flip ``i`` (suffix starts i+1)."""
         k = i % GROUP
-        wf_h[:, pl.ds(k * t, t)] = h_hist[pl.ds(i, 1)][0]
+        hist_read_into_wf(i, k)
         wf_x[:, pl.ds(k * t, t)] = 1.0 - read_s(i)
         p_before = jnp.where(
             i > 0, pfx[pl.ds(jnp.maximum(i - 1, 0), 1), :], zero_row
@@ -244,6 +332,18 @@ def _flip_wavefront(
     jax.lax.fori_loop(0, num_groups, group_body, 0)
 
 
+def _hist_out(n, units, tile, num_tiles, spill):
+    """Extra HBM output carrying the spilled history ((tiles, N, LU, T));
+    empty for the VMEM-resident variant."""
+    if not spill:
+        return [], []
+    lu_pad = _round8(sum(_norm_units(units)))
+    return (
+        [pl.BlockSpec(memory_space=pltpu.HBM)],
+        [jax.ShapeDtypeStruct((num_tiles, n, lu_pad, tile), jnp.float32)],
+    )
+
+
 def tfim_flip_ratio_sum(params, samples: jax.Array):
     """(B, N) int samples -> (ratio_sum (B,), base_log_prob (B,)).
 
@@ -253,27 +353,30 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
     num_layers = len(params["rnn"])
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile = _pick_tile(n, units)
+    tile, spill = _pick_tile(n, units)
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+    hist_specs, hist_shapes = _hist_out(n, units, tile, b_pad // tile, spill)
 
-    grid = (b_pad // tile,)
-    eoff, lp = pl.pallas_call(
-        _make_flip_kernel(num_layers, sample_mode=False),
-        grid=grid,
+    outs = pl.pallas_call(
+        _make_flip_kernel(num_layers, sample_mode=False, spill=spill),
+        grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ] + _weightT_specs(units[0], num_layers),
         out_specs=(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *hist_specs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n, units, tile),
+        scratch_shapes=_flip_scratch(n, units, tile, spill),
     )(seq, *_weightsT(params))
+    eoff, lp = outs[0], outs[1]
     return eoff[0, :b], lp[0, :b]
 
 
@@ -287,12 +390,14 @@ def tfim_flip_log_probs(params, samples: jax.Array):
     num_layers = len(params["rnn"])
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile = _pick_tile(n, units)
+    tile, spill = _pick_tile(n, units)
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+    hist_specs, hist_shapes = _hist_out(n, units, tile, b_pad // tile, spill)
 
-    lpf, lp = pl.pallas_call(
-        _make_flip_kernel(num_layers, sample_mode=False, per_flip=True),
+    outs = pl.pallas_call(
+        _make_flip_kernel(num_layers, sample_mode=False, per_flip=True,
+                          spill=spill),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -300,13 +405,16 @@ def tfim_flip_log_probs(params, samples: jax.Array):
         out_specs=(
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *hist_specs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n, units, tile),
+        scratch_shapes=_flip_scratch(n, units, tile, spill),
     )(seq, *_weightsT(params))
+    lpf, lp = outs[0], outs[1]
     return lpf[:, :b].T, lp[0, :b]
 
 
@@ -322,12 +430,16 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     """
     num_layers = len(params["rnn"])
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile = _pick_tile(n_sites, units)
+    tile, spill = _pick_tile(n_sites, units)
     b_pad = _round_up(max(num_samples, 8), tile)
     eoff_rows = n_sites if per_flip else 1
+    hist_specs, hist_shapes = _hist_out(
+        n_sites, units, tile, b_pad // tile, spill
+    )
 
-    samples, eoff, lp = pl.pallas_call(
-        _make_flip_kernel(num_layers, sample_mode=True, per_flip=per_flip),
+    outs = pl.pallas_call(
+        _make_flip_kernel(num_layers, sample_mode=True, per_flip=per_flip,
+                          spill=spill),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -336,26 +448,38 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
             pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((eoff_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *hist_specs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
             jax.ShapeDtypeStruct((eoff_rows, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n_sites, units, tile),
+        scratch_shapes=_flip_scratch(n_sites, units, tile, spill),
     )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
+    samples, eoff, lp = outs[0], outs[1], outs[2]
     out = eoff[:, :num_samples].T if per_flip else eoff[0, :num_samples]
     return samples[:, :num_samples].T, lp[0, :num_samples], out
 
 
-def _flip_scratch(n, units, tile):
+def _flip_scratch(n, units, tile, spill=False):
     units = _norm_units(units)
     lu = sum(units)
-    return [
-        pltpu.VMEM((n, lu, tile), jnp.float32),
+    hist = [] if spill else [pltpu.VMEM((n, lu, tile), jnp.float32)]
+    out = hist + [
         pltpu.VMEM((n, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
         pltpu.VMEM((lu, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
     ]
+    if spill:
+        lu_pad = _round8(lu)
+        out += [
+            pltpu.VMEM((2 * lu_pad, tile), jnp.float32),  # base DMA ring
+            pltpu.VMEM((lu_pad, tile), jnp.float32),      # read staging
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+    return out

@@ -217,7 +217,7 @@ class VMCTrainer:
             from ..ops import tfim_flip_kernel as tk
             from ..ops.j1j2_exchange_kernel import j1j2_sample_and_exchange
 
-            if tk.supports(ansatz.num_sites, ansatz.units):
+            if tk.supports_resident(ansatz.num_sites, ansatz.units):
                 n = ansatz.num_sites
 
                 def fused_j1j2(params, key, num_samples):

@@ -230,3 +230,30 @@ def test_parity_fused_local_energy_matches_generic():
     diag = np.asarray(jax.vmap(ham.diagonal)(samples))
     got = diag - bx * ratio_sum
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
+
+
+def test_spill_flip_kernels_match_resident(setup, monkeypatch):
+    """The HBM-spilled-history variant (long chains, N=1000 class) must
+    reproduce the VMEM-resident kernels exactly; forced here by shrinking
+    the VMEM budget so a small case takes the spill path."""
+    from rnnwavefunctions_tpu.ops import tfim_flip_kernel as tk
+
+    ansatz, params, samples = setup
+    with pltpu.force_tpu_interpret_mode():
+        r0, lp0 = tk.tfim_flip_ratio_sum(params, samples)
+        lpf0, _ = tk.tfim_flip_log_probs(params, samples)
+
+    monkeypatch.setattr(tk, "_VMEM_BUDGET", 40 * 1024)
+    tile, spill = tk._pick_tile(ansatz.num_sites, ansatz.units)
+    assert spill, "budget override must force the spill path"
+    with pltpu.force_tpu_interpret_mode():
+        r1, lp1 = tk.tfim_flip_ratio_sum(params, samples)
+        lpf1, _ = tk.tfim_flip_log_probs(params, samples)
+        s2, lp2, ratio2 = tk.tfim_sample_and_flip_sum(
+            params, jnp.int32(3), 16, ansatz.num_sites
+        )
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lpf1), np.asarray(lpf0), atol=1e-5)
+    want_lp = np.asarray(ansatz._log_prob_plain_jnp(params, s2))
+    np.testing.assert_allclose(np.asarray(lp2), want_lp, atol=1e-4)
