@@ -71,8 +71,6 @@ def shard_params(params: Any, k: int, idx) -> Any:
     """
     rnn = []
     for cell in params["rnn"]:
-        u = cell["wh"].shape[0]
-        us = u // k
         rnn.append({
             "wx": _gate_cols(cell["wx"], 3, k, idx),
             "wh": _gate_cols(cell["wh"], 3, k, idx),
