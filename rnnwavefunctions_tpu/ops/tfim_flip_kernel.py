@@ -76,7 +76,7 @@ def _resident_bytes(n: int, units, tile: int) -> int:
     wavefront blocks + the spill staging ring)."""
     lu = _round8(sum(_norm_units(units)))
     rows = 3 * n  # samples (int32) + pfx + fl
-    wf = lu * GROUP + 2 * GROUP + 2 * lu  # wf_h/wf_x/wf_acc + DMA ring
+    wf = lu * GROUP + 2 * GROUP + 3 * lu  # wf blocks + DMA ring + staging
     return (rows + wf) * tile * 4
 
 

@@ -98,3 +98,31 @@ def test_cli_evaluate_restores_and_measures(tmp_path):
     assert np.isfinite(result["energy"]) and result["energy"] < 0.0
     assert result["err_bar"] > 0.0
     assert result["num_samples_total"] == 96
+
+
+def test_profile_trace_capture(tmp_path):
+    """--profile-dir captures exactly one traced block and always closes the
+    trace (ADVICE r1: a short run used to leak an open profiler session)."""
+    from rnnwavefunctions_tpu.cli.run_loop import run_training
+
+    trainer = VMCTrainer(
+        PRNN1D(num_sites=6, units=(8,)), TFIM1D(num_sites=6),
+        TrainConfig(num_samples=32),
+    )
+    prof = tmp_path / "prof"
+    run_training(
+        trainer, num_steps=12, workdir=str(tmp_path), tag="prof",
+        profile_dir=str(prof),
+    )
+    traces = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(prof)
+        for f in files
+        if f.endswith((".xplane.pb", ".trace.json.gz"))
+    ]
+    assert traces, f"no trace artifacts under {prof}"
+    # a second profiled run must not raise (the trace was properly closed)
+    run_training(
+        trainer, num_steps=3, workdir=str(tmp_path), tag="prof2",
+        profile_dir=str(tmp_path / "prof2"),
+    )
