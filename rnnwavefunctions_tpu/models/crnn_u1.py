@@ -60,7 +60,7 @@ class CRNNU1:
 
     def _kernelizable(self) -> bool:
         return (
-            len(self.units) == 1
+            len(set(self.units)) == 1  # uniform-width stacks
             and self.local_dim == 2
             and self.dtype == jnp.float32
             and self.accum_dtype == jnp.float32
@@ -72,8 +72,8 @@ class CRNNU1:
         if self.impl == "pallas":
             if not self._kernelizable():
                 raise ValueError(
-                    "pallas kernels support single-layer GRU, local_dim=2, "
-                    f"float32; got {self}"
+                    "pallas kernels support uniform-width GRU stacks, "
+                    f"local_dim=2, float32; got {self}"
                 )
             return True
         return self._kernelizable() and jax.default_backend() != "cpu"

@@ -37,24 +37,33 @@ def _softplus(x):
     return jnp.logaddexp(x, 0.0)
 
 
-def _crnn_site_rows(x, x_scale, h, w, nf, num_up, n_sites, u1):
-    """Feature-major per-site trunk+heads computation.
+def _crnn_site_rows(x, x_scale, h_cat, w, nf, num_up, n_sites, u1):
+    """Feature-major per-site trunk+heads computation (stacked trunk).
 
-    ``h`` (U, T); ``x``/``num_up`` (1, T) rows; ``x_scale`` scalar or (1, T)
-    row (0 where the input is the zero vector); ``nf`` scalar or (1, T) site
-    index.  Returns (h_new (U, T), lp0, lp1, ph0, ph1) where lp_i = log of
-    the masked, renormalized probability of class i (= 2 log ampl_i) and
-    ph_i the phase.  All rows (1, T).
+    ``h_cat`` (L*U, T) concatenated per-layer hidden states; ``x``/``num_up``
+    (1, T) rows; ``x_scale`` scalar or (1, T) row (0 where the input is the
+    zero vector); ``nf`` scalar or (1, T) site index.  ``w`` is
+    ``(cells, awT, abT, pwT, pbT)`` with ``cells`` a list of per-layer
+    (wxT, whT, bxT, bhT).  Returns (h_new (L*U, T), lp0, lp1, ph0, ph1)
+    where lp_i = log of the masked, renormalized probability of class i
+    (= 2 log ampl_i) and ph_i the phase.  All rows (1, T).
     """
-    wxT, whT, bxT, bhT, awT, abT, pwT, pbT = w
-    u = h.shape[0]
-    gx = x_scale * ((1.0 - x) * wxT[:, 0:1] + x * wxT[:, 1:2]) + bxT
-    gh = jnp.dot(whT, h, preferred_element_type=jnp.float32) + bhT
-    r = jax.nn.sigmoid(gx[:u] + gh[:u])
-    z = jax.nn.sigmoid(gx[u : 2 * u] + gh[u : 2 * u])
-    c = jnp.tanh(gx[2 * u :] + r * gh[2 * u :])
-    h_new = z * h + (1.0 - z) * c
-    la = jnp.dot(awT, h_new, preferred_element_type=jnp.float32) + abT
+    from .fused_gru import _gru_layer_rows
+
+    cells, awT, abT, pwT, pbT = w
+    u = awT.shape[1]
+    new_hs = []
+    inp = None
+    for l, (wxT, whT, bxT, bhT) in enumerate(cells):
+        if l == 0:
+            gx = x_scale * ((1.0 - x) * wxT[:, 0:1] + x * wxT[:, 1:2]) + bxT
+        else:
+            gx = jnp.dot(wxT, inp, preferred_element_type=jnp.float32) + bxT
+        h_l = _gru_layer_rows(gx, h_cat[l * u : (l + 1) * u], whT, bhT)
+        new_hs.append(h_l)
+        inp = h_l
+    h_new = new_hs[0] if len(cells) == 1 else jnp.concatenate(new_hs, axis=0)
+    la = jnp.dot(awT, inp, preferred_element_type=jnp.float32) + abT
     l0, l1 = la[0:1, :], la[1:2, :]
     d = l0 - l1
     lp0 = -_softplus(-d)
@@ -75,44 +84,56 @@ def _crnn_site_rows(x, x_scale, h, w, nf, num_up, n_sites, u1):
         lp0 = jnp.where(active, mlp0, lp0)
         lp1 = jnp.where(active, mlp1, lp1)
 
-    pl_ = jnp.dot(pwT, h_new, preferred_element_type=jnp.float32) + pbT
+    pl_ = jnp.dot(pwT, inp, preferred_element_type=jnp.float32) + pbT
     ph = jnp.pi * pl_ / (1.0 + jnp.abs(pl_))
     return h_new, lp0, lp1, ph[0:1, :], ph[1:2, :]
 
 
 def _weightsT(params):
-    (cell,) = params["rnn"]
-    return (
-        cell["wx"].T, cell["wh"].T,
-        cell["bx"][:, None], cell["bh"][:, None],
+    out = []
+    for cell in params["rnn"]:
+        out += [cell["wx"].T, cell["wh"].T,
+                cell["bx"][:, None], cell["bh"][:, None]]
+    out += [
         params["head_ampl"]["w"].T, params["head_ampl"]["b"][:, None],
         params["head_phase"]["w"].T, params["head_phase"]["b"][:, None],
-    )
-
-
-def _weightT_specs(u):
-    return [
-        pl.BlockSpec((3 * u, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * u, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    return tuple(out)
+
+
+def _weightT_specs(u, num_layers=1):
+    full = lambda a, b: pl.BlockSpec(
+        (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    specs = []
+    for l in range(num_layers):
+        in_dim = 2 if l == 0 else u
+        specs += [full(3 * u, in_dim), full(3 * u, u),
+                  full(3 * u, 1), full(3 * u, 1)]
+    specs += [full(2, u), full(2, 1), full(2, u), full(2, 1)]
+    return specs
+
+
+def _split_w(wrefs, num_layers):
+    """Group flat kernel weight refs into the _crnn_site_rows ``w`` tuple."""
+    cells = [
+        tuple(r[:] for r in wrefs[4 * l : 4 * l + 4])
+        for l in range(num_layers)
+    ]
+    awT, abT, pwT, pbT = (r[:] for r in wrefs[-4:])
+    return (cells, awT, abT, pwT, pbT)
 
 
 # ---------------------------------------------------------------------------
 # Teacher-forced log-amplitude kernel
 # ---------------------------------------------------------------------------
 
-def _make_log_amp_kernel(n_sites: int, u1: bool):
-    def kernel(samples_ref, wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
-               re_ref, im_ref):
+def _make_log_amp_kernel(n_sites: int, u1: bool, num_layers: int):
+    def kernel(samples_ref, *rest):
+        wrefs, (re_ref, im_ref) = rest[:-2], rest[-2:]
         t = samples_ref.shape[1]
-        u = whT.shape[1]
-        w = (wxT[:], whT[:], bxT[:], bhT[:], awT[:], abT[:], pwT[:], pbT[:])
+        w = _split_w(wrefs, num_layers)
+        u = w[1].shape[1]  # awT (2, U)
 
         def body(n, carry):
             h, x, num_up, re, im = carry
@@ -126,7 +147,7 @@ def _make_log_amp_kernel(n_sites: int, u1: bool):
             im = im + jnp.where(s > 0.5, ph1, ph0)
             return h_new, s, num_up + s, re, im
 
-        h0 = jnp.zeros((u, t), jnp.float32)
+        h0 = jnp.zeros((num_layers * u, t), jnp.float32)
         z = jnp.zeros((1, t), jnp.float32)
         _, _, _, re, im = jax.lax.fori_loop(
             0, n_sites, body, (h0, z, z, z, z)
@@ -140,17 +161,17 @@ def _make_log_amp_kernel(n_sites: int, u1: bool):
 def crnn_log_amp_parts(params, samples: jax.Array, u1: bool):
     """(B, N) int -> (Re log psi, Im log psi), each (B,) f32."""
     b, n = samples.shape
-    (cell,) = params["rnn"]
-    u = cell["wh"].shape[0]
+    num_layers = len(params["rnn"])
+    u = params["rnn"][0]["wh"].shape[0]
     b_pad = _round_up(max(b, 8), TILE)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     re, im = pl.pallas_call(
-        _make_log_amp_kernel(n, u1),
+        _make_log_amp_kernel(n, u1, num_layers),
         grid=(b_pad // TILE,),
         in_specs=[
             pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _weightT_specs(u),
+        ] + _weightT_specs(u, num_layers),
         out_specs=(
             pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -167,13 +188,13 @@ def crnn_log_amp_parts(params, samples: jax.Array, u1: bool):
 # Sampling kernel
 # ---------------------------------------------------------------------------
 
-def _make_sample_kernel(n_sites: int, u1: bool):
-    def kernel(seed_ref, wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
-               samples_ref, lp_ref):
+def _make_sample_kernel(n_sites: int, u1: bool, num_layers: int):
+    def kernel(seed_ref, *rest):
+        wrefs, (samples_ref, lp_ref) = rest[:-2], rest[-2:]
         t = lp_ref.shape[1]
-        u = whT.shape[1]
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE)
-        w = (wxT[:], whT[:], bxT[:], bhT[:], awT[:], abT[:], pwT[:], pbT[:])
+        w = _split_w(wrefs, num_layers)
+        u = w[1].shape[1]
 
         def body(n, carry):
             h, x, num_up, acc = carry
@@ -198,7 +219,7 @@ def _make_sample_kernel(n_sites: int, u1: bool):
             samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
             return h_new, s, num_up + s, acc
 
-        h0 = jnp.zeros((u, t), jnp.float32)
+        h0 = jnp.zeros((num_layers * u, t), jnp.float32)
         z = jnp.zeros((1, t), jnp.float32)
         _, _, _, acc = jax.lax.fori_loop(0, n_sites, body, (h0, z, z, z))
         lp_ref[:] = acc
@@ -209,16 +230,16 @@ def _make_sample_kernel(n_sites: int, u1: bool):
 def crnn_sample(params, seed: jax.Array, num_samples: int, n_sites: int, u1: bool):
     """Returns (samples (B, N) int32, log p (B,) f32) — log p is the sampling
     density log |psi|^2."""
-    (cell,) = params["rnn"]
-    u = cell["wh"].shape[0]
+    num_layers = len(params["rnn"])
+    u = params["rnn"][0]["wh"].shape[0]
     b_pad = _round_up(max(num_samples, 8), TILE)
 
     samples, lp = pl.pallas_call(
-        _make_sample_kernel(n_sites, u1),
+        _make_sample_kernel(n_sites, u1, num_layers),
         grid=(b_pad // TILE,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + _weightT_specs(u),
+        ] + _weightT_specs(u, num_layers),
         out_specs=(
             pl.BlockSpec((n_sites, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),

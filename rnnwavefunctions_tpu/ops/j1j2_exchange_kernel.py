@@ -36,7 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
 from .tfim_flip_kernel import _pick_tile
-from .fused_crnn import LOG_ZERO, _crnn_site_rows, _weightsT, _weightT_specs
+from .fused_crnn import (
+    LOG_ZERO, _crnn_site_rows, _split_w, _weightsT, _weightT_specs,
+)
 from .seeding import TILE_SEED_STRIDE
 
 GROUP = 8
@@ -44,33 +46,36 @@ GROUP = 8
 
 def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                  has_nnn: bool, periodic: bool = False,
-                 sample_mode: bool = False):
+                 sample_mode: bool = False, num_layers: int = 1):
+    nw = 4 * num_layers + 4
+
     def kernel(*refs):
         if sample_mode:
-            (seed_ref,
-             wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
-             samples_ref, eoff_re_ref, eoff_im_ref, lp_re_ref, lp_im_ref,
+            seed_ref = refs[0]
+            wrefs = refs[1 : 1 + nw]
+            (samples_ref, eoff_re_ref, eoff_im_ref, lp_re_ref, lp_im_ref,
              h_hist, pfx_re, pfx_im, cup,
-             wf_h, wf_x, wf_xv, wf_up, wf_re, wf_im) = refs
+             wf_h, wf_x, wf_xv, wf_up, wf_re, wf_im) = refs[1 + nw :]
             pltpu.prng_seed(
                 seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
             )
         else:
-            (samples_ref,                  # (N, T) int32
-             wxT, whT, bxT, bhT, awT, abT, pwT, pbT,
-             eoff_re_ref, eoff_im_ref,     # (1, T) f32
-             lp_re_ref, lp_im_ref,         # (1, T) f32 base log-amp parts
-             h_hist,                       # scratch (N, U, T)
-             pfx_re, pfx_im,               # scratch (N, T): inclusive prefixes
-             cup,                          # scratch (N, T): ups before site n
-             wf_h,                         # scratch (U, GROUP*T)
-             wf_x, wf_xv,                  # scratch (1, GROUP*T): input+valid
-             wf_up,                        # scratch (1, GROUP*T): up-counts
-             wf_re, wf_im,                 # scratch (1, GROUP*T): accumulators
-             ) = refs
+            samples_ref = refs[0]              # (N, T) int32
+            wrefs = refs[1 : 1 + nw]
+            (eoff_re_ref, eoff_im_ref,         # (1, T) f32
+             lp_re_ref, lp_im_ref,             # (1, T) f32 base log-amp parts
+             h_hist,                           # scratch (N, L*U, T)
+             pfx_re, pfx_im,                   # scratch (N, T): prefixes
+             cup,                              # scratch (N, T): up-counts
+             wf_h,                             # scratch (L*U, GROUP*T)
+             wf_x, wf_xv,                      # scratch (1, GROUP*T)
+             wf_up,                            # scratch (1, GROUP*T)
+             wf_re, wf_im,                     # scratch (1, GROUP*T)
+             ) = refs[1 + nw :]
         t = eoff_re_ref.shape[1]
-        u = whT.shape[1]
-        w = (wxT[:], whT[:], bxT[:], bhT[:], awT[:], abT[:], pwT[:], pbT[:])
+        w = _split_w(wrefs, num_layers)
+        u = w[1].shape[1]  # awT (2, U)
+        lu = num_layers * u
         zero_row = jnp.zeros((1, t), jnp.float32)
 
         def read_s(n):
@@ -106,7 +111,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
             cup[pl.ds(n, 1), :] = num_up
             return h_new, s, num_up + s, re, im
 
-        h0 = jnp.zeros((u, t), jnp.float32)
+        h0 = jnp.zeros((lu, t), jnp.float32)
         _, _, _, base_re, base_im = jax.lax.fori_loop(
             0, n_sites, base_body, (h0, zero_row, zero_row, zero_row, zero_row)
         )
@@ -281,19 +286,21 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
     as real/imag parts.  lp_* are the base log-amplitude parts (free).
     """
     b, n = samples.shape
-    (cell,) = params["rnn"]
-    u = cell["wh"].shape[0]
-    tile, spill = _pick_tile(n, u)
+    num_layers = len(params["rnn"])
+    u = params["rnn"][0]["wh"].shape[0]
+    units = (u,) * num_layers
+    tile, spill = _pick_tile(n, units)
     assert not spill, "exchange kernel requires a VMEM-resident history"
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     outs = pl.pallas_call(
-        _make_kernel(n, u1, el_nn, el_nnn, has_nnn, periodic),
+        _make_kernel(n, u1, el_nn, el_nnn, has_nnn, periodic,
+                     num_layers=num_layers),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _weightT_specs(u),
+        ] + _weightT_specs(u, num_layers),
         out_specs=tuple(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
             for _ in range(4)
@@ -301,19 +308,19 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
         out_shape=tuple(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32) for _ in range(4)
         ),
-        scratch_shapes=_scratch(n, u, tile),
+        scratch_shapes=_scratch(n, num_layers * u, tile),
     )(seq, *_weightsT(params))
     eoff_re, eoff_im, lp_re, lp_im = outs
     return eoff_re[0, :b], eoff_im[0, :b], lp_re[0, :b], lp_im[0, :b]
 
 
-def _scratch(n, u, tile):
+def _scratch(n, lu, tile):
     return [
-        pltpu.VMEM((n, u, tile), jnp.float32),
+        pltpu.VMEM((n, lu, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
-        pltpu.VMEM((u, GROUP * tile), jnp.float32),
+        pltpu.VMEM((lu, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
@@ -339,19 +346,20 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
     Returns (samples (B, N) int32, eoff_re, eoff_im, lp_re, lp_im), the lp_*
     being the base log-amplitude parts of the drawn samples.
     """
-    (cell,) = params["rnn"]
-    u = cell["wh"].shape[0]
-    tile, spill = _pick_tile(n_sites, u)
+    num_layers = len(params["rnn"])
+    u = params["rnn"][0]["wh"].shape[0]
+    units = (u,) * num_layers
+    tile, spill = _pick_tile(n_sites, units)
     assert not spill, "exchange kernel requires a VMEM-resident history"
     b_pad = _round_up(max(num_samples, 8), tile)
 
     outs = pl.pallas_call(
         _make_kernel(n_sites, u1, el_nn, el_nnn, has_nnn, periodic,
-                     sample_mode=True),
+                     sample_mode=True, num_layers=num_layers),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + _weightT_specs(u),
+        ] + _weightT_specs(u, num_layers),
         out_specs=(
             pl.BlockSpec((n_sites, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -364,7 +372,7 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
         ) + tuple(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32) for _ in range(4)
         ),
-        scratch_shapes=_scratch(n_sites, u, tile),
+        scratch_shapes=_scratch(n_sites, num_layers * u, tile),
     )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
     seq, eoff_re, eoff_im, lp_re, lp_im = outs
     b = num_samples

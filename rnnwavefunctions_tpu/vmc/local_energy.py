@@ -157,7 +157,7 @@ def make_local_energy_fn(
             local_energy_mdrnn.needs_log_amp = False
             return local_energy_mdrnn
 
-    # ---- fused triangular spin-exchange path (J1-J2 OBC + 1-layer cRNN).
+    # ---- fused triangular spin-exchange path (J1-J2 + cRNN stacks).
     exch = getattr(hamiltonian, "exchange_kernel_info", None)
     if (
         exch is not None
@@ -165,7 +165,6 @@ def make_local_energy_fn(
         and hasattr(ansatz, "_use_pallas")
         and ansatz._kernelizable()
         and ansatz._use_pallas()
-        and len(getattr(ansatz, "units", (0,))) == 1  # cRNN kernels: 1 layer
     ):
         from ..ops import tfim_flip_kernel
         from ..ops.j1j2_exchange_kernel import j1j2_exchange_offdiag

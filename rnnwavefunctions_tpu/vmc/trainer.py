@@ -204,7 +204,7 @@ class VMCTrainer:
 
                 return fused_mdrnn
 
-        # J1-J2 OBC + single-layer cRNN
+        # J1-J2 + cRNN (uniform-width stacks)
         exch = getattr(ham, "exchange_kernel_info", None)
         if (
             exch is not None
@@ -212,7 +212,6 @@ class VMCTrainer:
             and hasattr(ansatz, "_use_pallas")
             and ansatz._kernelizable()
             and ansatz._use_pallas()
-            and len(getattr(ansatz, "units", (0,))) == 1
         ):
             from ..ops import tfim_flip_kernel as tk
             from ..ops.j1j2_exchange_kernel import j1j2_sample_and_exchange

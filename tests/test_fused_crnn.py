@@ -165,3 +165,56 @@ def test_j1j2_periodic_exchange_matches_generic():
         np.testing.assert_allclose(
             np.asarray(e_im), np.asarray(want_im), rtol=2e-4, atol=1e-5
         )
+
+
+def test_stacked_crnn_kernels_match_jnp():
+    """2-layer cRNN trunk through all fused kernels: log-amp parts, sampler
+    density, and the exchange estimator vs the generic path."""
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    from rnnwavefunctions_tpu.ops import fused_crnn
+    from rnnwavefunctions_tpu.ops.j1j2_exchange_kernel import (
+        j1j2_exchange_offdiag, j1j2_sample_and_exchange,
+    )
+    from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+    n = 8
+    ansatz = CRNNU1(num_sites=n, units=(10, 10), impl="jnp")
+    ham = J1J2(num_sites=n, j2=0.2)
+    params = ansatz.init(jax.random.PRNGKey(11))
+    samples = ansatz.sample(params, jax.random.PRNGKey(12), 19)
+
+    want_re, want_im = ansatz._log_amp_parts_jnp(params, samples)
+    with pltpu.force_tpu_interpret_mode():
+        got_re, got_im = fused_crnn.crnn_log_amp_parts(params, samples, True)
+        s2, lp2 = fused_crnn.crnn_sample(params, jnp.int32(5), 16, n, True)
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(want_re),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(want_im),
+                               atol=1e-4)
+    want_lp2 = 2.0 * np.asarray(ansatz._log_amp_parts_jnp(params, s2)[0])
+    np.testing.assert_allclose(np.asarray(lp2), want_lp2, atol=1e-4)
+
+    le = make_local_energy_fn(ansatz, ham)
+    e_want_re, e_want_im, _ = le(
+        params, samples, ansatz.log_amp_parts(params, samples)
+    )
+    info = ham.exchange_kernel_info
+    with pltpu.force_tpu_interpret_mode():
+        e_re, e_im, lp_re, lp_im = j1j2_exchange_offdiag(
+            params, samples, u1=True, el_nn=info["el_nn"],
+            el_nnn=info["el_nnn"], has_nnn=info["has_nnn"],
+        )
+        s3, e3_re, e3_im, lp3_re, lp3_im = j1j2_sample_and_exchange(
+            params, jnp.int32(7), 12, n, u1=True, el_nn=info["el_nn"],
+            el_nnn=info["el_nnn"], has_nnn=info["has_nnn"],
+        )
+    diag = np.asarray(jax.vmap(ham.diagonal)(samples))
+    np.testing.assert_allclose(diag + np.asarray(e_re),
+                               np.asarray(e_want_re), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_im), np.asarray(e_want_im),
+                               rtol=2e-4, atol=1e-5)
+    w3_re, w3_im = ansatz._log_amp_parts_jnp(params, s3)
+    np.testing.assert_allclose(np.asarray(lp3_re), np.asarray(w3_re),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp3_im), np.asarray(w3_im),
+                               atol=1e-4)
