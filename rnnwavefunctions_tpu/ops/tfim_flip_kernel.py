@@ -52,10 +52,15 @@ from .fused_gru import (
 )
 from .seeding import TILE_SEED_STRIDE
 
-FLIP_TILE = 256  # sample rows per grid program
+FLIP_TILE = 512  # max sample rows per grid program
 GROUP = 8        # flips advanced together per wavefront iteration
 _MIN_TILE = 128  # Pallas TPU lane-dim block minimum
-_VMEM_BUDGET = 10 * 1024 * 1024  # bytes for the (N, L*U, T) hidden history
+# Joint budget for history + resident scratch (VMEM is ~16 MB/core; leave
+# headroom for Mosaic's own input/output double-buffering).  Wider tiles
+# amortize the serial matmul-chain latency floor (~1 us fixed per dependent
+# (3U, U) x (U, G*T) site-advance, measured in
+# scripts/exp_wavefront_pipeline.py), worth ~4% at N=100.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _round8(x: int) -> int:
@@ -82,13 +87,19 @@ def _resident_bytes(n: int, units, tile: int) -> int:
 
 def _pick_tile(n: int, units):
     """(tile, spill): largest power-of-two tile (<= FLIP_TILE, >= 128) whose
-    hidden-state history fits the VMEM budget; when even the minimum tile
-    cannot hold the history, spill it to HBM (manual DMA) and size the tile
-    by the VMEM-resident pieces only."""
+    hidden-state history PLUS resident scratch fits the VMEM budget; when
+    even the minimum tile cannot hold the history, spill it to HBM (manual
+    DMA) and size the tile by the VMEM-resident pieces only."""
     tile = FLIP_TILE
-    while tile > _MIN_TILE and _hist_bytes(n, units, tile) > _VMEM_BUDGET:
+    while tile > _MIN_TILE and (
+        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
+        > _VMEM_BUDGET
+    ):
         tile //= 2
-    if _hist_bytes(n, units, tile) <= _VMEM_BUDGET:
+    if (
+        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
+        <= _VMEM_BUDGET
+    ):
         return tile, False
     tile = FLIP_TILE
     while tile > _MIN_TILE and _resident_bytes(n, units, tile) > _VMEM_BUDGET:
@@ -98,11 +109,12 @@ def _pick_tile(n: int, units):
 
 def supports(n: int, units) -> bool:
     """True when the wavefront estimator applies: either the (N, L*U, T)
-    hidden history fits VMEM (N ~ 360 single-layer at 50 units) or the
+    hidden history fits VMEM (N ~ 400 single-layer at 50 units) or the
     VMEM-resident pieces fit with the history spilled to HBM via DMA —
     which covers the reference's largest published chains (N=1000)."""
     return (
-        _hist_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+        _hist_bytes(n, units, _MIN_TILE) + _resident_bytes(n, units, _MIN_TILE)
+        <= _VMEM_BUDGET
         or _resident_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
     )
 
@@ -110,7 +122,10 @@ def supports(n: int, units) -> bool:
 def supports_resident(n: int, units) -> bool:
     """VMEM-resident history only (the cRNN exchange kernel has no spill
     path yet)."""
-    return _hist_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+    return (
+        _hist_bytes(n, units, _MIN_TILE) + _resident_bytes(n, units, _MIN_TILE)
+        <= _VMEM_BUDGET
+    )
 
 
 def _logp_rows(l0, l1, s):

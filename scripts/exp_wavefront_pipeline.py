@@ -80,30 +80,82 @@ def logp_rows(l0, l1, s):
 
 
 def make_kernel(variant):
-    gates = gru_gates_cheap if variant == "v1" else gru_gates
+    # Ablations: v1 cheap gates (no transcendentals); v2/v3 split half-chain
+    # (software pipelining attempts); v4 genuine bf16 matmuls; v5 no one-hot
+    # input path (gx = bias only); v6 = v5 + cheap gates; v7 skeleton
+    # (matmuls + loop structure only, no gate math at all).
+    gates = gru_gates_cheap if variant in ("v1", "v6") else gru_gates
     split = variant in ("v2", "v3")
     carry_pre = variant == "v3"
+    bf16 = variant in ("v4", "v8")  # both matmul operands bf16, f32 accum
+    no_gx = variant in ("v5", "v6", "v7", "v8", "v10", "v11")
+    skeleton = variant in ("v7", "v8", "v10", "v11")
+    unroll2 = variant == "v9"  # ramp with inits, steady loop 2 sites/iter
+    no_head = variant == "v10"   # skeleton minus the head matmul
+    merged_head = variant == "v11"  # head rows folded into the main matmul
+    paired = variant in ("v13", "v14", "v15")  # two full-width chains
+    pair_carry = variant == "v13"  # v13 carries pre-acts; v14 all in-body
+    pair_hcarry = variant == "v15"  # v15: branch-free steady, h as carries
     half = GROUP // 2
 
     def kernel(samples_ref, wxT, whT, bxT, bhT, hwT, hbT,
-               eoff_ref, lp_ref, h_hist, pfx, fl, wf_h, wf_x, wf_acc):
+               eoff_ref, lp_ref, h_hist, pfx, fl, wf_h, wf_x, wf_acc,
+               *extra):
         t = eoff_ref.shape[1]
         zero_row = jnp.zeros((1, t), jnp.float32)
+        # With bf16, the weight refs arrive as bf16 and the hidden-state
+        # scratch (h_hist, wf_h) is bf16, so the dot operands are genuinely
+        # bf16 — casting f32->bf16 inside the kernel right before a
+        # f32-accumulating dot gets canonicalized away (bit-identical
+        # results, no speedup).
+        hdt = jnp.bfloat16 if bf16 else jnp.float32
 
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
 
         def gx_of(x, x_scale):
+            if no_gx:
+                return bxT[:]
             return x_scale * (
-                (1.0 - x) * wxT[:, 0:1] + x * wxT[:, 1:2]
+                (1.0 - x) * wxT[:, 0:1].astype(jnp.float32)
+                + x * wxT[:, 1:2].astype(jnp.float32)
             ) + bxT[:]
 
+        def mm_h(h):
+            return jnp.dot(whT[:], h.astype(hdt),
+                           preferred_element_type=jnp.float32)
+
+        def mm_head(h):
+            return jnp.dot(hwT[:], h.astype(hdt),
+                           preferred_element_type=jnp.float32)
+
         def full_step(x, x_scale, h):
-            gx = gx_of(x, x_scale)
-            gh = jnp.dot(whT[:], h, preferred_element_type=jnp.float32) + bhT[:]
-            h_new = gates(gx, gh, h)
-            logits = jnp.dot(hwT[:], h_new,
-                             preferred_element_type=jnp.float32) + hbT[:]
+            # h arrives in hdt (from the hdt scratch refs / loop carry) and
+            # h_new is returned in hdt so every store/dot stays natively hdt.
+            if merged_head:
+                # ONE matmul per step: [whT; hwT] @ h — timing probe for the
+                # deferred-head restructure (logits here are of h, not h_new;
+                # wrong numerics, representative schedule).
+                big = jnp.concatenate(
+                    [whT[:].astype(jnp.float32), hwT[:].astype(jnp.float32)],
+                    axis=0,
+                ).astype(hdt)
+                out = jnp.dot(big, h.astype(hdt),
+                              preferred_element_type=jnp.float32)
+                gh = out[: 3 * U] + bhT[:]
+                h_new = (gh[:U] * 0.2).astype(hdt)
+                logits = out[3 * U :] + hbT[:]
+                return h_new, logits[0:1, :], logits[1:2, :]
+            gh = mm_h(h) + bhT[:]
+            if skeleton:
+                h_new = (gh[:U] * 0.2).astype(hdt)
+            else:
+                gx = gx_of(x, x_scale)
+                h_new = gates(gx, gh, h.astype(jnp.float32)).astype(hdt)
+            if no_head:
+                logits = gh[:2] + hbT[:]
+            else:
+                logits = mm_head(h_new) + hbT[:]
             return h_new, logits[0:1, :], logits[1:2, :]
 
         # ---- base pass
@@ -117,7 +169,7 @@ def make_kernel(variant):
             fl[pl.ds(n, 1), :] = logp_rows(l0, l1, 1.0 - s)
             return h_new, s, acc
 
-        h0 = jnp.zeros((U, t), jnp.float32)
+        h0 = jnp.zeros((U, t), hdt)
         _, _, lp_base = jax.lax.fori_loop(
             0, N, base_body, (h0, zero_row, zero_row)
         )
@@ -178,7 +230,33 @@ def make_kernel(variant):
             wf_acc[:] = jnp.zeros_like(wf_acc)
             init_col(g0)
 
-            if not carry_pre:
+            if unroll2:
+                # ramp with the init branches, then a steady loop advancing
+                # 2 sites per fori iteration (halves scalar loop overhead).
+                ramp_end = jnp.minimum(g0 + 1 + GROUP, N)
+
+                def ramp_body(n, _):
+                    @pl.when((n - 1 > g0) & (n - 1 < jnp.minimum(g0 + GROUP, N)))
+                    def _():
+                        init_col(n - 1)
+
+                    wavefront_step_fused(n)
+                    return 0
+
+                jax.lax.fori_loop(g0 + 1, ramp_end, ramp_body, 0)
+
+                def pair_body(i, _):
+                    n = ramp_end + 2 * i
+                    wavefront_step_fused(n)
+
+                    @pl.when(n + 1 < N)
+                    def _():
+                        wavefront_step_fused(n + 1)
+
+                    return 0
+
+                jax.lax.fori_loop(0, (N - ramp_end + 1) // 2, pair_body, 0)
+            elif not carry_pre:
                 step_fn = (
                     wavefront_step_split if split else wavefront_step_fused
                 )
@@ -260,13 +338,203 @@ def make_kernel(variant):
             return 0
 
         eoff_ref[:] = zero_row
-        jax.lax.fori_loop(0, num_groups, group_body, 0)
+        if paired:
+            # Two full-width chains (groups 2p, 2p+1) advance in one site
+            # loop; each chain's recurrent-matmul latency hides under the
+            # other chain's gate math (carried pre-activations).
+            wf_h2, wf_x2, wf_acc2 = extra
+            A = (wf_h, wf_x, wf_acc)
+            Bc = (wf_h2, wf_x2, wf_acc2)
+
+            def init_c(refs, i):
+                h_ref, x_ref, acc_ref = refs
+                sl = pl.ds((i % GROUP) * t, t)
+                h_ref[:, sl] = h_hist[pl.ds(i, 1)][0]
+                x_ref[:, sl] = 1.0 - read_s(i)
+                p_before = jnp.where(
+                    i > 0, pfx[pl.ds(jnp.maximum(i - 1, 0), 1), :], zero_row
+                )
+                acc_ref[:, sl] = p_before + fl[pl.ds(i, 1), :]
+
+            def step_c(refs, n):
+                h_ref, x_ref, acc_ref = refs
+                s_n = read_s(n)
+                tgt = jnp.concatenate([s_n] * GROUP, axis=1)
+                h_new, l0, l1 = full_step(x_ref[:], 1.0, h_ref[:])
+                h_ref[:] = h_new
+                x_ref[:] = tgt
+                acc_ref[:] = acc_ref[:] + logp_rows(l0, l1, tgt)
+
+            def epilogue(refs, g0):
+                acc_ref = refs[2]
+                for k in range(GROUP):
+                    i = g0 + k
+
+                    @pl.when(i < N)
+                    def _(k=k, i=i):
+                        @pl.when(i >= N - 1)
+                        def _():
+                            init_c(refs, i)
+
+                        acc = acc_ref[:, pl.ds(k * t, t)]
+                        eoff_ref[:] = eoff_ref[:] + jnp.exp(
+                            0.5 * (acc - lp_base)
+                        )
+
+            npairs = num_groups // 2
+
+            def pair_body(p, _):
+                gA = 2 * p * GROUP
+                gB = gA + GROUP
+                for refs in (A, Bc):
+                    refs[0][:] = jnp.zeros_like(refs[0])
+                    refs[1][:] = jnp.zeros_like(refs[1])
+                    refs[2][:] = jnp.zeros_like(refs[2])
+                init_c(A, gA)
+
+                ramp_end = jnp.minimum(gB + GROUP + 1, N)
+
+                def ramp_body(n, _):
+                    @pl.when(
+                        (n - 1 > gA) & (n - 1 < jnp.minimum(gA + GROUP, N))
+                    )
+                    def _():
+                        init_c(A, n - 1)
+
+                    @pl.when(
+                        (n - 1 >= gB) & (n - 1 < jnp.minimum(gB + GROUP, N))
+                    )
+                    def _():
+                        init_c(Bc, n - 1)
+
+                    step_c(A, n)
+                    step_c(Bc, n)
+                    return 0
+
+                def dual_body(n, _):
+                    # both matmuls issued before either chain's gate math:
+                    # each MXU drain hides under the other chain's VPU work.
+                    @pl.when(
+                        (n - 1 > gA) & (n - 1 < jnp.minimum(gA + GROUP, N))
+                    )
+                    def _():
+                        init_c(A, n - 1)
+
+                    @pl.when(
+                        (n - 1 >= gB) & (n - 1 < jnp.minimum(gB + GROUP, N))
+                    )
+                    def _():
+                        init_c(Bc, n - 1)
+
+                    s_n = read_s(n)
+                    tgt = jnp.concatenate([s_n] * GROUP, axis=1)
+                    hA, hB = wf_h[:], wf_h2[:]
+                    xA, xB = wf_x[:], wf_x2[:]
+                    preA = mm_h(hA) + bhT[:]
+                    preB = mm_h(hB) + bhT[:]
+                    hA_new = gates(
+                        gx_of(xA, 1.0), preA, hA.astype(jnp.float32)
+                    ).astype(hdt)
+                    hB_new = gates(
+                        gx_of(xB, 1.0), preB, hB.astype(jnp.float32)
+                    ).astype(hdt)
+                    lA = mm_head(hA_new) + hbT[:]
+                    lB = mm_head(hB_new) + hbT[:]
+                    wf_h[:] = hA_new
+                    wf_h2[:] = hB_new
+                    wf_acc[:] = wf_acc[:] + logp_rows(lA[0:1], lA[1:2], tgt)
+                    wf_acc2[:] = wf_acc2[:] + logp_rows(lB[0:1], lB[1:2], tgt)
+                    wf_x[:] = tgt
+                    wf_x2[:] = tgt
+                    return 0
+
+                if pair_hcarry:
+                    # ramp with refs/branches, then a branch-free steady
+                    # loop carrying (hA, hB, accA, accB, x) as VALUES — the
+                    # structure that overlapped in the mm_floor probe.
+                    jax.lax.fori_loop(gA + 1, ramp_end, ramp_body, 0)
+
+                    def steady_v(n, carry):
+                        hA, hB, accA, accB, x = carry
+                        s_n = read_s(n)
+                        tgt = jnp.concatenate([s_n] * GROUP, axis=1)
+                        preA = mm_h(hA) + bhT[:]
+                        preB = mm_h(hB) + bhT[:]
+                        gx = gx_of(x, 1.0)
+                        hA2 = gates(
+                            gx, preA, hA.astype(jnp.float32)
+                        ).astype(hdt)
+                        hB2 = gates(
+                            gx, preB, hB.astype(jnp.float32)
+                        ).astype(hdt)
+                        lA = mm_head(hA2) + hbT[:]
+                        lB = mm_head(hB2) + hbT[:]
+                        accA = accA + logp_rows(lA[0:1], lA[1:2], tgt)
+                        accB = accB + logp_rows(lB[0:1], lB[1:2], tgt)
+                        return hA2, hB2, accA, accB, tgt
+
+                    hA, hB, accA, accB, x = jax.lax.fori_loop(
+                        ramp_end, N, steady_v,
+                        (wf_h[:], wf_h2[:], wf_acc[:], wf_acc2[:],
+                         wf_x[:]),
+                    )
+                    wf_acc[:] = accA
+                    wf_acc2[:] = accB
+                    epilogue(A, gA)
+                    epilogue(Bc, gB)
+                    return 0
+
+                if not pair_carry:
+                    jax.lax.fori_loop(gA + 1, N, dual_body, 0)
+                    epilogue(A, gA)
+                    epilogue(Bc, gB)
+                    return 0
+
+                jax.lax.fori_loop(gA + 1, ramp_end, ramp_body, 0)
+
+                def steady_body(n, carry):
+                    preA, preB = carry
+                    s_n = read_s(n)
+                    tgt = jnp.concatenate([s_n] * GROUP, axis=1)
+                    gxA = gx_of(wf_x[:], 1.0)
+                    hA_new = gates(
+                        gxA, preA, wf_h[:].astype(jnp.float32)
+                    ).astype(hdt)
+                    preA_next = mm_h(hA_new) + bhT[:]
+                    gxB = gx_of(wf_x2[:], 1.0)
+                    hB_new = gates(
+                        gxB, preB, wf_h2[:].astype(jnp.float32)
+                    ).astype(hdt)
+                    preB_next = mm_h(hB_new) + bhT[:]
+                    lA = mm_head(hA_new) + hbT[:]
+                    lB = mm_head(hB_new) + hbT[:]
+                    wf_h[:] = hA_new
+                    wf_h2[:] = hB_new
+                    wf_acc[:] = wf_acc[:] + logp_rows(lA[0:1], lA[1:2], tgt)
+                    wf_acc2[:] = wf_acc2[:] + logp_rows(lB[0:1], lB[1:2], tgt)
+                    wf_x[:] = tgt
+                    wf_x2[:] = tgt
+                    return preA_next, preB_next
+
+                jax.lax.fori_loop(
+                    ramp_end, N, steady_body,
+                    (mm_h(wf_h[:]) + bhT[:], mm_h(wf_h2[:]) + bhT[:]),
+                )
+                epilogue(A, gA)
+                epilogue(Bc, gB)
+                return 0
+
+            jax.lax.fori_loop(0, npairs, pair_body, 0)
+            jax.lax.fori_loop(2 * npairs, num_groups, group_body, 0)
+        else:
+            jax.lax.fori_loop(0, num_groups, group_body, 0)
 
     return kernel
 
 
-def build(variant):
+def build(variant, tile=TILE):
     kern = make_kernel(variant)
+    hdt = jnp.bfloat16 if variant in ("v4", "v8") else jnp.float32
     w_specs = [
         pl.BlockSpec((3 * U, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * U, U), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -280,15 +548,15 @@ def build(variant):
     def run(seq, w):
         return pl.pallas_call(
             kern,
-            grid=(B // TILE,),
+            grid=(B // tile,),
             in_specs=[
-                pl.BlockSpec((N, TILE), lambda i: (0, i),
+                pl.BlockSpec((N, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ] + w_specs,
             out_specs=(
-                pl.BlockSpec((1, TILE), lambda i: (0, i),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE), lambda i: (0, i),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
@@ -296,25 +564,167 @@ def build(variant):
                 jax.ShapeDtypeStruct((1, B), jnp.float32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((N, U, TILE), jnp.float32),
-                pltpu.VMEM((N, TILE), jnp.float32),
-                pltpu.VMEM((N, TILE), jnp.float32),
-                pltpu.VMEM((U, GROUP * TILE), jnp.float32),
-                pltpu.VMEM((1, GROUP * TILE), jnp.float32),
-                pltpu.VMEM((1, GROUP * TILE), jnp.float32),
-            ],
-        )(seq, w["wxT"], w["whT"], w["bxT"], w["bhT"], w["hwT"], w["hbT"])
+                pltpu.VMEM((N, U, tile), hdt),
+                pltpu.VMEM((N, tile), jnp.float32),
+                pltpu.VMEM((N, tile), jnp.float32),
+                pltpu.VMEM((U, GROUP * tile), hdt),
+                pltpu.VMEM((1, GROUP * tile), jnp.float32),
+                pltpu.VMEM((1, GROUP * tile), jnp.float32),
+            ] + ([
+                pltpu.VMEM((U, GROUP * tile), hdt),
+                pltpu.VMEM((1, GROUP * tile), jnp.float32),
+                pltpu.VMEM((1, GROUP * tile), jnp.float32),
+            ] if variant in ("v13", "v14", "v15") else []),
+        )(seq, w["wxT"], w["whT"].astype(hdt), w["bxT"], w["bhT"],
+          w["hwT"].astype(hdt), w["hbT"])
 
     @jax.jit
     def run_reps(seq, w):
+        # optimization_barrier ties the (loop-invariant) inputs to the scan
+        # carry so XLA cannot hoist the pallas_call out of the loop — without
+        # it the whole scan CSEs to a single kernel launch and the "timing"
+        # is pure dispatch noise.
         def body(carry, _):
-            e, lp = run(seq, w)
-            return carry + e[0, 0] + lp[0, 0], None
+            seq_b, c = jax.lax.optimization_barrier((seq, carry))
+            e, lp = run(seq_b, w)
+            return c + e[0, 0] + lp[0, 0], None
 
         acc, _ = jax.lax.scan(body, 0.0, None, length=REPS)
         return acc
 
     return run, run_reps
+
+
+def overlap_probe(steps=1526, lanes=GROUP * TILE, mode="both"):
+    """Can Mosaic overlap MXU and VPU work from independent chains?
+    mode: "mm" = matmul chain only, "vpu" = gate-math chain only,
+    "both" = the two interleaved.  both ~= max(mm, vpu) -> overlap works;
+    both ~= mm + vpu -> strictly serial issue."""
+
+    def vpu_work(g):
+        # roughly one GRU step's worth of gate math on (3U, lanes)
+        r = jax.nn.sigmoid(g[:U])
+        z = jax.nn.sigmoid(g[U : 2 * U])
+        c = jnp.tanh(g[2 * U :] + r * g[2 * U :])
+        out = z * c + (1.0 - z) * r
+        return jnp.concatenate([out, out, out], axis=0) * 0.2 + 0.1
+
+    def kernel(whT, out_ref):
+        def body(i, carry):
+            h, g = carry
+            if mode in ("mm", "both"):
+                h = (jnp.dot(whT[:], h,
+                             preferred_element_type=jnp.float32)[:U] * 0.2)
+            if mode in ("vpu", "both"):
+                g = vpu_work(g)
+            return h, g
+
+        h0 = jnp.full((U, lanes), 0.01, jnp.float32)
+        g0 = jnp.full((3 * U, lanes), 0.3, jnp.float32)
+        h, g = jax.lax.fori_loop(0, steps, body, (h0, g0))
+        out_ref[:] = h + g[:U]
+
+    @jax.jit
+    def run(w):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec((3 * U, U), lambda: (0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((U, lanes), lambda: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((U, lanes), jnp.float32),
+        )(w)
+
+    @jax.jit
+    def run_reps(w):
+        def body(carry, _):
+            w_b, c = jax.lax.optimization_barrier((w, carry))
+            o = run(w_b)
+            return c + o[0, 0], None
+
+        acc, _ = jax.lax.scan(body, 0.0, None, length=REPS)
+        return acc
+
+    w = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (3 * U, U))
+    float(run_reps(w))
+    times = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        float(run_reps(w))
+        times.append((time.perf_counter() - t0) / REPS)
+    med = sorted(times)[len(times) // 2]
+    print(f"overlap_probe(mode={mode}, lanes={lanes}): "
+          f"{med / steps * 1e6:.3f} us/step")
+    return med / steps
+
+
+def mm_floor(steps=1526, bf16=False, lanes=GROUP * TILE, chains=1,
+             unroll=1):
+    """Serial-matmul chains: h_c <- 0.2 * (whT @ h_c)[:U] for ``chains``
+    independent states of (U, lanes), nothing else.  The per-step time is
+    the hard floor of any wavefront site-advance; scaling in ``lanes`` and
+    ``chains`` separates MXU latency from feed/throughput limits."""
+    hdt = jnp.bfloat16 if bf16 else jnp.float32
+
+    def kernel(whT, out_ref):
+        def body(i, hs):
+            for _ in range(unroll):
+                outs = tuple(
+                    jnp.dot(whT[:], h, preferred_element_type=jnp.float32)
+                    for h in hs
+                )
+                hs = tuple((o[:U] * 0.2).astype(hdt) for o in outs)
+            return hs
+
+        h0 = tuple(
+            jnp.full((U, lanes), 0.01 * (c + 1), hdt)
+            for c in range(chains)
+        )
+        hs = jax.lax.fori_loop(0, steps // unroll, body, h0)
+        acc = hs[0]
+        for h in hs[1:]:
+            acc = acc + h
+        out_ref[:] = acc.astype(jnp.float32)
+
+    @jax.jit
+    def run(w):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec((3 * U, U), lambda: (0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((U, lanes), lambda: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((U, lanes), jnp.float32),
+        )(w.astype(hdt))
+
+    @jax.jit
+    def run_reps(w):
+        def body(carry, _):
+            w_b, c = jax.lax.optimization_barrier((w, carry))
+            o = run(w_b)
+            return c + o[0, 0], None
+
+        acc, _ = jax.lax.scan(body, 0.0, None, length=REPS)
+        return acc
+
+    w = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (3 * U, U))
+    float(run_reps(w))
+    times = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        float(run_reps(w))
+        times.append((time.perf_counter() - t0) / REPS)
+    med = sorted(times)[len(times) // 2]
+    per = med / steps * 1e6
+    print(
+        f"mm_floor(bf16={int(bf16)}, lanes={lanes}, chains={chains}): "
+        f"{per:.3f} us/step ({per / chains / (lanes / 2048):.3f} us per "
+        f"2048-lane chain-step)"
+    )
 
 
 def main():
@@ -327,8 +737,8 @@ def main():
 
     results = {}
     ref = None
-    for variant in ("v0", "v1", "v2", "v3"):
-        run, run_reps = build(variant)
+    for variant, tile in (("v0", 256), ("v0-t512", 512)):
+        run, run_reps = build(variant.split("-")[0], tile=tile)
         e, lp = run(seq, w)
         e = jax.device_get(e)
         if variant == "v0":
