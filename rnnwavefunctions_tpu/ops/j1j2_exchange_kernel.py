@@ -23,6 +23,13 @@ and complex ratios as real pairs
 Periodic chains are handled too: the <= 3 wrap-around bonds diverge at
 site 0/1 of the prefix order, so they run as full-length trajectories in
 one extra shared wavefront block (~N/G extra iterations).
+
+Long chains whose (N, L*U, T) hidden history exceeds VMEM spill it to HBM
+exactly like the TFIM flip kernel: the base pass streams history rows out
+through a 2-slot DMA ring, and every wavefront column initialization DMAs
+one row back through a staging buffer.  Each bond family re-reads its
+divergence rows, so the read traffic is ~3N rows/tile (NN + NNN + wraps) —
+still negligible against the O(N^2) wavefront matmuls.
 """
 
 from __future__ import annotations
@@ -35,33 +42,94 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
-from .tfim_flip_kernel import _pick_tile
+from .tfim_flip_kernel import (
+    _MIN_TILE, _VMEM_BUDGET, _batch_cap, _hist_bytes, _norm_units, _round8,
+)
 from .fused_crnn import (
     LOG_ZERO, _crnn_site_rows, _split_w, _weightsT, _weightT_specs,
 )
 from .seeding import TILE_SEED_STRIDE
 
 GROUP = 8
+# Spilled (long-chain) kernels run the minimum 128-lane tile, where the
+# cRNN's long dependent per-site chain (gates -> candidate -> two heads ->
+# U(1) mask -> renormalize) leaves the wavefront latency-bound: doubling
+# the group amortizes it (measured N=1000 S=64: G8 1077 ms/step, G16 802,
+# G32 937).  Resident configs keep G=8 (wider tiles already saturate, and
+# garbage columns cost G/N).
+SPILL_GROUP = 16
+
+
+def _resident_bytes(n: int, units, tile: int, group: int = SPILL_GROUP) -> int:
+    """VMEM bytes excluding the hidden history: samples + the three (N, T)
+    prefix/up-count rows, the six wavefront blocks, and the spill ring +
+    staging buffer (conservatively sized with the spill group)."""
+    lu = _round8(sum(_norm_units(units)))
+    rows = 4 * n  # samples (int32) + pfx_re + pfx_im + cup
+    wf = lu * group + 5 * group + 3 * lu  # wf blocks + DMA ring + staging
+    return (rows + wf) * tile * 4
+
+
+def _pick_tile(n: int, units, batch=None):
+    """(tile, spill) for the exchange kernel's VMEM footprint; the tile is
+    capped by the actual batch (padding columns are pure waste)."""
+    cap = _batch_cap(batch)
+    tile = cap
+    while tile > _MIN_TILE and (
+        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
+        > _VMEM_BUDGET
+    ):
+        tile //= 2
+    if (
+        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
+        <= _VMEM_BUDGET
+    ):
+        return tile, False
+    tile = cap
+    while tile > _MIN_TILE and _resident_bytes(n, units, tile) > _VMEM_BUDGET:
+        tile //= 2
+    return tile, True
+
+
+def supports(n: int, units) -> bool:
+    """True when the exchange wavefront estimator applies: history resident
+    in VMEM, or spilled to HBM with the resident pieces fitting."""
+    return (
+        _hist_bytes(n, units, _MIN_TILE) + _resident_bytes(n, units, _MIN_TILE)
+        <= _VMEM_BUDGET
+        or _resident_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+    )
 
 
 def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                  has_nnn: bool, periodic: bool = False,
-                 sample_mode: bool = False, num_layers: int = 1):
+                 sample_mode: bool = False, num_layers: int = 1,
+                 spill: bool = False, group: int = GROUP):
     nw = 4 * num_layers + 4
 
     def kernel(*refs):
         if sample_mode:
             seed_ref = refs[0]
             wrefs = refs[1 : 1 + nw]
-            (samples_ref, eoff_re_ref, eoff_im_ref, lp_re_ref, lp_im_ref,
-             h_hist, pfx_re, pfx_im, cup,
-             wf_h, wf_x, wf_xv, wf_up, wf_re, wf_im) = refs[1 + nw :]
+            rest = refs[1 + nw :]
             pltpu.prng_seed(
                 seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
             )
         else:
             samples_ref = refs[0]              # (N, T) int32
             wrefs = refs[1 : 1 + nw]
+            rest = refs[1 + nw :]
+        if sample_mode:
+            samples_ref = rest[0]
+            rest = rest[1:]
+        # h_hist sits at the same position whether it is a VMEM scratch
+        # (resident) or the extra HBM output (spill).
+        if spill:
+            (eoff_re_ref, eoff_im_ref, lp_re_ref, lp_im_ref,
+             h_hist, pfx_re, pfx_im, cup,
+             wf_h, wf_x, wf_xv, wf_up, wf_re, wf_im,
+             ring, staging, sem_wr, sem_rd) = rest
+        else:
             (eoff_re_ref, eoff_im_ref,         # (1, T) f32
              lp_re_ref, lp_im_ref,             # (1, T) f32 base log-amp parts
              h_hist,                           # scratch (N, L*U, T)
@@ -71,15 +139,60 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
              wf_x, wf_xv,                      # scratch (1, GROUP*T)
              wf_up,                            # scratch (1, GROUP*T)
              wf_re, wf_im,                     # scratch (1, GROUP*T)
-             ) = refs[1 + nw :]
+             ) = rest
         t = eoff_re_ref.shape[1]
         w = _split_w(wrefs, num_layers)
         u = w[1].shape[1]  # awT (2, U)
         lu = num_layers * u
+        tid = pl.program_id(0)
         zero_row = jnp.zeros((1, t), jnp.float32)
 
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
+
+        if spill:
+            lu_pad = _round8(lu)
+
+            def _ring_dma(slot, i):
+                return pltpu.make_async_copy(
+                    ring.at[pl.ds(slot * lu_pad, lu_pad)],
+                    h_hist.at[tid, i],
+                    sem_wr.at[slot],
+                )
+
+            def hist_write(n, h_new):
+                slot = n % 2
+                @pl.when(n >= 2)
+                def _():
+                    _ring_dma(slot, n - 2).wait()
+
+                ring[pl.ds(slot * lu_pad, lu), :] = h_new
+                _ring_dma(slot, n).start()
+
+            def hist_drain():
+                @pl.when(n_sites >= 2)
+                def _():
+                    _ring_dma((n_sites - 2) % 2, n_sites - 2).wait()
+
+                @pl.when(n_sites >= 1)
+                def _():
+                    _ring_dma((n_sites - 1) % 2, n_sites - 1).wait()
+
+            def hist_read_into_wf(i, k):
+                """wf_h column block k <- history row i (i >= 0)."""
+                cp = pltpu.make_async_copy(h_hist.at[tid, i], staging, sem_rd)
+                cp.start()
+                cp.wait()
+                wf_h[:, pl.ds(k * t, t)] = staging[0:lu, :]
+        else:
+            def hist_write(n, h_new):
+                h_hist[pl.ds(n, 1)] = h_new[None]
+
+            def hist_drain():
+                pass
+
+            def hist_read_into_wf(i, k):
+                wf_h[:, pl.ds(k * t, t)] = h_hist[pl.ds(i, 1)][0]
 
         # ---- base pass
         def base_body(n, carry):
@@ -105,7 +218,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 s = read_s(n)
             re = re + 0.5 * jnp.where(s > 0.5, lp1, lp0)
             im = im + jnp.where(s > 0.5, ph1, ph0)
-            h_hist[pl.ds(n, 1)] = h_new[None]
+            hist_write(n, h_new)
             pfx_re[pl.ds(n, 1), :] = re
             pfx_im[pl.ds(n, 1), :] = im
             cup[pl.ds(n, 1), :] = num_up
@@ -115,21 +228,27 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
         _, _, _, base_re, base_im = jax.lax.fori_loop(
             0, n_sites, base_body, (h0, zero_row, zero_row, zero_row, zero_row)
         )
+        hist_drain()
         lp_re_ref[:] = base_re
         lp_im_ref[:] = base_im
 
         # ---- grouped wavefront over bonds of one family (fixed gap) --------
         def family(gap, num_bonds, el, eoff_re, eoff_im):
-            num_groups = -(-num_bonds // GROUP)
+            num_groups = -(-num_bonds // group)
 
             def init_col(i):
                 """Bond i diverges at site i: state/prefix from before i."""
-                k = i % GROUP
+                k = i % group
                 sl = pl.ds(k * t, t)
-                h_prev = jnp.where(
-                    i > 0, h_hist[pl.ds(jnp.maximum(i - 1, 0), 1)][0], 0.0
-                )
-                wf_h[:, sl] = h_prev
+
+                @pl.when(i > 0)
+                def _():
+                    hist_read_into_wf(jnp.maximum(i - 1, 0), k)
+
+                @pl.when(i == 0)
+                def _():
+                    wf_h[:, sl] = jnp.zeros((lu, t), jnp.float32)
+
                 wf_x[:, sl] = jnp.where(
                     i > 0, read_s(jnp.maximum(i - 1, 0)), 0.0
                 )
@@ -143,19 +262,19 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 )
 
             def group_body(g, _):
-                g0 = g * GROUP
+                g0 = g * group
                 init_col(g0)
 
                 def site_body(n, _):
-                    # bonds g0+1 .. g0+GROUP-1 initialize as their site comes
-                    @pl.when((n > g0) & (n < jnp.minimum(g0 + GROUP, num_bonds)))
+                    # bonds g0+1 .. g0+group-1 initialize as their site comes
+                    @pl.when((n > g0) & (n < jnp.minimum(g0 + group, num_bonds)))
                     def _():
                         init_col(n)
 
                     s_n = read_s(n)
                     # per-column targets: flip where n == i_k or n == i_k+gap
                     tgts = []
-                    for k in range(GROUP):
+                    for k in range(group):
                         i_k = g0 + k
                         flip = jnp.where(
                             (n == i_k) | (n == i_k + gap), 1.0, 0.0
@@ -177,7 +296,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
 
                 jax.lax.fori_loop(g0, n_sites, site_body, 0)
 
-                for k in range(GROUP):
+                for k in range(group):
                     i = g0 + k
 
                     @pl.when(i < num_bonds)
@@ -200,9 +319,10 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
         def wrap_family(bonds):
             def init_wcol(k, i):
                 sl = pl.ds(k * t, t)
-                wf_h[:, sl] = jnp.where(
-                    i > 0, h_hist[pl.ds(max(i - 1, 0), 1)][0], 0.0
-                )
+                if i > 0:
+                    hist_read_into_wf(i - 1, k)
+                else:
+                    wf_h[:, sl] = jnp.zeros((lu, t), jnp.float32)
                 wf_x[:, sl] = jnp.where(
                     i > 0, read_s(max(i - 1, 0)), 0.0
                 )
@@ -228,7 +348,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
 
                 s_n = read_s(n)
                 tgts = []
-                for k in range(GROUP):
+                for k in range(group):
                     if k < len(bonds):
                         a, bsite, _ = bonds[k]
                         flip = jnp.where((n == a) | (n == bsite), 1.0, 0.0)
@@ -289,14 +409,17 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
     num_layers = len(params["rnn"])
     u = params["rnn"][0]["wh"].shape[0]
     units = (u,) * num_layers
-    tile, spill = _pick_tile(n, units)
-    assert not spill, "exchange kernel requires a VMEM-resident history"
+    tile, spill = _pick_tile(n, units, b)
+    group = SPILL_GROUP if spill else GROUP
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+    hist_specs, hist_shapes = _hist_out(
+        n, units, tile, b_pad // tile, spill
+    )
 
     outs = pl.pallas_call(
         _make_kernel(n, u1, el_nn, el_nnn, has_nnn, periodic,
-                     num_layers=num_layers),
+                     num_layers=num_layers, spill=spill, group=group),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -304,29 +427,50 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
         out_specs=tuple(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
             for _ in range(4)
-        ),
+        ) + tuple(hist_specs),
         out_shape=tuple(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32) for _ in range(4)
-        ),
-        scratch_shapes=_scratch(n, num_layers * u, tile),
+        ) + tuple(hist_shapes),
+        scratch_shapes=_scratch(n, num_layers * u, tile, spill, group),
     )(seq, *_weightsT(params))
-    eoff_re, eoff_im, lp_re, lp_im = outs
+    eoff_re, eoff_im, lp_re, lp_im = outs[:4]
     return eoff_re[0, :b], eoff_im[0, :b], lp_re[0, :b], lp_im[0, :b]
 
 
-def _scratch(n, lu, tile):
-    return [
-        pltpu.VMEM((n, lu, tile), jnp.float32),
+def _hist_out(n, units, tile, num_tiles, spill):
+    """Extra HBM output carrying the spilled history ((tiles, N, LU_pad, T));
+    empty for the VMEM-resident variant."""
+    if not spill:
+        return [], []
+    lu_pad = _round8(sum(_norm_units(units)))
+    return (
+        [pl.BlockSpec(memory_space=pltpu.HBM)],
+        [jax.ShapeDtypeStruct((num_tiles, n, lu_pad, tile), jnp.float32)],
+    )
+
+
+def _scratch(n, lu, tile, spill=False, group=GROUP):
+    hist = [] if spill else [pltpu.VMEM((n, lu, tile), jnp.float32)]
+    out = hist + [
         pltpu.VMEM((n, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
-        pltpu.VMEM((lu, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((lu, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
     ]
+    if spill:
+        lu_pad = _round8(lu)
+        out += [
+            pltpu.VMEM((2 * lu_pad, tile), jnp.float32),  # base DMA ring
+            pltpu.VMEM((lu_pad, tile), jnp.float32),      # read staging
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+    return out
 
 
 @functools.partial(
@@ -349,13 +493,17 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
     num_layers = len(params["rnn"])
     u = params["rnn"][0]["wh"].shape[0]
     units = (u,) * num_layers
-    tile, spill = _pick_tile(n_sites, units)
-    assert not spill, "exchange kernel requires a VMEM-resident history"
+    tile, spill = _pick_tile(n_sites, units, num_samples)
+    group = SPILL_GROUP if spill else GROUP
     b_pad = _round_up(max(num_samples, 8), tile)
+    hist_specs, hist_shapes = _hist_out(
+        n_sites, units, tile, b_pad // tile, spill
+    )
 
     outs = pl.pallas_call(
         _make_kernel(n_sites, u1, el_nn, el_nnn, has_nnn, periodic,
-                     sample_mode=True, num_layers=num_layers),
+                     sample_mode=True, num_layers=num_layers, spill=spill,
+                     group=group),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -366,15 +514,15 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
         ) + tuple(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
             for _ in range(4)
-        ),
+        ) + tuple(hist_specs),
         out_shape=(
             jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
         ) + tuple(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32) for _ in range(4)
-        ),
-        scratch_shapes=_scratch(n_sites, num_layers * u, tile),
+        ) + tuple(hist_shapes),
+        scratch_shapes=_scratch(n_sites, num_layers * u, tile, spill, group),
     )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
-    seq, eoff_re, eoff_im, lp_re, lp_im = outs
+    seq, eoff_re, eoff_im, lp_re, lp_im = outs[:5]
     b = num_samples
     return (seq[:, :b].T, eoff_re[0, :b], eoff_im[0, :b],
             lp_re[0, :b], lp_im[0, :b])

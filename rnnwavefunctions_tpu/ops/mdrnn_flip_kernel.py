@@ -52,8 +52,10 @@ def _bytes(nx: int, ny: int, u: int, tile: int) -> int:
     return hist + rowbuf
 
 
-def _pick_tile(nx: int, ny: int, u: int) -> int:
-    tile = 256
+def _pick_tile(nx: int, ny: int, u: int, batch=None) -> int:
+    from .tfim_flip_kernel import _batch_cap
+
+    tile = min(256, _batch_cap(batch))
     while tile > _MIN_TILE and _bytes(nx, ny, u, tile) > _VMEM_BUDGET:
         tile //= 2
     return tile
@@ -247,7 +249,7 @@ def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
     b = samples.shape[0]
     u = params["cell"]["wh"].shape[0]
     ns = nx * ny
-    tile = _pick_tile(nx, ny, u)
+    tile = _pick_tile(nx, ny, u, b)
     b_pad = _round_up(max(b, 8), tile)
     xx, yy = visit_order(nx, ny)
     seq_v = samples[:, xx, yy].T  # (NS, B), visit order
@@ -283,7 +285,7 @@ def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     """
     u = params["cell"]["wh"].shape[0]
     ns = nx * ny
-    tile = _pick_tile(nx, ny, u)
+    tile = _pick_tile(nx, ny, u, num_samples)
     b_pad = _round_up(max(num_samples, 8), tile)
 
     seq, eoff, lp = pl.pallas_call(

@@ -55,12 +55,13 @@ from .seeding import TILE_SEED_STRIDE
 FLIP_TILE = 512  # max sample rows per grid program
 GROUP = 8        # flips advanced together per wavefront iteration
 _MIN_TILE = 128  # Pallas TPU lane-dim block minimum
-# Joint budget for history + resident scratch (VMEM is ~16 MB/core; leave
-# headroom for Mosaic's own input/output double-buffering).  Wider tiles
-# amortize the serial matmul-chain latency floor (~1 us fixed per dependent
-# (3U, U) x (U, G*T) site-advance, measured in
-# scripts/exp_wavefront_pipeline.py), worth ~4% at N=100.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Joint budget for history + resident scratch (VMEM is ~16 MB/core; the
+# remainder covers Mosaic's input/output buffers — the N=100 flagship
+# compiles and runs at 13.4 MB accounted).  Wider tiles amortize the serial
+# matmul-chain latency floor (~1 us fixed per dependent (3U, U) x (U, G*T)
+# site-advance, measured in scripts/exp_wavefront_pipeline.py): the 512-row
+# flagship tile measures +4.5% over 256 back-to-back on-chip.
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _round8(x: int) -> int:
@@ -85,12 +86,27 @@ def _resident_bytes(n: int, units, tile: int) -> int:
     return (rows + wf) * tile * 4
 
 
-def _pick_tile(n: int, units):
-    """(tile, spill): largest power-of-two tile (<= FLIP_TILE, >= 128) whose
-    hidden-state history PLUS resident scratch fits the VMEM budget; when
-    even the minimum tile cannot hold the history, spill it to HBM (manual
-    DMA) and size the tile by the VMEM-resident pieces only."""
-    tile = FLIP_TILE
+def _batch_cap(batch) -> int:
+    """Smallest power-of-two tile (>= 128) covering the actual batch: tiles
+    wider than the batch only compute padding columns (at small-sample
+    spill configs, e.g. N=1000 S=64, an uncapped 512-tile wastes 8x the
+    lanes — measured 1.8x slower than the capped kernel)."""
+    if batch is None:
+        return FLIP_TILE
+    cap = _MIN_TILE
+    while cap < min(batch, FLIP_TILE):
+        cap *= 2
+    return cap
+
+
+def _pick_tile(n: int, units, batch=None):
+    """(tile, spill): largest power-of-two tile (<= FLIP_TILE, >= 128,
+    <= the batch cap) whose hidden-state history PLUS resident scratch fits
+    the VMEM budget; when even the minimum tile cannot hold the history,
+    spill it to HBM (manual DMA) and size the tile by the VMEM-resident
+    pieces only."""
+    cap = _batch_cap(batch)
+    tile = cap
     while tile > _MIN_TILE and (
         _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
         > _VMEM_BUDGET
@@ -101,7 +117,7 @@ def _pick_tile(n: int, units):
         <= _VMEM_BUDGET
     ):
         return tile, False
-    tile = FLIP_TILE
+    tile = cap
     while tile > _MIN_TILE and _resident_bytes(n, units, tile) > _VMEM_BUDGET:
         tile //= 2
     return tile, True
@@ -116,15 +132,6 @@ def supports(n: int, units) -> bool:
         _hist_bytes(n, units, _MIN_TILE) + _resident_bytes(n, units, _MIN_TILE)
         <= _VMEM_BUDGET
         or _resident_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
-    )
-
-
-def supports_resident(n: int, units) -> bool:
-    """VMEM-resident history only (the cRNN exchange kernel has no spill
-    path yet)."""
-    return (
-        _hist_bytes(n, units, _MIN_TILE) + _resident_bytes(n, units, _MIN_TILE)
-        <= _VMEM_BUDGET
     )
 
 
@@ -368,7 +375,7 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
     num_layers = len(params["rnn"])
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile, spill = _pick_tile(n, units)
+    tile, spill = _pick_tile(n, units, b)
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
     hist_specs, hist_shapes = _hist_out(n, units, tile, b_pad // tile, spill)
@@ -405,7 +412,7 @@ def tfim_flip_log_probs(params, samples: jax.Array):
     num_layers = len(params["rnn"])
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile, spill = _pick_tile(n, units)
+    tile, spill = _pick_tile(n, units, b)
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
     hist_specs, hist_shapes = _hist_out(n, units, tile, b_pad // tile, spill)
@@ -445,7 +452,7 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     """
     num_layers = len(params["rnn"])
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile, spill = _pick_tile(n_sites, units)
+    tile, spill = _pick_tile(n_sites, units, num_samples)
     b_pad = _round_up(max(num_samples, 8), tile)
     eoff_rows = n_sites if per_flip else 1
     hist_specs, hist_shapes = _hist_out(

@@ -166,10 +166,10 @@ def make_local_energy_fn(
         and ansatz._kernelizable()
         and ansatz._use_pallas()
     ):
-        from ..ops import tfim_flip_kernel
+        from ..ops import j1j2_exchange_kernel
         from ..ops.j1j2_exchange_kernel import j1j2_exchange_offdiag
 
-        if tfim_flip_kernel.supports_resident(ansatz.num_sites, ansatz.units):
+        if j1j2_exchange_kernel.supports(ansatz.num_sites, ansatz.units):
 
             def local_energy_exchange(params, samples, log_amp_samples=None):
                 diag = jax.vmap(hamiltonian.diagonal)(samples)

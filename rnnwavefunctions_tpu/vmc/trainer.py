@@ -213,10 +213,10 @@ class VMCTrainer:
             and ansatz._kernelizable()
             and ansatz._use_pallas()
         ):
-            from ..ops import tfim_flip_kernel as tk
+            from ..ops import j1j2_exchange_kernel as xk
             from ..ops.j1j2_exchange_kernel import j1j2_sample_and_exchange
 
-            if tk.supports_resident(ansatz.num_sites, ansatz.units):
+            if xk.supports(ansatz.num_sites, ansatz.units):
                 n = ansatz.num_sites
 
                 def fused_j1j2(params, key, num_samples):

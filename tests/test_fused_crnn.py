@@ -218,3 +218,41 @@ def test_stacked_crnn_kernels_match_jnp():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(lp3_im), np.asarray(w3_im),
                                atol=1e-4)
+
+
+def test_spill_exchange_kernel_matches_resident(monkeypatch):
+    """The HBM-spilled-history exchange variant (long chains) must reproduce
+    the VMEM-resident kernel exactly; forced here by shrinking the VMEM
+    budget so a small case takes the spill path.  Periodic wrap bonds
+    exercise the static-index history reads too."""
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    from rnnwavefunctions_tpu.ops import j1j2_exchange_kernel as xk
+
+    n = 10
+    ansatz = CRNNU1(num_sites=n, units=(8,), impl="jnp")
+    ham = J1J2(num_sites=n, j2=0.2, periodic=True)
+    info = ham.exchange_kernel_info
+    params = ansatz.init(jax.random.PRNGKey(21))
+    samples = ansatz.sample(params, jax.random.PRNGKey(22), 17)
+    kw = dict(u1=True, el_nn=info["el_nn"], el_nnn=info["el_nnn"],
+              has_nnn=info["has_nnn"], periodic=info["periodic"])
+
+    with pltpu.force_tpu_interpret_mode():
+        r0 = xk.j1j2_exchange_offdiag(params, samples, **kw)
+
+    monkeypatch.setattr(xk, "_VMEM_BUDGET", 40 * 1024)
+    tile, spill = xk._pick_tile(n, ansatz.units)
+    assert spill, "budget override must force the spill path"
+    # tile selection happens at trace time: drop the resident-traced entry
+    xk.j1j2_exchange_offdiag.clear_cache()
+    with pltpu.force_tpu_interpret_mode():
+        r1 = xk.j1j2_exchange_offdiag(params, samples, **kw)
+        s2, e2_re, e2_im, lp2_re, lp2_im = xk.j1j2_sample_and_exchange(
+            params, jnp.int32(13), 16, n, **kw
+        )
+    for a, b in zip(r1, r0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s2).sum(axis=1), n // 2)
+    w_re, w_im = ansatz._log_amp_parts_jnp(params, s2)
+    np.testing.assert_allclose(np.asarray(lp2_re), np.asarray(w_re), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp2_im), np.asarray(w_im), atol=1e-4)
