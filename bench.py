@@ -46,20 +46,23 @@ NUM_TRIALS = 5
 GROUP = 8  # wavefront group width (ops/tfim_flip_kernel.GROUP)
 
 
-def _wavefront_cols(n_bonds, n_sites, first_site):
+def _wavefront_cols(n_bonds, n_sites, first_site, group=GROUP):
     """Total wavefront (iteration, column-block) site-advances: every group
-    of GROUP trajectories advances together from its first divergence site
-    to the end of the chain."""
+    of ``group`` trajectories advances together from its first divergence
+    site to the end of the chain."""
     total = 0
     g0 = 0
     while g0 < n_bonds:
-        total += max(0, n_sites - (g0 + first_site)) * GROUP
-        g0 += GROUP
+        total += max(0, n_sites - (g0 + first_site)) * group
+        g0 += group
     return total
 
 
-def flops_tfim_plain(n, u, s):
-    c = 6 * u * u + 4 * u  # per site-column
+def flops_tfim_plain(n, u, s, layers=1):
+    # per site-column matmul cost of an L-layer stack: layer 0 consumes the
+    # 2-dim one-hot (3U x U recurrent only), deeper layers add a 3U x U
+    # input matmul as well
+    c = 6 * u * u * (2 * layers - 1) + 4 * u
     base = n * c                       # fused sample + base pass
     wf = _wavefront_cols(n, n, 1) * c  # flip suffixes
     loss = 4 * n * c                   # pallas fwd + jnp vjp (fwd + 2x bwd)
@@ -73,10 +76,13 @@ def flops_tfim_parity(n, u, s):
     return s * (2 * one_dir + loss)
 
 
-def flops_j1j2(n, u, s):
+def flops_j1j2(n, u, s, group=GROUP):
     c = 6 * u * u + 8 * u  # two heads
     base = n * c
-    wf = (_wavefront_cols(n - 1, n, 0) + _wavefront_cols(n - 2, n, 0)) * c
+    wf = (
+        _wavefront_cols(n - 1, n, 0, group)
+        + _wavefront_cols(n - 2, n, 0, group)
+    ) * c
     loss = 4 * n * c
     return s * (base + wf + loss)
 
@@ -90,12 +96,12 @@ def flops_mdrnn(nx, ny, u, s):
     return s * (base + wf + loss)
 
 
-def measure(trainer):
+def measure(trainer, warmup=WARMUP_STEPS, steps=STEPS_PER_TRIAL):
     state = trainer.init()
     key = jax.random.PRNGKey(0)
     # warmup + compile of the device-side multi-step (one dispatch runs
-    # STEPS_PER_TRIAL full VMC updates in a lax.scan)
-    state, metrics = trainer.run_steps(state, key, WARMUP_STEPS)
+    # ``steps`` full VMC updates in a lax.scan)
+    state, metrics = trainer.run_steps(state, key, warmup)
     float(metrics["mean_energy"][-1])  # value fetch = hard synchronization
 
     # The device link in this environment has variable latency (and
@@ -104,9 +110,9 @@ def measure(trainer):
     rates = []
     for _ in range(NUM_TRIALS):
         t0 = time.perf_counter()
-        state, metrics = trainer.run_steps(state, key, STEPS_PER_TRIAL)
+        state, metrics = trainer.run_steps(state, key, steps)
         energy = float(metrics["mean_energy"][-1])
-        rates.append(STEPS_PER_TRIAL / (time.perf_counter() - t0))
+        rates.append(steps / (time.perf_counter() - t0))
     assert energy < 0.0  # sanity: a real energy was computed
     return sorted(rates)[len(rates) // 2]
 
@@ -123,27 +129,42 @@ def main():
         VMCTrainer,
     )
 
-    cfg = TrainConfig(num_samples=NUM_SAMPLES, learning_rate=5e-3)
+    # (name, ansatz, hamiltonian, num_samples, flops/step).  The two N=1000
+    # rows run the HBM-spilled wavefront kernels at the small-sample spill
+    # configuration (S=64); the 2-layer row tracks the stacked kernels.
     workloads = [
         ("1dtfim_n100", PRNN1D(num_sites=100, units=(50,)),
-         TFIM1D(num_sites=100, bx=1.0), flops_tfim_plain(100, 50, NUM_SAMPLES)),
+         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES,
+         flops_tfim_plain(100, 50, NUM_SAMPLES)),
         ("parity_n100", PRNN1D(num_sites=100, units=(50,), parity=True),
-         TFIM1D(num_sites=100, bx=1.0), flops_tfim_parity(100, 50, NUM_SAMPLES)),
+         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES,
+         flops_tfim_parity(100, 50, NUM_SAMPLES)),
         ("j1j2_n100", CRNNU1(num_sites=100, units=(50,)),
-         J1J2(num_sites=100, j2=0.2), flops_j1j2(100, 50, NUM_SAMPLES)),
+         J1J2(num_sites=100, j2=0.2), NUM_SAMPLES,
+         flops_j1j2(100, 50, NUM_SAMPLES)),
         ("mdrnn_6x6", MDRNN2D(nx=6, ny=6, units=50),
-         TFIM2D(nx=6, ny=6, bx=3.0, encoding="grid"),
+         TFIM2D(nx=6, ny=6, bx=3.0, encoding="grid"), NUM_SAMPLES,
          flops_mdrnn(6, 6, 50, NUM_SAMPLES)),
+        ("1dtfim_2layer_n100", PRNN1D(num_sites=100, units=(50, 50)),
+         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES,
+         flops_tfim_plain(100, 50, NUM_SAMPLES, layers=2)),
+        ("1dtfim_n1000_s64", PRNN1D(num_sites=1000, units=(50,)),
+         TFIM1D(num_sites=1000, bx=1.0), 64,
+         flops_tfim_plain(1000, 50, 64)),
+        ("j1j2_n1000_s64", CRNNU1(num_sites=1000, units=(50,)),
+         J1J2(num_sites=1000, j2=0.2), 64,
+         flops_j1j2(1000, 50, 64, group=16)),
     ]
 
     rows = {}
-    for name, ansatz, ham, flops_per_step in workloads:
+    for name, ansatz, ham, num_samples, flops_per_step in workloads:
+        cfg = TrainConfig(num_samples=num_samples, learning_rate=5e-3)
         trainer = VMCTrainer(ansatz, ham, cfg)
         steps_per_sec = measure(trainer)
         tflops = steps_per_sec * flops_per_step / 1e12
         rows[name] = {
             "steps_per_sec": round(steps_per_sec, 1),
-            "samples_per_sec": round(steps_per_sec * NUM_SAMPLES, 1),
+            "samples_per_sec": round(steps_per_sec * num_samples, 1),
             "model_tflops_per_sec": round(tflops, 2),
             "mfu": round(tflops * 1e12 / PEAK_F32_FLOPS, 4),
         }
