@@ -38,7 +38,10 @@ from .seeding import TILE_SEED_STRIDE
 
 GROUP = 8
 _MIN_TILE = 128
-_VMEM_BUDGET = 9 * 1024 * 1024
+# Joint budget for the cell-output history + per-trajectory row buffer
+# (VMEM ~16 MB/core; the TFIM kernels run at 14 MB accounted).  14 MB
+# reaches 16x16 lattices at 50 units with the minimum tile.
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _round8(x: int) -> int:
