@@ -87,9 +87,15 @@ def run_training(
         it = start
         while it <= num_steps:
             # block ends at the next log_every multiple (so the freshest
-            # metrics entry at block end is exactly the logging step)
-            log_point = ((it + log_every - 1) // log_every) * log_every
-            block = min(log_point, num_steps) - it + 1
+            # metrics entry at block end is exactly the logging step) and
+            # never runs past a checkpoint step (the saved state must be
+            # exactly the ckpt_every-step state, not the block-end state)
+            stop = ((it + log_every - 1) // log_every) * log_every
+            if ckpt_every:
+                stop = min(
+                    stop, ((it + ckpt_every - 1) // ckpt_every) * ckpt_every
+                )
+            block = min(stop, num_steps) - it + 1
 
             if profile_dir is not None and not trace_started and it > start:
                 jax.profiler.start_trace(profile_dir)
@@ -109,13 +115,7 @@ def run_training(
                 (it + j) % save_every == 0 for j in range(block)
             ):
                 metrics.flush_npy()
-            if (
-                ckpt_every
-                and any(
-                    (it + j) % ckpt_every == 0 and it + j > start
-                    for j in range(block)
-                )
-            ):
+            if ckpt_every and last % ckpt_every == 0 and last > start:
                 ckpt.save(state)
             it += block
     finally:

@@ -49,6 +49,8 @@ from .fused_crnn import (
     LOG_ZERO, _crnn_site_rows, _split_w, _weightsT, _weightT_specs,
 )
 from .seeding import TILE_SEED_STRIDE
+from .spill import hist_out as _spill_hist_out
+from .spill import make_hist_io, spill_scratch
 
 GROUP = 8
 # Spilled (long-chain) kernels run the minimum 128-lane tile, where the
@@ -60,10 +62,10 @@ GROUP = 8
 SPILL_GROUP = 16
 
 
-def _resident_bytes(n: int, units, tile: int, group: int = SPILL_GROUP) -> int:
+def _resident_bytes(n: int, units, tile: int, group: int) -> int:
     """VMEM bytes excluding the hidden history: samples + the three (N, T)
     prefix/up-count rows, the six wavefront blocks, and the spill ring +
-    staging buffer (conservatively sized with the spill group)."""
+    staging buffer; sized with the group the kernel will actually run."""
     lu = _round8(sum(_norm_units(units)))
     rows = 4 * n  # samples (int32) + pfx_re + pfx_im + cup
     wf = lu * group + 5 * group + 3 * lu  # wf blocks + DMA ring + staging
@@ -72,32 +74,35 @@ def _resident_bytes(n: int, units, tile: int, group: int = SPILL_GROUP) -> int:
 
 def _pick_tile(n: int, units, batch=None):
     """(tile, spill) for the exchange kernel's VMEM footprint; the tile is
-    capped by the actual batch (padding columns are pure waste)."""
+    capped by the actual batch (padding columns are pure waste).  Each
+    regime is accounted with its own wavefront group (8 resident, 16
+    spilled)."""
     cap = _batch_cap(batch)
     tile = cap
     while tile > _MIN_TILE and (
-        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
+        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile, GROUP)
         > _VMEM_BUDGET
     ):
         tile //= 2
     if (
-        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
+        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile, GROUP)
         <= _VMEM_BUDGET
     ):
         return tile, False
     tile = cap
-    while tile > _MIN_TILE and _resident_bytes(n, units, tile) > _VMEM_BUDGET:
+    while tile > _MIN_TILE and (
+        _resident_bytes(n, units, tile, SPILL_GROUP) > _VMEM_BUDGET
+    ):
         tile //= 2
     return tile, True
 
 
 def supports(n: int, units) -> bool:
-    """True when the exchange wavefront estimator applies: history resident
-    in VMEM, or spilled to HBM with the resident pieces fitting."""
+    """True when the exchange wavefront estimator applies; the spilled
+    variant covers every chain whose non-history pieces fit at the minimum
+    tile (the resident case is a strict subset)."""
     return (
-        _hist_bytes(n, units, _MIN_TILE) + _resident_bytes(n, units, _MIN_TILE)
-        <= _VMEM_BUDGET
-        or _resident_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+        _resident_bytes(n, units, _MIN_TILE, SPILL_GROUP) <= _VMEM_BUDGET
     )
 
 
@@ -144,55 +149,15 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
         w = _split_w(wrefs, num_layers)
         u = w[1].shape[1]  # awT (2, U)
         lu = num_layers * u
-        tid = pl.program_id(0)
         zero_row = jnp.zeros((1, t), jnp.float32)
 
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
 
-        if spill:
-            lu_pad = _round8(lu)
-
-            def _ring_dma(slot, i):
-                return pltpu.make_async_copy(
-                    ring.at[pl.ds(slot * lu_pad, lu_pad)],
-                    h_hist.at[tid, i],
-                    sem_wr.at[slot],
-                )
-
-            def hist_write(n, h_new):
-                slot = n % 2
-                @pl.when(n >= 2)
-                def _():
-                    _ring_dma(slot, n - 2).wait()
-
-                ring[pl.ds(slot * lu_pad, lu), :] = h_new
-                _ring_dma(slot, n).start()
-
-            def hist_drain():
-                @pl.when(n_sites >= 2)
-                def _():
-                    _ring_dma((n_sites - 2) % 2, n_sites - 2).wait()
-
-                @pl.when(n_sites >= 1)
-                def _():
-                    _ring_dma((n_sites - 1) % 2, n_sites - 1).wait()
-
-            def hist_read_into_wf(i, k):
-                """wf_h column block k <- history row i (i >= 0)."""
-                cp = pltpu.make_async_copy(h_hist.at[tid, i], staging, sem_rd)
-                cp.start()
-                cp.wait()
-                wf_h[:, pl.ds(k * t, t)] = staging[0:lu, :]
-        else:
-            def hist_write(n, h_new):
-                h_hist[pl.ds(n, 1)] = h_new[None]
-
-            def hist_drain():
-                pass
-
-            def hist_read_into_wf(i, k):
-                wf_h[:, pl.ds(k * t, t)] = h_hist[pl.ds(i, 1)][0]
+        hist_write, hist_drain, hist_read_into_wf = make_hist_io(
+            spill, h_hist, wf_h, n_sites, lu, t,
+            *((ring, staging, sem_wr, sem_rd) if spill else ()),
+        )
 
         # ---- base pass
         def base_body(n, carry):
@@ -438,15 +403,7 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
 
 
 def _hist_out(n, units, tile, num_tiles, spill):
-    """Extra HBM output carrying the spilled history ((tiles, N, LU_pad, T));
-    empty for the VMEM-resident variant."""
-    if not spill:
-        return [], []
-    lu_pad = _round8(sum(_norm_units(units)))
-    return (
-        [pl.BlockSpec(memory_space=pltpu.HBM)],
-        [jax.ShapeDtypeStruct((num_tiles, n, lu_pad, tile), jnp.float32)],
-    )
+    return _spill_hist_out(sum(_norm_units(units)), n, tile, num_tiles, spill)
 
 
 def _scratch(n, lu, tile, spill=False, group=GROUP):
@@ -463,13 +420,7 @@ def _scratch(n, lu, tile, spill=False, group=GROUP):
         pltpu.VMEM((1, group * tile), jnp.float32),
     ]
     if spill:
-        lu_pad = _round8(lu)
-        out += [
-            pltpu.VMEM((2 * lu_pad, tile), jnp.float32),  # base DMA ring
-            pltpu.VMEM((lu_pad, tile), jnp.float32),      # read staging
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ]
+        out += spill_scratch(lu, tile)
     return out
 
 

@@ -40,7 +40,7 @@ GROUP = 8
 _MIN_TILE = 128
 # Joint budget for the cell-output history + per-trajectory row buffer
 # (VMEM ~16 MB/core; the TFIM kernels run at 14 MB accounted).  14 MB
-# reaches 16x16 lattices at 50 units with the minimum tile.
+# reaches 18x18 lattices at 50 units with the minimum tile (13.4 MB).
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 

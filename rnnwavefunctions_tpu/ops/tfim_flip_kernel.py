@@ -51,6 +51,8 @@ from .fused_gru import (
     _weightT_specs,
 )
 from .seeding import TILE_SEED_STRIDE
+from .spill import hist_out as _spill_hist_out
+from .spill import make_hist_io, spill_scratch
 
 FLIP_TILE = 512  # max sample rows per grid program
 GROUP = 8        # flips advanced together per wavefront iteration
@@ -124,15 +126,12 @@ def _pick_tile(n: int, units, batch=None):
 
 
 def supports(n: int, units) -> bool:
-    """True when the wavefront estimator applies: either the (N, L*U, T)
-    hidden history fits VMEM (N ~ 400 single-layer at 50 units) or the
-    VMEM-resident pieces fit with the history spilled to HBM via DMA —
-    which covers the reference's largest published chains (N=1000)."""
-    return (
-        _hist_bytes(n, units, _MIN_TILE) + _resident_bytes(n, units, _MIN_TILE)
-        <= _VMEM_BUDGET
-        or _resident_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
-    )
+    """True when the wavefront estimator applies.  The spilled variant
+    (history in HBM via DMA — covers the reference's largest published
+    chains, N=1000) only needs the VMEM-resident pieces to fit at the
+    minimum tile; the history-resident case is a strict subset of that, so
+    one check suffices."""
+    return _resident_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
 
 
 def _logp_rows(l0, l1, s):
@@ -195,7 +194,6 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
         u = hwT.shape[1]
         lu = num_layers * u
-        tid = pl.program_id(0)
         zero_row = jnp.zeros((1, t), jnp.float32)
 
         def read_s(n):
@@ -204,51 +202,10 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
         def step(x, x_scale, h_cat):
             return _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u)
 
-        if spill:
-            # history row i of this tile lives at h_hist[tid, i] in HBM,
-            # padded to lu_pad sublanes (DMA slices need 8-aligned dims)
-            lu_pad = _round8(lu)
-
-            def _ring_dma(slot, i):
-                return pltpu.make_async_copy(
-                    ring.at[pl.ds(slot * lu_pad, lu_pad)],
-                    h_hist.at[tid, i],
-                    sem_wr.at[slot],
-                )
-
-            def hist_write(n, h_new):
-                slot = n % 2
-                # the slot's previous DMA (site n-2) must have drained
-                @pl.when(n >= 2)
-                def _():
-                    _ring_dma(slot, n - 2).wait()
-
-                ring[pl.ds(slot * lu_pad, lu), :] = h_new
-                _ring_dma(slot, n).start()
-
-            def hist_drain():
-                @pl.when(n_sites >= 2)
-                def _():
-                    _ring_dma((n_sites - 2) % 2, n_sites - 2).wait()
-
-                @pl.when(n_sites >= 1)
-                def _():
-                    _ring_dma((n_sites - 1) % 2, n_sites - 1).wait()
-
-            def hist_read_into_wf(i, k):
-                cp = pltpu.make_async_copy(h_hist.at[tid, i], staging, sem_rd)
-                cp.start()
-                cp.wait()
-                wf_h[:, pl.ds(k * t, t)] = staging[0:lu, :]
-        else:
-            def hist_write(n, h_new):
-                h_hist[pl.ds(n, 1)] = h_new[None]
-
-            def hist_drain():
-                pass
-
-            def hist_read_into_wf(i, k):
-                wf_h[:, pl.ds(k * t, t)] = h_hist[pl.ds(i, 1)][0]
+        hist_write, hist_drain, hist_read_into_wf = make_hist_io(
+            spill, h_hist, wf_h, n_sites, lu, t,
+            *((ring, staging, sem_wr, sem_rd) if spill else ()),
+        )
 
         # ---- base pass: (draw and) store hidden history, prefix sums,
         # flipped-site logps
@@ -355,15 +312,7 @@ def _flip_wavefront(
 
 
 def _hist_out(n, units, tile, num_tiles, spill):
-    """Extra HBM output carrying the spilled history ((tiles, N, LU, T));
-    empty for the VMEM-resident variant."""
-    if not spill:
-        return [], []
-    lu_pad = _round8(sum(_norm_units(units)))
-    return (
-        [pl.BlockSpec(memory_space=pltpu.HBM)],
-        [jax.ShapeDtypeStruct((num_tiles, n, lu_pad, tile), jnp.float32)],
-    )
+    return _spill_hist_out(sum(_norm_units(units)), n, tile, num_tiles, spill)
 
 
 def tfim_flip_ratio_sum(params, samples: jax.Array):
@@ -497,11 +446,5 @@ def _flip_scratch(n, units, tile, spill=False):
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
     ]
     if spill:
-        lu_pad = _round8(lu)
-        out += [
-            pltpu.VMEM((2 * lu_pad, tile), jnp.float32),  # base DMA ring
-            pltpu.VMEM((lu_pad, tile), jnp.float32),      # read staging
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ]
+        out += spill_scratch(lu, tile)
     return out

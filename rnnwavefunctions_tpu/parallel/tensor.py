@@ -69,6 +69,13 @@ def shard_params(params: Any, k: int, idx) -> Any:
     first, the input rows are the previous layer's *full* hidden (the
     all-gathered activation), so rows stay full there too.
     """
+    for i, cell in enumerate(params["rnn"]):
+        u = cell["wh"].shape[0]
+        if u % k != 0:
+            raise ValueError(
+                f"hidden width {u} of layer {i} is not divisible by "
+                f"tp={k}; pick units that shard evenly"
+            )
     rnn = []
     for cell in params["rnn"]:
         rnn.append({

@@ -126,3 +126,27 @@ def test_profile_trace_capture(tmp_path):
         trainer, num_steps=3, workdir=str(tmp_path), tag="prof2",
         profile_dir=str(tmp_path / "prof2"),
     )
+
+
+def test_ckpt_cadence_saves_exact_step(tmp_path):
+    """With ckpt_every not a multiple of log_every, the saved checkpoint
+    must carry exactly the ckpt_every-step state (blocks stop at checkpoint
+    steps rather than saving the block-end state)."""
+    from rnnwavefunctions_tpu.cli.run_loop import run_training
+
+    trainer = VMCTrainer(
+        PRNN1D(num_sites=6, units=(8,)),
+        TFIM1D(num_sites=6, bx=1.0),
+        TrainConfig(num_samples=32),
+    )
+    run_training(
+        trainer, num_steps=27, workdir=str(tmp_path), tag="cadence",
+        log_every=10, save_every=10, ckpt_every=25,
+    )
+    ckpt = Checkpointer(os.path.join(str(tmp_path), "ckpt_cadence"))
+    steps = sorted(ckpt._mgr.all_steps())
+    # loop indices are reference-style 0..num_steps inclusive and the state
+    # counter counts updates, so cadence index 25 saves as update-count 26
+    # (pre-fix the block ran through index 30's boundary and saved 28+ only)
+    assert 26 in steps, steps
+    assert int(ckpt.restore(trainer.init()).step) == 28  # final save, idx 27

@@ -36,3 +36,28 @@ def _run_notebook(name, overrides):
 def test_notebook_executes_and_converges(name, overrides):
     ns = _run_notebook(name, overrides)
     assert "est" in ns and "e_exact" in ns
+
+
+def test_notebooks_match_generator(tmp_path):
+    """The committed .ipynb files must be exactly what
+    scripts/make_tutorial_notebooks.py emits — otherwise an edit to either
+    side silently diverges the two sources while the execution test keeps
+    passing against the stale artifact."""
+    import importlib.util
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "make_tutorial_notebooks.py"
+    )
+    spec = importlib.util.spec_from_file_location("make_tutorials", script)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["make_tutorials"] = mod
+    spec.loader.exec_module(mod)
+    mod.OUT_DIR = str(tmp_path)
+    mod.main()
+    for name in ("Tutorial_1DTFIM.ipynb", "Tutorial_1DJ1J2.ipynb"):
+        with open(os.path.join(EXAMPLES, name)) as f:
+            committed = f.read()
+        with open(tmp_path / name) as f:
+            generated = f.read()
+        assert committed == generated, f"{name} diverges from its generator"
