@@ -40,8 +40,13 @@ REFERENCE_SAMPLES_PER_SEC_EST = 500.0
 PEAK_F32_FLOPS = 49.2e12  # v5e MXU, f32 (bf16 peak 197 TFLOP/s / 4)
 
 NUM_SAMPLES = 500
-WARMUP_STEPS = 20
-STEPS_PER_TRIAL = 20
+# Trial length trades compile time against amortizing the dev-link's
+# synchronization RTT (~25 ms per value fetch through the relay): at 20
+# steps/dispatch the flagship reads ~275 steps/s, at 100 steps/dispatch the
+# true device rate ~400 steps/s.  Slow workloads (N=1000, ~100 ms/step)
+# keep short trials.
+STEPS_PER_TRIAL = 100
+SLOW_STEPS_PER_TRIAL = 20
 NUM_TRIALS = 5
 GROUP = 8  # wavefront group width (ops/tfim_flip_kernel.GROUP)
 
@@ -96,12 +101,12 @@ def flops_mdrnn(nx, ny, u, s):
     return s * (base + wf + loss)
 
 
-def measure(trainer, warmup=WARMUP_STEPS, steps=STEPS_PER_TRIAL):
+def measure(trainer, steps=STEPS_PER_TRIAL):
     state = trainer.init()
     key = jax.random.PRNGKey(0)
-    # warmup + compile of the device-side multi-step (one dispatch runs
-    # ``steps`` full VMC updates in a lax.scan)
-    state, metrics = trainer.run_steps(state, key, warmup)
+    # warmup + compile of the device-side multi-step at the trial length
+    # (one dispatch runs ``steps`` full VMC updates in a lax.scan)
+    state, metrics = trainer.run_steps(state, key, steps)
     float(metrics["mean_energy"][-1])  # value fetch = hard synchronization
 
     # The device link in this environment has variable latency (and
@@ -160,7 +165,8 @@ def main():
     for name, ansatz, ham, num_samples, flops_per_step in workloads:
         cfg = TrainConfig(num_samples=num_samples, learning_rate=5e-3)
         trainer = VMCTrainer(ansatz, ham, cfg)
-        steps_per_sec = measure(trainer)
+        steps = SLOW_STEPS_PER_TRIAL if "n1000" in name else STEPS_PER_TRIAL
+        steps_per_sec = measure(trainer, steps=steps)
         tflops = steps_per_sec * flops_per_step / 1e12
         rows[name] = {
             "steps_per_sec": round(steps_per_sec, 1),
