@@ -237,15 +237,18 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                         init_col(n)
 
                     s_n = read_s(n)
-                    # per-column targets: flip where n == i_k or n == i_k+gap
-                    tgts = []
-                    for k in range(group):
-                        i_k = g0 + k
-                        flip = jnp.where(
-                            (n == i_k) | (n == i_k + gap), 1.0, 0.0
-                        )
-                        tgts.append(jnp.abs(s_n - flip))
-                    tgt = jnp.concatenate(tgts, axis=1)     # (1, GROUP*T)
+                    # per-column targets: column block k serves bond
+                    # i_k = g0 + k, flipped where n == i_k or n == i_k+gap
+                    # (one vectorized compare via a lane-indexed iota
+                    # instead of a group-long unrolled select chain)
+                    i_lane = g0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, group * t), 1
+                    ) // t
+                    flip = jnp.where(
+                        (n == i_lane) | (n == i_lane + gap), 1.0, 0.0
+                    )
+                    s_n_t = jnp.concatenate([s_n] * group, axis=1)
+                    tgt = jnp.abs(s_n_t - flip)             # (1, GROUP*T)
                     nf = n.astype(jnp.float32)
                     h_new, lp0, lp1, ph0, ph1 = _crnn_site_rows(
                         wf_x[:], wf_xv[:], wf_h[:], w, nf, wf_up[:],

@@ -184,22 +184,21 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
                 )                                             # (U, T)
                 h_v_wf = rowbuf[pl.ds(xx, 1)][0]              # (U, GROUP*T)
 
-                tgts, xvs, hv_sel = [], [], []
-                for kk_ in range(GROUP):
-                    f = g0 + kk_
-                    flip_here = jnp.where(m == f, 1.0, 0.0)
-                    tgts.append(jnp.abs(s_m - flip_here))
-                    flip_up = jnp.where(vis_up == f, 1.0, 0.0)
-                    xvs.append(jnp.abs(s_up - sv * flip_up))
-                    # vertical state: wavefront-recomputed iff source >= f
-                    hv_sel.append(
-                        jnp.where(vis_up >= f, 1.0, 0.0) + zero_row
-                    )
-                tgt = jnp.concatenate(tgts, axis=1)           # (1, G*T)
-                x_v = jnp.concatenate(xvs, axis=1)
-                sel = jnp.concatenate(hv_sel, axis=1)         # (1, G*T)
+                # per-column flip index as a lane-indexed iota: column block
+                # k serves flip f = g0 + k, so one vectorized compare per
+                # quantity replaces a GROUP-long unrolled select chain
+                f_lane = g0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, GROUP * t), 1
+                ) // t                                        # (1, G*T)
+                s_m_t = jnp.concatenate([s_m] * GROUP, axis=1)
+                s_up_t = jnp.concatenate([s_up] * GROUP, axis=1)
+                flip_here = jnp.where(m == f_lane, 1.0, 0.0)
+                tgt = jnp.abs(s_m_t - flip_here)              # (1, G*T)
+                flip_up = jnp.where(vis_up == f_lane, 1.0, 0.0)
+                x_v = jnp.abs(s_up_t - sv * flip_up)
+                # vertical state: wavefront-recomputed iff source >= f
                 h_v = jnp.where(
-                    sel > 0.5,
+                    vis_up >= f_lane,
                     h_v_wf,
                     jnp.concatenate([h_v_base] * GROUP, axis=1),
                 )
