@@ -166,6 +166,9 @@ def main():
         cfg = TrainConfig(num_samples=num_samples, learning_rate=5e-3)
         trainer = VMCTrainer(ansatz, ham, cfg)
         steps = SLOW_STEPS_PER_TRIAL if "n1000" in name else STEPS_PER_TRIAL
+        if name == "mdrnn_6x6":
+            # sub-ms steps need longer dispatches to amortize the sync RTT
+            steps = 4 * STEPS_PER_TRIAL
         steps_per_sec = measure(trainer, steps=steps)
         tflops = steps_per_sec * flops_per_step / 1e12
         rows[name] = {

@@ -1,0 +1,49 @@
+"""Wavefront kernel tile/spill selection: batch caps, VMEM budgets, and
+regime-specific group accounting (pure host logic, no device)."""
+
+from rnnwavefunctions_tpu.ops import j1j2_exchange_kernel as xk
+from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+from rnnwavefunctions_tpu.ops import tfim_flip_kernel as tk
+
+
+def test_batch_cap_rounds_to_power_of_two_tiles():
+    assert tk._batch_cap(None) == tk.FLIP_TILE
+    assert tk._batch_cap(1) == 128
+    assert tk._batch_cap(64) == 128
+    assert tk._batch_cap(128) == 128
+    assert tk._batch_cap(129) == 256
+    assert tk._batch_cap(500) == 512
+    assert tk._batch_cap(10_000) == tk.FLIP_TILE
+
+
+def test_flagship_configs_select_expected_tiles():
+    # N=100 single layer at 50 units: resident, full 512 tile
+    assert tk._pick_tile(100, (50,), 500) == (512, False)
+    # N=1000 spills and the 64-sample batch caps the tile at the minimum
+    assert tk._pick_tile(1000, (50,), 64) == (128, True)
+    # 2-layer stack: double history, resident at a narrower tile
+    tile, spill = tk._pick_tile(100, (50, 50), 500)
+    assert not spill and tile < 512
+
+
+def test_exchange_regime_groups():
+    # resident exchange configs run GROUP=8; spilled ones SPILL_GROUP=16
+    assert xk._pick_tile(100, (50,), 500) == (512, False)
+    assert xk._pick_tile(1000, (50,), 64) == (128, True)
+    # the resident decision accounts with the resident group (8), which is
+    # strictly cheaper than the spill group's footprint
+    res8 = xk._resident_bytes(100, (50,), 512, xk.GROUP)
+    res16 = xk._resident_bytes(100, (50,), 512, xk.SPILL_GROUP)
+    assert res8 < res16
+    assert tk._hist_bytes(100, (50,), 512) + res8 <= xk._VMEM_BUDGET
+
+
+def test_supports_monotone_in_n():
+    # spill coverage only depends on the resident pieces, so supports()
+    # must be monotone: losing support at N implies no support beyond N
+    for n in (100, 400, 1000, 2000):
+        assert tk.supports(n, (50,))
+        assert xk.supports(n, (50,))
+    assert mk.supports(4, 4, 50) and mk.supports(18, 18, 50)
+    assert not mk.supports(20, 20, 50)  # beyond VMEM reach -> generic
+    assert not mk.supports(1, 36, 50)   # degenerate single-column lattice
