@@ -260,9 +260,12 @@ def _sample_pallas(
 
 def make_log_prob_fn(jnp_log_prob):
     """Build ``log_prob(params, samples)`` that runs the Pallas kernel
-    forward and differentiates through the jnp reference implementation
-    (teacher-forcing BPTT) — the gradient path only ever sees the small
-    S-row surrogate batch, so recompute there is cheap."""
+    forward and the fused Pallas BPTT kernel backward (one launch, history
+    VMEM-resident; ``ops/fused_gru_bwd``).  Chains whose history exceeds
+    VMEM differentiate through the jnp reference implementation instead —
+    the gradient path only ever sees the small S-row surrogate batch, so
+    recompute there stays cheap."""
+    from . import fused_gru_bwd
 
     @jax.custom_vjp
     def log_prob(params, samples):
@@ -273,6 +276,10 @@ def make_log_prob_fn(jnp_log_prob):
 
     def bwd(res, g):
         params, samples = res
+        units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+        b, n = samples.shape
+        if fused_gru_bwd.supports(n, units, b):
+            return fused_gru_bwd.gru_log_prob_bwd(params, samples, g), None
         _, vjp_fn = jax.vjp(lambda p: jnp_log_prob(p, samples), params)
         (dparams,) = vjp_fn(g)
         return dparams, None

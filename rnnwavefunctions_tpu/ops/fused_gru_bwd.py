@@ -1,0 +1,293 @@
+"""Pallas TPU kernel: fused BPTT for the teacher-forced GRU log-probability.
+
+The surrogate-loss gradient differentiates ``log_prob(params, samples)``
+with a per-sample cotangent (the REINFORCE weighting).  The jnp VJP path
+re-runs the site scan twice (forward recompute + reverse accumulation) with
+every activation round-tripping through HBM and XLA's per-step scan
+overhead; at N=100/S=500 that is ~0.44 ms of a 2.6 ms step, and ~50% of
+the (much smaller) MDRNN steps.  This kernel fuses the whole VJP into one
+launch: a forward replay stores the (N, L*U, T) hidden history in VMEM,
+then a reverse sweep recomputes the gates per site and accumulates all
+weight cotangents in-register — HBM traffic is "read samples + cotangent
+once, write one weight-shaped gradient per tile".
+
+Gradient math (reset-after GRU, gate rows [r; z; c] as in ``fused_gru``):
+
+    h' = z*h + (1-z)*c,  c = tanh(gx_c + r*gh_c),  r/z = sigmoid(gx + gh)
+    dz = dh*(h - c);  dc = dh*(1-z);  dac = dc*(1-c^2)
+    dr = dac*gh_c;    dgh_c = dac*r
+    da_r = dr*r*(1-r);  da_z = dz*z*(1-z)
+    da  = [da_r; da_z; dac]    (gx cotangent -> wx, bx)
+    dgh = [da_r; da_z; dgh_c]  (gh cotangent -> wh, bh)
+    dh_prev = dh*z + whT^T dgh
+
+and for the 2-class softmax head, ``dlogit_1 = g*(s - p1) = -dlogit_0``.
+
+Weight cotangents come out in the same transposed layout ``_weightsT``
+feeds the kernels ((3U, in), (3U, U), (3U, 1), (3U, 1) per layer + head
+(2, U), (2, 1)), summed over the batch; grid programs beyond the first
+accumulate into the same output blocks.  Used by ``make_log_prob_fn``'s
+backward when the history fits VMEM; longer chains keep the jnp VJP.
+
+Validated in interpret mode against ``jax.grad`` of the jnp reference path
+(tests/test_fused_gru_bwd.py) — the reference implementation of record
+stays the jnp scan (CLAUDE.md architecture invariants).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_gru import TILE, _round_up, _split_cells, _weightsT, _weightT_specs
+
+_MIN_TILE = 128
+_VMEM_BUDGET = 13 * 1024 * 1024  # history + dh carry + weight accumulators
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _hist_bytes(n: int, units, tile: int) -> int:
+    return n * _round8(sum(units)) * tile * 4
+
+
+def _pick_tile(n: int, units, batch) -> int:
+    """Largest power-of-two tile (>= 128) capped by the batch whose history
+    fits the VMEM budget (narrower tiles just mean more grid programs)."""
+    tile = _MIN_TILE
+    while tile < min(batch, TILE):
+        tile *= 2
+    while tile > _MIN_TILE and _hist_bytes(n, units, tile) > _VMEM_BUDGET:
+        tile //= 2
+    return tile
+
+
+def supports(n: int, units, batch) -> bool:
+    """History-resident only: (N, L*U, T) in VMEM at the minimum tile."""
+    return _hist_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+
+
+def _rowsum(a):
+    return jnp.sum(a, axis=1, keepdims=True)
+
+
+def _dotT_lhs(w, x):
+    """w^T @ x contracting the leading (sublane) dims: (K, M), (K, T) -> (M, T)."""
+    return jax.lax.dot_general(
+        w, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dotT_rhs(a, b):
+    """a @ b^T contracting the lane dims: (M, T), (K, T) -> (M, K)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _make_bwd_kernel(num_layers: int):
+    nw = 4 * num_layers + 2
+
+    def kernel(samples_ref, g_ref, *rest):
+        wrefs = rest[:nw]
+        grefs = rest[nw : 2 * nw]   # outputs: same shapes as the weights
+        h_hist = rest[2 * nw]       # scratch (N, L*U, T)
+        n_sites = samples_ref.shape[0]
+        t = g_ref.shape[1]
+        cells, hwT, hbT = _split_cells(wrefs, num_layers)
+        u = hwT.shape[1]
+        lu = num_layers * u
+
+        def read_s(n):
+            return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
+
+        def gates(l, x_row, inp, x_scale, h_prev):
+            """Recompute (r, z, c, gh_c) for layer l at one site."""
+            wxT, whT, bxT, bhT = cells[l]
+            if l == 0:
+                gx = x_scale * (
+                    (1.0 - x_row) * wxT[:, 0:1] + x_row * wxT[:, 1:2]
+                ) + bxT
+            else:
+                gx = jnp.dot(
+                    wxT, inp, preferred_element_type=jnp.float32
+                ) + bxT
+            gh = jnp.dot(
+                whT, h_prev, preferred_element_type=jnp.float32
+            ) + bhT
+            r = jax.nn.sigmoid(gx[:u] + gh[:u])
+            z = jax.nn.sigmoid(gx[u : 2 * u] + gh[u : 2 * u])
+            c = jnp.tanh(gx[2 * u :] + r * gh[2 * u :])
+            return r, z, c, gh[2 * u :]
+
+        # ---- forward replay: store the hidden history -------------------
+        def fwd_body(n, carry):
+            hs, x_row = carry
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+            new_hs = []
+            inp = None
+            for l in range(num_layers):
+                h_prev = hs[l]
+                r, z, c, _ = gates(l, x_row, inp, x_scale, h_prev)
+                h_new = z * h_prev + (1.0 - z) * c
+                new_hs.append(h_new)
+                inp = h_new
+            h_cat = (
+                new_hs[0] if num_layers == 1
+                else jnp.concatenate(new_hs, axis=0)
+            )
+            h_hist[pl.ds(n, 1)] = h_cat[None]
+            return tuple(new_hs), read_s(n)
+
+        hs0 = tuple(jnp.zeros((u, t), jnp.float32) for _ in range(num_layers))
+        jax.lax.fori_loop(
+            0, n_sites, fwd_body, (hs0, jnp.zeros((1, t), jnp.float32))
+        )
+
+        g = g_ref[:]  # (1, T) per-sample cotangent
+
+        # ---- reverse sweep ---------------------------------------------
+        def layer_rows(hist_row, l):
+            return hist_row[l * u : (l + 1) * u]
+
+        def bwd_body(i, carry):
+            n = n_sites - 1 - i
+            dh_carry, accs = carry  # (L*U, T), tuple of weight cotangents
+            hist_n = h_hist[pl.ds(n, 1)][0]
+            hist_p = jnp.where(
+                n > 0, h_hist[pl.ds(jnp.maximum(n - 1, 0), 1)][0], 0.0
+            )
+            s_n = read_s(n)
+            x_row = jnp.where(n > 0, read_s(jnp.maximum(n - 1, 0)), 0.0)
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+
+            # head: logits from the top-layer state
+            h_top = layer_rows(hist_n, num_layers - 1)
+            logits = jnp.dot(
+                hwT, h_top, preferred_element_type=jnp.float32
+            ) + hbT
+            p1 = jax.nn.sigmoid(logits[1:2] - logits[0:1])
+            dl1 = g * (s_n - p1)
+            dlogits = jnp.concatenate([-dl1, dl1], axis=0)  # (2, T)
+            d_head_w = _dotT_rhs(dlogits, h_top)            # (2, U)
+            d_head_b = _rowsum(dlogits)
+            d_top = (hwT[1:2] - hwT[0:1]).T * dl1           # (U, T)
+
+            new_accs = list(accs)
+            new_accs[nw - 2] = accs[nw - 2] + d_head_w
+            new_accs[nw - 1] = accs[nw - 1] + d_head_b
+
+            d_inp = None  # cotangent flowing into the layer below's output
+            new_dh = []
+            for l in range(num_layers - 1, -1, -1):
+                wxT, whT, _, _ = cells[l]
+                h_prev = layer_rows(hist_p, l)
+                inp = layer_rows(hist_n, l - 1) if l > 0 else None
+                r, z, c, gh_c = gates(l, x_row, inp, x_scale, h_prev)
+
+                dh = dh_carry[l * u : (l + 1) * u]
+                if l == num_layers - 1:
+                    dh = dh + d_top
+                if d_inp is not None:
+                    dh = dh + d_inp
+
+                dz = dh * (h_prev - c)
+                dc = dh * (1.0 - z)
+                dac = dc * (1.0 - c * c)
+                dr = dac * gh_c
+                dgh_c = dac * r
+                da_r = dr * r * (1.0 - r)
+                da_z = dz * z * (1.0 - z)
+                da = jnp.concatenate([da_r, da_z, dac], axis=0)     # (3U, T)
+                dgh = jnp.concatenate([da_r, da_z, dgh_c], axis=0)  # (3U, T)
+
+                dh_prev = dh * z + _dotT_lhs(whT, dgh)
+                new_dh.append(dh_prev)
+
+                k = 4 * l
+                if l == 0:
+                    dwx0 = _rowsum(da * (x_scale * (1.0 - x_row)))
+                    dwx1 = _rowsum(da * (x_scale * x_row))
+                    dwx = jnp.concatenate([dwx0, dwx1], axis=1)     # (3U, 2)
+                    d_inp = None
+                else:
+                    dwx = _dotT_rhs(da, inp)                        # (3U, U)
+                    d_inp = _dotT_lhs(wxT, da)                      # (U, T)
+                new_accs[k] = accs[k] + dwx
+                new_accs[k + 1] = accs[k + 1] + _dotT_rhs(dgh, h_prev)
+                new_accs[k + 2] = accs[k + 2] + _rowsum(da)
+                new_accs[k + 3] = accs[k + 3] + _rowsum(dgh)
+
+            new_dh.reverse()
+            dh_cat = (
+                new_dh[0] if num_layers == 1
+                else jnp.concatenate(new_dh, axis=0)
+            )
+            return dh_cat, tuple(new_accs)
+
+        accs0 = tuple(jnp.zeros_like(r[:]) for r in wrefs)
+        dh0 = jnp.zeros((lu, t), jnp.float32)
+        _, accs = jax.lax.fori_loop(0, n_sites, bwd_body, (dh0, accs0))
+
+        # ---- accumulate across grid programs ----------------------------
+        first = pl.program_id(0) == 0
+        for ref, acc in zip(grefs, accs):
+            @pl.when(first)
+            def _(ref=ref, acc=acc):
+                ref[:] = acc
+
+            @pl.when(jnp.logical_not(first))
+            def _(ref=ref, acc=acc):
+                ref[:] = ref[:] + acc
+
+    return kernel
+
+
+def gru_log_prob_bwd(params, samples: jax.Array, g: jax.Array):
+    """VJP of ``log_prob(params, samples)`` w.r.t. params for cotangent
+    ``g`` (B,).  Returns a params-pytree of gradients."""
+    num_layers = len(params["rnn"])
+    b, n = samples.shape
+    u = params["rnn"][0]["wh"].shape[0]
+    units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+    tile = _pick_tile(n, units, b)
+    b_pad = _round_up(max(b, 8), tile)
+    seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+    g_row = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(g)
+
+    wspecs = _weightT_specs(u, num_layers)
+    wshapes = [
+        jax.ShapeDtypeStruct(s.block_shape, jnp.float32) for s in wspecs
+    ]
+    out_specs = tuple(
+        pl.BlockSpec(s.block_shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for s in wspecs
+    )
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(num_layers),
+        grid=(b_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ] + wspecs,
+        out_specs=out_specs,
+        out_shape=tuple(wshapes),
+        scratch_shapes=[
+            pltpu.VMEM((n, num_layers * u, tile), jnp.float32),
+        ],
+    )(seq, g_row, *_weightsT(params))
+
+    rnn = []
+    for l in range(num_layers):
+        dwxT, dwhT, dbxT, dbhT = outs[4 * l : 4 * l + 4]
+        rnn.append({
+            "wx": dwxT.T, "wh": dwhT.T,
+            "bx": dbxT[:, 0], "bh": dbhT[:, 0],
+        })
+    dhwT, dhbT = outs[-2], outs[-1]
+    return {"rnn": rnn, "head": {"w": dhwT.T, "b": dhbT[:, 0]}}
