@@ -189,7 +189,9 @@ def mdrnn_sample(params, seed: jax.Array, num_samples: int, nx: int, ny: int):
 
 
 def make_mdrnn_log_prob_fn(jnp_log_prob, nx: int, ny: int):
-    """Pallas forward, jnp backward."""
+    """Pallas forward; fused Pallas BPTT backward when the cell-output
+    history fits VMEM (``ops/fused_mdrnn_bwd``), jnp backward beyond."""
+    from . import fused_mdrnn_bwd
 
     @jax.custom_vjp
     def log_prob(params, samples):
@@ -200,6 +202,12 @@ def make_mdrnn_log_prob_fn(jnp_log_prob, nx: int, ny: int):
 
     def bwd(res, g):
         params, samples = res
+        u = params["cell"]["wh"].shape[0]
+        if fused_mdrnn_bwd.supports(nx, ny, u, samples.shape[0]):
+            return (
+                fused_mdrnn_bwd.mdrnn_log_prob_bwd(params, samples, g, nx, ny),
+                None,
+            )
         _, vjp_fn = jax.vjp(lambda p: jnp_log_prob(p, samples), params)
         (dparams,) = vjp_fn(g)
         return dparams, None

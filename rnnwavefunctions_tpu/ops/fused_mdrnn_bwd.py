@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: fused BPTT for the 2D MDRNN log-probability.
+
+The MDRNN gradient is ~50% of small-lattice VMC steps on the jnp VJP path
+(scan-of-scans forward recompute + reverse, every activation through HBM).
+This kernel fuses the VJP into one launch: a boustrophedon forward replay
+stores the (NS, U, T) cell-output history in VMEM, then a reverse sweep
+recomputes each site's pre-activation and routes cotangents along both
+autoregressive links — horizontal (to the previous visit position, a loop
+carry) and vertical (to the same column in the row above, a per-column
+buffer, mirroring the forward's carried row of vertical states).
+
+Per site (``fused_mdrnn._mdrnn_site_rows`` conventions):
+
+    pre = sh*onehot(x_h)·Uh + sv*onehot(x_v)·Uv + Wh·h_h + Wv·h_v + b
+    h = elu(pre);  elu'(pre) = 1 if h > 0 else h + 1   (recomputed from h)
+    dpre = dh * elu'(pre)
+    dh_h = Wh^T dpre (k > 0);  d vh[xx] = sv * Wv^T dpre
+    dUh/dUv via one-hot row sums, dWh += dpre h_h^T, dWv += dpre h_v^T
+
+plus the 2-class softmax head backward (``dlogit_1 = g*(s - p1)``).
+Weight cotangents accumulate across grid programs in the transposed
+kernel layout.  Validated against ``jax.grad`` of the jnp reference path
+(tests/test_fused_gru_bwd.py) — the jnp scan stays the implementation of
+record (CLAUDE.md architecture invariants).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_gru import _round_up
+from .fused_gru_bwd import _MIN_TILE, _VMEM_BUDGET, _dotT_lhs, _dotT_rhs, _rowsum
+from .fused_mdrnn import TILE, _mdrnn_weightsT, _mdrnn_weightT_specs
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _hist_bytes(nx: int, ny: int, u: int, tile: int) -> int:
+    # cell-output history + the per-column vertical cotangent buffer
+    return (nx * ny + nx) * _round8(u) * tile * 4
+
+
+def _pick_tile(nx: int, ny: int, u: int, batch) -> int:
+    tile = _MIN_TILE
+    while tile < min(batch, TILE):
+        tile *= 2
+    while tile > _MIN_TILE and _hist_bytes(nx, ny, u, tile) > _VMEM_BUDGET:
+        tile //= 2
+    return tile
+
+
+def supports(nx: int, ny: int, u: int, batch) -> bool:
+    return _hist_bytes(nx, ny, u, _MIN_TILE) <= _VMEM_BUDGET
+
+
+def _make_bwd_kernel(nx: int, ny: int):
+    ns = nx * ny
+
+    def kernel(samples_ref, g_ref, *rest):
+        wrefs = rest[:7]
+        grefs = rest[7:14]
+        hist, dv = rest[14], rest[15]
+        t = g_ref.shape[1]
+        u = wrefs[2].shape[0]
+        uhT, uvT, whT, wvT, bT, hwT, hbT = (r[:] for r in wrefs)
+
+        def coords(m):
+            yy = m // nx
+            k = m % nx
+            even = yy % 2 == 0
+            xx = jnp.where(even, k, nx - 1 - k)
+            vis_up = (yy - 1) * nx + jnp.where(even, nx - 1 - xx, xx)
+            return yy, k, xx, vis_up
+
+        def read_s(m):
+            """Spin at visit position m (samples are stored lattice-flat)."""
+            yy, _, xx, _ = coords(m)
+            return samples_ref[
+                pl.ds(yy * nx + xx, 1), :
+            ].astype(jnp.float32)
+
+        def pre_act(m, h_h, h_v, sh, sv, x_h, x_v):
+            return (
+                sh * ((1.0 - x_h) * uhT[:, 0:1] + x_h * uhT[:, 1:2])
+                + sv * ((1.0 - x_v) * uvT[:, 0:1] + x_v * uvT[:, 1:2])
+                + jnp.dot(whT, h_h, preferred_element_type=jnp.float32)
+                + jnp.dot(wvT, h_v, preferred_element_type=jnp.float32)
+                + bT
+            )
+
+        def site_inputs(m):
+            yy, k, xx, vis_up = coords(m)
+            sh = jnp.where(k > 0, 1.0, 0.0)
+            sv = jnp.where(yy > 0, 1.0, 0.0)
+            x_h = jnp.where(k > 0, read_s(jnp.maximum(m - 1, 0)), 0.0)
+            x_v = jnp.where(yy > 0, read_s(jnp.maximum(vis_up, 0)), 0.0)
+            h_h = jnp.where(
+                k > 0, hist[pl.ds(jnp.maximum(m - 1, 0), 1)][0], 0.0
+            )
+            h_v = jnp.where(
+                yy > 0, hist[pl.ds(jnp.maximum(vis_up, 0), 1)][0], 0.0
+            )
+            return yy, k, xx, sh, sv, x_h, x_v, h_h, h_v
+
+        # ---- forward replay: store cell outputs -------------------------
+        def fwd_body(m, _):
+            _, _, _, sh, sv, x_h, x_v, h_h, h_v = site_inputs(m)
+            pre = pre_act(m, h_h, h_v, sh, sv, x_h, x_v)
+            h = jnp.where(pre > 0, pre, jnp.exp(jnp.minimum(pre, 0.0)) - 1.0)
+            hist[pl.ds(m, 1)] = h[None]
+            return 0
+
+        jax.lax.fori_loop(0, ns, fwd_body, 0)
+
+        g = g_ref[:]
+
+        # ---- reverse sweep ---------------------------------------------
+        def bwd_body(i, carry):
+            m = ns - 1 - i
+            dh_carry, accs = carry
+            yy, k, xx, sh, sv, x_h, x_v, h_h, h_v = site_inputs(m)
+            h = hist[pl.ds(m, 1)][0]
+            s_m = read_s(m)
+
+            logits = jnp.dot(hwT, h, preferred_element_type=jnp.float32) + hbT
+            p1 = jax.nn.sigmoid(logits[1:2] - logits[0:1])
+            dl1 = g * (s_m - p1)
+            dlogits = jnp.concatenate([-dl1, dl1], axis=0)
+
+            dh = (hwT[1:2] - hwT[0:1]).T * dl1
+            dh = dh + jnp.where(k < nx - 1, dh_carry, 0.0)
+            dh = dh + jnp.where(yy < ny - 1, dv[pl.ds(xx, 1)][0], 0.0)
+
+            dpre = dh * jnp.where(h > 0, 1.0, h + 1.0)
+
+            new_carry = jnp.where(k > 0, _dotT_lhs(whT, dpre), 0.0)
+            dv[pl.ds(xx, 1)] = (sv * _dotT_lhs(wvT, dpre))[None]
+
+            duh = jnp.concatenate(
+                [_rowsum(dpre * (sh * (1.0 - x_h))),
+                 _rowsum(dpre * (sh * x_h))], axis=1)          # (U, 2)
+            duv = jnp.concatenate(
+                [_rowsum(dpre * (sv * (1.0 - x_v))),
+                 _rowsum(dpre * (sv * x_v))], axis=1)
+            a = list(accs)
+            a[0] = accs[0] + duh
+            a[1] = accs[1] + duv
+            a[2] = accs[2] + _dotT_rhs(dpre, h_h)              # (U, U)
+            a[3] = accs[3] + _dotT_rhs(dpre, h_v)
+            a[4] = accs[4] + _rowsum(dpre)
+            a[5] = accs[5] + _dotT_rhs(dlogits, h)             # (2, U)
+            a[6] = accs[6] + _rowsum(dlogits)
+            return new_carry, tuple(a)
+
+        accs0 = tuple(jnp.zeros_like(r[:]) for r in wrefs)
+        dh0 = jnp.zeros((u, t), jnp.float32)
+        _, accs = jax.lax.fori_loop(0, ns, bwd_body, (dh0, accs0))
+
+        first = pl.program_id(0) == 0
+        for ref, acc in zip(grefs, accs):
+            @pl.when(first)
+            def _(ref=ref, acc=acc):
+                ref[:] = acc
+
+            @pl.when(jnp.logical_not(first))
+            def _(ref=ref, acc=acc):
+                ref[:] = ref[:] + acc
+
+    return kernel
+
+
+def mdrnn_log_prob_bwd(params, samples: jax.Array, g: jax.Array,
+                       nx: int, ny: int):
+    """VJP of ``mdrnn_log_prob`` w.r.t. params for cotangent ``g`` (B,)."""
+    b = samples.shape[0]
+    u = params["cell"]["wh"].shape[0]
+    tile = _pick_tile(nx, ny, u, b)
+    b_pad = _round_up(max(b, 8), tile)
+    flat = jnp.transpose(samples, (2, 1, 0)).reshape(ny * nx, b)
+    seq = jnp.zeros((ny * nx, b_pad), jnp.int32).at[:, :b].set(flat)
+    g_row = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(g)
+
+    wspecs = _mdrnn_weightT_specs(u)
+    out_specs = tuple(
+        pl.BlockSpec(s.block_shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for s in wspecs
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct(s.block_shape, jnp.float32) for s in wspecs
+    )
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(nx, ny),
+        grid=(b_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((ny * nx, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ] + wspecs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((ny * nx, u, tile), jnp.float32),
+            pltpu.VMEM((nx, u, tile), jnp.float32),
+        ],
+    )(seq, g_row, *_mdrnn_weightsT(params))
+
+    duhT, duvT, dwhT, dwvT, dbT, dhwT, dhbT = outs
+    return {
+        "cell": {
+            "uh": duhT.T, "uv": duvT.T, "wh": dwhT.T, "wv": dwvT.T,
+            "b": dbT[:, 0],
+        },
+        "head": {"w": dhwT.T, "b": dhbT[:, 0]},
+    }

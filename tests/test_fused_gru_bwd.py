@@ -71,3 +71,48 @@ def test_trainer_grad_equivalence_via_custom_vjp():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("shape", [(3, 4), (4, 3), (4, 4)])
+def test_mdrnn_bwd_kernel_matches_jnp_grad(shape):
+    from rnnwavefunctions_tpu.models.mdrnn2d import MDRNN2D
+    from rnnwavefunctions_tpu.ops.fused_mdrnn_bwd import mdrnn_log_prob_bwd
+
+    nx, ny = shape
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=9, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 19)
+    g = jax.random.normal(jax.random.PRNGKey(2), (19,))
+
+    def loss(p):
+        return jnp.sum(ansatz._log_prob_jnp(p, samples) * g)
+
+    want = jax.grad(loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = mdrnn_log_prob_bwd(params, samples, g, nx, ny)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_mdrnn_bwd_multiple_tiles(monkeypatch):
+    from rnnwavefunctions_tpu.models.mdrnn2d import MDRNN2D
+    from rnnwavefunctions_tpu.ops import fused_mdrnn_bwd as m
+
+    ansatz = MDRNN2D(nx=3, ny=3, units=8, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(3))
+    samples = ansatz.sample(params, jax.random.PRNGKey(4), 300)
+    g = jax.random.normal(jax.random.PRNGKey(5), (300,))
+    monkeypatch.setattr(m, "_pick_tile", lambda nx, ny, u, b: 128)
+
+    def loss(p):
+        return jnp.sum(ansatz._log_prob_jnp(p, samples) * g)
+
+    want = jax.grad(loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = m.mdrnn_log_prob_bwd(params, samples, g, 3, 3)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
