@@ -257,7 +257,10 @@ def crnn_sample(params, seed: jax.Array, num_samples: int, n_sites: int, u1: boo
 # ---------------------------------------------------------------------------
 
 def make_log_amp_parts_fn(jnp_log_amp_parts, u1: bool):
-    """Pallas forward, jnp backward, for (Re, Im) log-amplitude parts."""
+    """Pallas forward for (Re, Im) log-amplitude parts; fused Pallas BPTT
+    backward when the trunk history fits VMEM (``ops/fused_crnn_bwd``),
+    jnp backward beyond."""
+    from . import fused_crnn_bwd, fused_gru_bwd
 
     @jax.custom_vjp
     def log_amp_parts(params, samples):
@@ -268,6 +271,16 @@ def make_log_amp_parts_fn(jnp_log_amp_parts, u1: bool):
 
     def bwd(res, gs):
         params, samples = res
+        units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+        b, n = samples.shape
+        if fused_gru_bwd.supports(n, units, b):
+            g_re, g_im = gs
+            return (
+                fused_crnn_bwd.crnn_log_amp_bwd(
+                    params, samples, g_re, g_im, u1
+                ),
+                None,
+            )
         _, vjp_fn = jax.vjp(lambda p: jnp_log_amp_parts(p, samples), params)
         (dparams,) = vjp_fn(gs)
         return dparams, None

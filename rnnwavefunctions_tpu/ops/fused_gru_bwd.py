@@ -89,6 +89,95 @@ def _dotT_rhs(a, b):
     )
 
 
+def gru_gates_recompute(cells, u, l, x_row, inp, x_scale, h_prev):
+    """Recompute (r, z, c, gh_c) for layer l at one site (fused_gru gate
+    order [r; z; c], reset-after)."""
+    wxT, whT, bxT, bhT = cells[l]
+    if l == 0:
+        gx = x_scale * (
+            (1.0 - x_row) * wxT[:, 0:1] + x_row * wxT[:, 1:2]
+        ) + bxT
+    else:
+        gx = jnp.dot(wxT, inp, preferred_element_type=jnp.float32) + bxT
+    gh = jnp.dot(whT, h_prev, preferred_element_type=jnp.float32) + bhT
+    r = jax.nn.sigmoid(gx[:u] + gh[:u])
+    z = jax.nn.sigmoid(gx[u : 2 * u] + gh[u : 2 * u])
+    c = jnp.tanh(gx[2 * u :] + r * gh[2 * u :])
+    return r, z, c, gh[2 * u :]
+
+
+def gru_trunk_fwd_site(cells, u, num_layers, x_row, x_scale, hs):
+    """One stacked-trunk forward step from per-layer states ``hs``; returns
+    the new states tuple."""
+    new_hs = []
+    inp = None
+    for l in range(num_layers):
+        r, z, c, _ = gru_gates_recompute(cells, u, l, x_row, inp, x_scale, hs[l])
+        h_new = z * hs[l] + (1.0 - z) * c
+        new_hs.append(h_new)
+        inp = h_new
+    return tuple(new_hs)
+
+
+def gru_trunk_bwd_site(cells, u, num_layers, x_row, x_scale,
+                       hist_n, hist_p, d_top, dh_carry, accs, acc_base=0):
+    """Backward through the stacked trunk at one site.
+
+    ``hist_n``/``hist_p`` are the (L*U, T) state blocks at this and the
+    previous site; ``d_top`` the cotangent into the top-layer output from
+    the head(s); ``dh_carry`` the (L*U, T) recurrent cotangent.  Updates
+    ``accs`` (list) in place at indices ``acc_base + 4l .. +3`` and returns
+    the new (L*U, T) recurrent cotangent."""
+    def layer_rows(block, l):
+        return block[l * u : (l + 1) * u]
+
+    d_inp = None
+    new_dh = []
+    for l in range(num_layers - 1, -1, -1):
+        wxT, whT, _, _ = cells[l]
+        h_prev = layer_rows(hist_p, l)
+        inp = layer_rows(hist_n, l - 1) if l > 0 else None
+        r, z, c, gh_c = gru_gates_recompute(
+            cells, u, l, x_row, inp, x_scale, h_prev
+        )
+
+        dh = dh_carry[l * u : (l + 1) * u]
+        if l == num_layers - 1:
+            dh = dh + d_top
+        if d_inp is not None:
+            dh = dh + d_inp
+
+        dz = dh * (h_prev - c)
+        dc = dh * (1.0 - z)
+        dac = dc * (1.0 - c * c)
+        dr = dac * gh_c
+        dgh_c = dac * r
+        da_r = dr * r * (1.0 - r)
+        da_z = dz * z * (1.0 - z)
+        da = jnp.concatenate([da_r, da_z, dac], axis=0)     # (3U, T)
+        dgh = jnp.concatenate([da_r, da_z, dgh_c], axis=0)  # (3U, T)
+
+        dh_prev = dh * z + _dotT_lhs(whT, dgh)
+        new_dh.append(dh_prev)
+
+        k = acc_base + 4 * l
+        if l == 0:
+            dwx0 = _rowsum(da * (x_scale * (1.0 - x_row)))
+            dwx1 = _rowsum(da * (x_scale * x_row))
+            dwx = jnp.concatenate([dwx0, dwx1], axis=1)     # (3U, 2)
+            d_inp = None
+        else:
+            dwx = _dotT_rhs(da, inp)                        # (3U, U)
+            d_inp = _dotT_lhs(wxT, da)                      # (U, T)
+        accs[k] = accs[k] + dwx
+        accs[k + 1] = accs[k + 1] + _dotT_rhs(dgh, h_prev)
+        accs[k + 2] = accs[k + 2] + _rowsum(da)
+        accs[k + 3] = accs[k + 3] + _rowsum(dgh)
+
+    new_dh.reverse()
+    return new_dh[0] if num_layers == 1 else jnp.concatenate(new_dh, axis=0)
+
+
 def _make_bwd_kernel(num_layers: int):
     nw = 4 * num_layers + 2
 
@@ -105,43 +194,19 @@ def _make_bwd_kernel(num_layers: int):
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
 
-        def gates(l, x_row, inp, x_scale, h_prev):
-            """Recompute (r, z, c, gh_c) for layer l at one site."""
-            wxT, whT, bxT, bhT = cells[l]
-            if l == 0:
-                gx = x_scale * (
-                    (1.0 - x_row) * wxT[:, 0:1] + x_row * wxT[:, 1:2]
-                ) + bxT
-            else:
-                gx = jnp.dot(
-                    wxT, inp, preferred_element_type=jnp.float32
-                ) + bxT
-            gh = jnp.dot(
-                whT, h_prev, preferred_element_type=jnp.float32
-            ) + bhT
-            r = jax.nn.sigmoid(gx[:u] + gh[:u])
-            z = jax.nn.sigmoid(gx[u : 2 * u] + gh[u : 2 * u])
-            c = jnp.tanh(gx[2 * u :] + r * gh[2 * u :])
-            return r, z, c, gh[2 * u :]
-
         # ---- forward replay: store the hidden history -------------------
         def fwd_body(n, carry):
             hs, x_row = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
-            new_hs = []
-            inp = None
-            for l in range(num_layers):
-                h_prev = hs[l]
-                r, z, c, _ = gates(l, x_row, inp, x_scale, h_prev)
-                h_new = z * h_prev + (1.0 - z) * c
-                new_hs.append(h_new)
-                inp = h_new
+            new_hs = gru_trunk_fwd_site(
+                cells, u, num_layers, x_row, x_scale, hs
+            )
             h_cat = (
                 new_hs[0] if num_layers == 1
                 else jnp.concatenate(new_hs, axis=0)
             )
             h_hist[pl.ds(n, 1)] = h_cat[None]
-            return tuple(new_hs), read_s(n)
+            return new_hs, read_s(n)
 
         hs0 = tuple(jnp.zeros((u, t), jnp.float32) for _ in range(num_layers))
         jax.lax.fori_loop(
@@ -151,9 +216,6 @@ def _make_bwd_kernel(num_layers: int):
         g = g_ref[:]  # (1, T) per-sample cotangent
 
         # ---- reverse sweep ---------------------------------------------
-        def layer_rows(hist_row, l):
-            return hist_row[l * u : (l + 1) * u]
-
         def bwd_body(i, carry):
             n = n_sites - 1 - i
             dh_carry, accs = carry  # (L*U, T), tuple of weight cotangents
@@ -166,66 +228,22 @@ def _make_bwd_kernel(num_layers: int):
             x_scale = jnp.where(n > 0, 1.0, 0.0)
 
             # head: logits from the top-layer state
-            h_top = layer_rows(hist_n, num_layers - 1)
+            h_top = hist_n[(num_layers - 1) * u :]
             logits = jnp.dot(
                 hwT, h_top, preferred_element_type=jnp.float32
             ) + hbT
             p1 = jax.nn.sigmoid(logits[1:2] - logits[0:1])
             dl1 = g * (s_n - p1)
             dlogits = jnp.concatenate([-dl1, dl1], axis=0)  # (2, T)
-            d_head_w = _dotT_rhs(dlogits, h_top)            # (2, U)
-            d_head_b = _rowsum(dlogits)
             d_top = (hwT[1:2] - hwT[0:1]).T * dl1           # (U, T)
 
             new_accs = list(accs)
-            new_accs[nw - 2] = accs[nw - 2] + d_head_w
-            new_accs[nw - 1] = accs[nw - 1] + d_head_b
+            new_accs[nw - 2] = accs[nw - 2] + _dotT_rhs(dlogits, h_top)
+            new_accs[nw - 1] = accs[nw - 1] + _rowsum(dlogits)
 
-            d_inp = None  # cotangent flowing into the layer below's output
-            new_dh = []
-            for l in range(num_layers - 1, -1, -1):
-                wxT, whT, _, _ = cells[l]
-                h_prev = layer_rows(hist_p, l)
-                inp = layer_rows(hist_n, l - 1) if l > 0 else None
-                r, z, c, gh_c = gates(l, x_row, inp, x_scale, h_prev)
-
-                dh = dh_carry[l * u : (l + 1) * u]
-                if l == num_layers - 1:
-                    dh = dh + d_top
-                if d_inp is not None:
-                    dh = dh + d_inp
-
-                dz = dh * (h_prev - c)
-                dc = dh * (1.0 - z)
-                dac = dc * (1.0 - c * c)
-                dr = dac * gh_c
-                dgh_c = dac * r
-                da_r = dr * r * (1.0 - r)
-                da_z = dz * z * (1.0 - z)
-                da = jnp.concatenate([da_r, da_z, dac], axis=0)     # (3U, T)
-                dgh = jnp.concatenate([da_r, da_z, dgh_c], axis=0)  # (3U, T)
-
-                dh_prev = dh * z + _dotT_lhs(whT, dgh)
-                new_dh.append(dh_prev)
-
-                k = 4 * l
-                if l == 0:
-                    dwx0 = _rowsum(da * (x_scale * (1.0 - x_row)))
-                    dwx1 = _rowsum(da * (x_scale * x_row))
-                    dwx = jnp.concatenate([dwx0, dwx1], axis=1)     # (3U, 2)
-                    d_inp = None
-                else:
-                    dwx = _dotT_rhs(da, inp)                        # (3U, U)
-                    d_inp = _dotT_lhs(wxT, da)                      # (U, T)
-                new_accs[k] = accs[k] + dwx
-                new_accs[k + 1] = accs[k + 1] + _dotT_rhs(dgh, h_prev)
-                new_accs[k + 2] = accs[k + 2] + _rowsum(da)
-                new_accs[k + 3] = accs[k + 3] + _rowsum(dgh)
-
-            new_dh.reverse()
-            dh_cat = (
-                new_dh[0] if num_layers == 1
-                else jnp.concatenate(new_dh, axis=0)
+            dh_cat = gru_trunk_bwd_site(
+                cells, u, num_layers, x_row, x_scale,
+                hist_n, hist_p, d_top, dh_carry, new_accs,
             )
             return dh_cat, tuple(new_accs)
 

@@ -116,3 +116,53 @@ def test_mdrnn_bwd_multiple_tiles(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("u1,units", [(True, (10,)), (False, (10,)),
+                                      (True, (8, 8))])
+def test_crnn_bwd_kernel_matches_jnp_grad(u1, units):
+    from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
+    from rnnwavefunctions_tpu.ops.fused_crnn_bwd import crnn_log_amp_bwd
+
+    n = 10
+    ansatz = CRNNU1(num_sites=n, units=units, u1=u1, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 23)
+    g_re = jax.random.normal(jax.random.PRNGKey(2), (23,))
+    g_im = jax.random.normal(jax.random.PRNGKey(3), (23,))
+
+    def loss(p):
+        re, im = ansatz._log_amp_parts_jnp(p, samples)
+        return jnp.sum(re * g_re) + jnp.sum(im * g_im)
+
+    want = jax.grad(loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = crnn_log_amp_bwd(params, samples, g_re, g_im, u1)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_crnn_custom_vjp_uses_fused_bwd():
+    """grad through the pallas log_amp_parts == jnp-path grad."""
+    from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
+
+    n = 8
+    a_p = CRNNU1(num_sites=n, units=(10,), impl="pallas")
+    a_j = CRNNU1(num_sites=n, units=(10,), impl="jnp")
+    params = a_j.init(jax.random.PRNGKey(5))
+    samples = a_j.sample(params, jax.random.PRNGKey(6), 15)
+    w = jax.random.normal(jax.random.PRNGKey(7), (15,))
+
+    def loss(ansatz, p):
+        re, im = ansatz.log_amp_parts(p, samples)
+        return jnp.sum(re * w) + jnp.sum(im * w)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(lambda p: loss(a_p, p))(params)
+    g2 = jax.grad(lambda p: loss(a_j, p))(params)
+    for x, y in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5
+        )
