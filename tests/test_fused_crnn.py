@@ -41,22 +41,23 @@ def test_crnn_log_amp_zero_outside_sector():
     assert np.all(np.asarray(re) < -1e6)
 
 
-def test_crnn_grad_uses_jnp_backward(setup):
+def test_crnn_grad_matches_jnp(setup):
     ansatz, params, samples = setup
     fn = fused_crnn.make_log_amp_parts_fn(
         ansatz._log_amp_parts_jnp, ansatz.u1
     )
 
     def loss_pallas(p):
-        with pltpu.force_tpu_interpret_mode():
-            re, im = fn(p, samples)
+        re, im = fn(p, samples)
         return jnp.sum(re) + 0.5 * jnp.sum(im)
 
     def loss_jnp(p):
         re, im = ansatz._log_amp_parts_jnp(p, samples)
         return jnp.sum(re) + 0.5 * jnp.sum(im)
 
-    g1 = jax.grad(loss_pallas)(params)
+    # grad fully inside interpret mode (fused Pallas BPTT backward)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_pallas)(params)
     g2 = jax.grad(loss_jnp)(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

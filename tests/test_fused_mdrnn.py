@@ -30,17 +30,18 @@ def test_mdrnn_kernel_matches_jnp(setup):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_mdrnn_kernel_grad_uses_jnp_backward(setup):
+def test_mdrnn_kernel_grad_matches_jnp(setup):
     ansatz, params, samples = setup
     fn = fused_mdrnn.make_mdrnn_log_prob_fn(
         ansatz._log_prob_jnp, ansatz.nx, ansatz.ny
     )
 
     def loss_pallas(p):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(fn(p, samples))
+        return jnp.sum(fn(p, samples))
 
-    g1 = jax.grad(loss_pallas)(params)
+    # grad fully inside interpret mode (fused Pallas BPTT backward)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_pallas)(params)
     g2 = jax.grad(lambda p: jnp.sum(ansatz._log_prob_jnp(p, samples)))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
