@@ -134,41 +134,39 @@ def main():
         VMCTrainer,
     )
 
-    # (name, ansatz, hamiltonian, num_samples, flops/step).  The two N=1000
-    # rows run the HBM-spilled wavefront kernels at the small-sample spill
-    # configuration (S=64); the 2-layer row tracks the stacked kernels.
+    # (name, ansatz, hamiltonian, num_samples, steps/trial, flops/step).
+    # The two N=1000 rows run the HBM-spilled wavefront kernels at the
+    # small-sample spill configuration (S=64) with short trials (~100
+    # ms/step); the sub-ms MDRNN row gets 4x-long dispatches to amortize
+    # the sync RTT; the 2-layer row tracks the stacked kernels.
     workloads = [
         ("1dtfim_n100", PRNN1D(num_sites=100, units=(50,)),
-         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES,
+         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, STEPS_PER_TRIAL,
          flops_tfim_plain(100, 50, NUM_SAMPLES)),
         ("parity_n100", PRNN1D(num_sites=100, units=(50,), parity=True),
-         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES,
+         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, STEPS_PER_TRIAL,
          flops_tfim_parity(100, 50, NUM_SAMPLES)),
         ("j1j2_n100", CRNNU1(num_sites=100, units=(50,)),
-         J1J2(num_sites=100, j2=0.2), NUM_SAMPLES,
+         J1J2(num_sites=100, j2=0.2), NUM_SAMPLES, STEPS_PER_TRIAL,
          flops_j1j2(100, 50, NUM_SAMPLES)),
         ("mdrnn_6x6", MDRNN2D(nx=6, ny=6, units=50),
          TFIM2D(nx=6, ny=6, bx=3.0, encoding="grid"), NUM_SAMPLES,
-         flops_mdrnn(6, 6, 50, NUM_SAMPLES)),
+         4 * STEPS_PER_TRIAL, flops_mdrnn(6, 6, 50, NUM_SAMPLES)),
         ("1dtfim_2layer_n100", PRNN1D(num_sites=100, units=(50, 50)),
-         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES,
+         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, STEPS_PER_TRIAL,
          flops_tfim_plain(100, 50, NUM_SAMPLES, layers=2)),
         ("1dtfim_n1000_s64", PRNN1D(num_sites=1000, units=(50,)),
-         TFIM1D(num_sites=1000, bx=1.0), 64,
+         TFIM1D(num_sites=1000, bx=1.0), 64, SLOW_STEPS_PER_TRIAL,
          flops_tfim_plain(1000, 50, 64)),
         ("j1j2_n1000_s64", CRNNU1(num_sites=1000, units=(50,)),
-         J1J2(num_sites=1000, j2=0.2), 64,
+         J1J2(num_sites=1000, j2=0.2), 64, SLOW_STEPS_PER_TRIAL,
          flops_j1j2(1000, 50, 64, group=16)),
     ]
 
     rows = {}
-    for name, ansatz, ham, num_samples, flops_per_step in workloads:
+    for name, ansatz, ham, num_samples, steps, flops_per_step in workloads:
         cfg = TrainConfig(num_samples=num_samples, learning_rate=5e-3)
         trainer = VMCTrainer(ansatz, ham, cfg)
-        steps = SLOW_STEPS_PER_TRIAL if "n1000" in name else STEPS_PER_TRIAL
-        if name == "mdrnn_6x6":
-            # sub-ms steps need longer dispatches to amortize the sync RTT
-            steps = 4 * STEPS_PER_TRIAL
         steps_per_sec = measure(trainer, steps=steps)
         tflops = steps_per_sec * flops_per_step / 1e12
         rows[name] = {

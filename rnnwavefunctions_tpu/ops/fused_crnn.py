@@ -253,13 +253,19 @@ def crnn_sample(params, seed: jax.Array, num_samples: int, n_sites: int, u1: boo
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper: Pallas forward, jnp backward
+# custom_vjp wrapper: Pallas forward, fused Pallas (or fallback jnp) backward
 # ---------------------------------------------------------------------------
 
 def make_log_amp_parts_fn(jnp_log_amp_parts, u1: bool):
     """Pallas forward for (Re, Im) log-amplitude parts; fused Pallas BPTT
     backward when the trunk history fits VMEM (``ops/fused_crnn_bwd``),
-    jnp backward beyond."""
+    jnp backward beyond.
+
+    Gradients are only defined for configurations inside the U(1) sector
+    (Re log psi is the LOG_ZERO stand-in for -inf outside).  The two
+    backends differ out of support — the fused kernel stays finite where
+    the jnp VJP propagates NaN from the -inf forward — but the sampler
+    never draws such configurations, so no training path evaluates them."""
     from . import fused_crnn_bwd, fused_gru_bwd
 
     @jax.custom_vjp
@@ -272,8 +278,8 @@ def make_log_amp_parts_fn(jnp_log_amp_parts, u1: bool):
     def bwd(res, gs):
         params, samples = res
         units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-        b, n = samples.shape
-        if fused_gru_bwd.supports(n, units, b):
+        n = samples.shape[1]
+        if fused_gru_bwd.supports(n, units):
             g_re, g_im = gs
             return (
                 fused_crnn_bwd.crnn_log_amp_bwd(

@@ -23,7 +23,7 @@ plus the cRNN's two heads and the U(1) masking chain:
   ``d ph/d pl = pi/(1+|pl|)^2``.
 
 Validated in interpret mode against ``jax.grad`` of the jnp reference path
-(tests/test_fused_gru_bwd.py); the jnp scan remains the implementation of
+(tests/test_fused_bwd.py); the jnp scan remains the implementation of
 record (CLAUDE.md architecture invariants).
 """
 
@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
 from .fused_gru_bwd import (
-    _MIN_TILE, _dotT_lhs, _dotT_rhs, _hist_bytes, _pick_tile, _rowsum,
-    gru_trunk_bwd_site, gru_trunk_fwd_site, supports,
+    _dotT_lhs, _dotT_rhs, _pick_tile, _rowsum,
+    gru_trunk_bwd_site, gru_trunk_fwd_site,
 )
 from .fused_crnn import _split_w, _weightsT, _weightT_specs
 

@@ -20,9 +20,10 @@ call boundary (wxT (3U, 2), whT (3U, U), heads (2, U), biases as columns).
 Two kernels:
 
 * ``gru_log_prob``   — teacher-forced joint log-probability of given spin
-  configurations.  Exposed through a ``jax.custom_vjp`` whose backward pass
-  is the jnp reference implementation's VJP, so the same entry point is used
-  inside ``jax.grad`` (the differentiable surrogate path, S rows only).
+  configurations.  Exposed through a ``jax.custom_vjp`` whose backward is
+  the fused Pallas BPTT kernel (``ops/fused_gru_bwd``) within VMEM reach
+  and the jnp reference VJP beyond, so the same entry point is used inside
+  ``jax.grad`` (the differentiable surrogate path, S rows only).
 * ``gru_sample``     — autoregressive sampling with the on-core PRNG
   (inverse-CDF draws per site), returning samples and their log-density.
 """
@@ -255,7 +256,7 @@ def _sample_pallas(
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper: Pallas forward, jnp backward
+# custom_vjp wrapper: Pallas forward, fused Pallas (or fallback jnp) backward
 # ---------------------------------------------------------------------------
 
 def make_log_prob_fn(jnp_log_prob):
@@ -277,8 +278,8 @@ def make_log_prob_fn(jnp_log_prob):
     def bwd(res, g):
         params, samples = res
         units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-        b, n = samples.shape
-        if fused_gru_bwd.supports(n, units, b):
+        n = samples.shape[1]
+        if fused_gru_bwd.supports(n, units):
             return fused_gru_bwd.gru_log_prob_bwd(params, samples, g), None
         _, vjp_fn = jax.vjp(lambda p: jnp_log_prob(p, samples), params)
         (dparams,) = vjp_fn(g)

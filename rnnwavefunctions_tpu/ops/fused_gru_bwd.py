@@ -30,7 +30,7 @@ accumulate into the same output blocks.  Used by ``make_log_prob_fn``'s
 backward when the history fits VMEM; longer chains keep the jnp VJP.
 
 Validated in interpret mode against ``jax.grad`` of the jnp reference path
-(tests/test_fused_gru_bwd.py) — the reference implementation of record
+(tests/test_fused_bwd.py) — the reference implementation of record
 stays the jnp scan (CLAUDE.md architecture invariants).
 """
 
@@ -66,7 +66,7 @@ def _pick_tile(n: int, units, batch) -> int:
     return tile
 
 
-def supports(n: int, units, batch) -> bool:
+def supports(n: int, units) -> bool:
     """History-resident only: (N, L*U, T) in VMEM at the minimum tile."""
     return _hist_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
 

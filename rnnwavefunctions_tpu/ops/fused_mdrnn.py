@@ -203,7 +203,7 @@ def make_mdrnn_log_prob_fn(jnp_log_prob, nx: int, ny: int):
     def bwd(res, g):
         params, samples = res
         u = params["cell"]["wh"].shape[0]
-        if fused_mdrnn_bwd.supports(nx, ny, u, samples.shape[0]):
+        if fused_mdrnn_bwd.supports(nx, ny, u):
             return (
                 fused_mdrnn_bwd.mdrnn_log_prob_bwd(params, samples, g, nx, ny),
                 None,

@@ -20,7 +20,7 @@ Per site (``fused_mdrnn._mdrnn_site_rows`` conventions):
 plus the 2-class softmax head backward (``dlogit_1 = g*(s - p1)``).
 Weight cotangents accumulate across grid programs in the transposed
 kernel layout.  Validated against ``jax.grad`` of the jnp reference path
-(tests/test_fused_gru_bwd.py) — the jnp scan stays the implementation of
+(tests/test_fused_bwd.py) — the jnp scan stays the implementation of
 record (CLAUDE.md architecture invariants).
 """
 
@@ -32,12 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
-from .fused_gru_bwd import _MIN_TILE, _VMEM_BUDGET, _dotT_lhs, _dotT_rhs, _rowsum
+from .fused_gru_bwd import (
+    _MIN_TILE, _VMEM_BUDGET, _dotT_lhs, _dotT_rhs, _round8, _rowsum,
+)
 from .fused_mdrnn import TILE, _mdrnn_weightsT, _mdrnn_weightT_specs
-
-
-def _round8(x: int) -> int:
-    return ((x + 7) // 8) * 8
 
 
 def _hist_bytes(nx: int, ny: int, u: int, tile: int) -> int:
@@ -54,7 +52,7 @@ def _pick_tile(nx: int, ny: int, u: int, batch) -> int:
     return tile
 
 
-def supports(nx: int, ny: int, u: int, batch) -> bool:
+def supports(nx: int, ny: int, u: int) -> bool:
     return _hist_bytes(nx, ny, u, _MIN_TILE) <= _VMEM_BUDGET
 
 
@@ -84,7 +82,7 @@ def _make_bwd_kernel(nx: int, ny: int):
                 pl.ds(yy * nx + xx, 1), :
             ].astype(jnp.float32)
 
-        def pre_act(m, h_h, h_v, sh, sv, x_h, x_v):
+        def pre_act(h_h, h_v, sh, sv, x_h, x_v):
             return (
                 sh * ((1.0 - x_h) * uhT[:, 0:1] + x_h * uhT[:, 1:2])
                 + sv * ((1.0 - x_v) * uvT[:, 0:1] + x_v * uvT[:, 1:2])
@@ -110,7 +108,7 @@ def _make_bwd_kernel(nx: int, ny: int):
         # ---- forward replay: store cell outputs -------------------------
         def fwd_body(m, _):
             _, _, _, sh, sv, x_h, x_v, h_h, h_v = site_inputs(m)
-            pre = pre_act(m, h_h, h_v, sh, sv, x_h, x_v)
+            pre = pre_act(h_h, h_v, sh, sv, x_h, x_v)
             h = jnp.where(pre > 0, pre, jnp.exp(jnp.minimum(pre, 0.0)) - 1.0)
             hist[pl.ds(m, 1)] = h[None]
             return 0
