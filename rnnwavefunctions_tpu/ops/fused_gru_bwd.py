@@ -31,7 +31,10 @@ backward when the history fits VMEM; longer chains keep the jnp VJP.
 
 Validated in interpret mode against ``jax.grad`` of the jnp reference path
 (tests/test_fused_bwd.py) — the reference implementation of record
-stays the jnp scan (CLAUDE.md architecture invariants).
+stays the jnp scan (CLAUDE.md architecture invariants).  Reference role:
+the upstream codebase leaves this step to TF1 graph autodiff
+(``/root/reference/1DTFIM/TrainingRNN_1DTFIM.py:160-164``
+``optimizer.compute_gradients``); this is its TPU-native counterpart.
 """
 
 from __future__ import annotations
