@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_gru import _round_up
+from .fused_gru import _cap_tile, _round_up
 from .seeding import TILE_SEED_STRIDE
 
 TILE = 512
@@ -163,18 +163,19 @@ def crnn_log_amp_parts(params, samples: jax.Array, u1: bool):
     b, n = samples.shape
     num_layers = len(params["rnn"])
     u = params["rnn"][0]["wh"].shape[0]
-    b_pad = _round_up(max(b, 8), TILE)
+    tile = _cap_tile(b)
+    b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     re, im = pl.pallas_call(
         _make_log_amp_kernel(n, u1, num_layers),
-        grid=(b_pad // TILE,),
+        grid=(b_pad // tile,),
         in_specs=[
-            pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ] + _weightT_specs(u, num_layers),
         out_specs=(
-            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
@@ -232,17 +233,18 @@ def crnn_sample(params, seed: jax.Array, num_samples: int, n_sites: int, u1: boo
     density log |psi|^2."""
     num_layers = len(params["rnn"])
     u = params["rnn"][0]["wh"].shape[0]
-    b_pad = _round_up(max(num_samples, 8), TILE)
+    tile = _cap_tile(num_samples)
+    b_pad = _round_up(max(num_samples, 8), tile)
 
     samples, lp = pl.pallas_call(
         _make_sample_kernel(n_sites, u1, num_layers),
-        grid=(b_pad // TILE,),
+        grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + _weightT_specs(u, num_layers),
         out_specs=(
-            pl.BlockSpec((n_sites, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
@@ -279,7 +281,7 @@ def make_log_amp_parts_fn(jnp_log_amp_parts, u1: bool):
         params, samples = res
         units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
         n = samples.shape[1]
-        if fused_gru_bwd.supports(n, units):
+        if fused_gru_bwd.supports(n, units, heads=2):
             g_re, g_im = gs
             return (
                 fused_crnn_bwd.crnn_log_amp_bwd(

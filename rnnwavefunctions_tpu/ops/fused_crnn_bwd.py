@@ -2,9 +2,11 @@
 
 VJP of ``crnn_log_amp_parts(params, samples) -> (re, im)`` with per-sample
 cotangents (g_re, g_im) — the complex surrogate loss's gradient path.  Same
-shape as the GRU backward (forward replay stores the trunk history in VMEM,
-reverse sweep recomputes and accumulates weight cotangents in-register),
-plus the cRNN's two heads and the U(1) masking chain:
+shape as the GRU backward (forward replay stores the trunk history, reverse
+sweep recomputes and accumulates weight cotangents in-register; both the
+VMEM-resident and the HBM-chunk-streamed long-chain variants come from
+``fused_gru_bwd.run_history_bptt``), plus the cRNN's two heads and the U(1)
+masking chain:
 
 * amplitude head: ``re`` accumulates ``0.5*lp_target`` with
   ``lp0 = -softplus(-d)``, ``lp1 = -softplus(d)``, ``d = l0 - l1``, so
@@ -36,19 +38,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
 from .fused_gru_bwd import (
-    _dotT_lhs, _dotT_rhs, _pick_tile, _rowsum,
-    gru_trunk_bwd_site, gru_trunk_fwd_site,
+    _dotT_lhs, _dotT_rhs, _pick_chunk, _pick_tile, _rowsum,
+    accumulate_grad_outputs, bptt_hist_out, bptt_scratch,
+    gru_trunk_bwd_site, gru_trunk_fwd_site, run_history_bptt, supports,
 )
 from .fused_crnn import _split_w, _weightsT, _weightT_specs
 
 
-def _make_bwd_kernel(n_sites: int, u1: bool, num_layers: int):
+def _make_bwd_kernel(n_sites: int, u1: bool, num_layers: int, chunk=None):
     nw = 4 * num_layers + 4
 
     def kernel(samples_ref, gre_ref, gim_ref, *rest):
         wrefs = rest[:nw]
         grefs = rest[nw : 2 * nw]
-        h_hist = rest[2 * nw]
+        aux = rest[2 * nw :]
+        if chunk is None:
+            (h_hist,) = aux
+            spill = None
+        else:
+            h_hist, ring, sem_wr, sem_rd = aux
+            spill = (chunk, ring, sem_wr, sem_rd)
         t = gre_ref.shape[1]
         w = _split_w(wrefs, num_layers)
         cells, awT, abT, pwT, pbT = w
@@ -58,9 +67,9 @@ def _make_bwd_kernel(n_sites: int, u1: bool, num_layers: int):
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
 
-        # ---- forward replay (trunk only) + total up-count ---------------
-        def fwd_body(n, carry):
-            hs, x_row, cnt = carry
+        # ---- forward replay (trunk only) ---------------------------------
+        def fwd_site(n, carry):
+            hs, x_row = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             new_hs = gru_trunk_fwd_site(
                 cells, u, num_layers, x_row, x_scale, hs
@@ -69,27 +78,14 @@ def _make_bwd_kernel(n_sites: int, u1: bool, num_layers: int):
                 new_hs[0] if num_layers == 1
                 else jnp.concatenate(new_hs, axis=0)
             )
-            h_hist[pl.ds(n, 1)] = h_cat[None]
-            s = read_s(n)
-            return new_hs, s, cnt + s
-
-        hs0 = tuple(jnp.zeros((u, t), jnp.float32) for _ in range(num_layers))
-        zero_row = jnp.zeros((1, t), jnp.float32)
-        _, _, total_up = jax.lax.fori_loop(
-            0, n_sites, fwd_body, (hs0, zero_row, zero_row)
-        )
+            return h_cat, (new_hs, read_s(n))
 
         g_re = gre_ref[:]
         g_im = gim_ref[:]
 
         # ---- reverse sweep ---------------------------------------------
-        def bwd_body(i, carry):
-            n = n_sites - 1 - i
+        def bwd_site(n, hist_n, hist_p, carry):
             dh_carry, cnt_after, accs = carry
-            hist_n = h_hist[pl.ds(n, 1)][0]
-            hist_p = jnp.where(
-                n > 0, h_hist[pl.ds(jnp.maximum(n - 1, 0), 1)][0], 0.0
-            )
             s_n = read_s(n)
             num_up = cnt_after - s_n  # ups among sites < n
             x_row = jnp.where(n > 0, read_s(jnp.maximum(n - 1, 0)), 0.0)
@@ -105,7 +101,7 @@ def _make_bwd_kernel(n_sites: int, u1: bool, num_layers: int):
             dlp0 = glp * (1.0 - s_n)
             dlp1 = glp * s_n
             if u1:
-                nf = jnp.float32(n)
+                nf = jnp.asarray(n).astype(jnp.float32)
                 baseline = jnp.float32(n_sites // 2 - 1)
                 num_down = nf - num_up
                 act_up = jnp.where(baseline - num_up >= 0, 1.0, 0.0)
@@ -146,21 +142,23 @@ def _make_bwd_kernel(n_sites: int, u1: bool, num_layers: int):
             )
             return dh_cat, num_up, tuple(new_accs)
 
+        hs0 = tuple(jnp.zeros((u, t), jnp.float32) for _ in range(num_layers))
+        zero_row = jnp.zeros((1, t), jnp.float32)
+        fwd0 = (hs0, zero_row)
+
+        # The reverse sweep's up-count walk starts from the configuration's
+        # total (cnt_m = cnt_{m+1} - s_m); the samples block is resident, so
+        # the total is one cheap pass over it.
+        def count_body(n, acc):
+            return acc + read_s(n)
+        total_up = jax.lax.fori_loop(0, n_sites, count_body, zero_row)
+
         accs0 = tuple(jnp.zeros_like(r[:]) for r in wrefs)
-        dh0 = jnp.zeros((lu, t), jnp.float32)
-        _, _, accs = jax.lax.fori_loop(
-            0, n_sites, bwd_body, (dh0, total_up, accs0)
+        bwd0 = (jnp.zeros((lu, t), jnp.float32), total_up, accs0)
+        _, _, accs = run_history_bptt(
+            n_sites, lu, t, fwd_site, fwd0, bwd_site, bwd0, h_hist, spill
         )
-
-        first = pl.program_id(0) == 0
-        for ref, acc in zip(grefs, accs):
-            @pl.when(first)
-            def _(ref=ref, acc=acc):
-                ref[:] = acc
-
-            @pl.when(jnp.logical_not(first))
-            def _(ref=ref, acc=acc):
-                ref[:] = ref[:] + acc
+        accumulate_grad_outputs(grefs, accs)
 
     return kernel
 
@@ -172,7 +170,12 @@ def crnn_log_amp_bwd(params, samples: jax.Array, g_re: jax.Array,
     b, n = samples.shape
     u = params["rnn"][0]["wh"].shape[0]
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile = _pick_tile(n, units, b)
+    assert supports(n, units, heads=2), (
+        f"fused cRNN BPTT unsupported for N={n}, units={units} "
+        "(resident pieces exceed the VMEM budget)"
+    )
+    tile, spill = _pick_tile(n, units, b, heads=2)
+    chunk = _pick_chunk(n, units, tile, heads=2) if spill else None
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
     gre = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(g_re)
@@ -186,20 +189,21 @@ def crnn_log_amp_bwd(params, samples: jax.Array, g_re: jax.Array,
     out_shapes = tuple(
         jax.ShapeDtypeStruct(s.block_shape, jnp.float32) for s in wspecs
     )
+    hist_specs, hist_shapes = bptt_hist_out(
+        n, num_layers * u, tile, b_pad // tile, chunk
+    )
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(n, u1, num_layers),
+        _make_bwd_kernel(n, u1, num_layers, chunk),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ] + wspecs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((n, num_layers * u, tile), jnp.float32),
-        ],
+        out_specs=out_specs + tuple(hist_specs),
+        out_shape=out_shapes + tuple(hist_shapes),
+        scratch_shapes=bptt_scratch(n, num_layers * u, tile, chunk),
     )(seq, gre, gim, *_weightsT(params))
 
     rnn = []
@@ -209,7 +213,7 @@ def crnn_log_amp_bwd(params, samples: jax.Array, g_re: jax.Array,
             "wx": dwxT.T, "wh": dwhT.T,
             "bx": dbxT[:, 0], "bh": dbhT[:, 0],
         })
-    dawT, dabT, dpwT, dpbT = outs[-4:]
+    dawT, dabT, dpwT, dpbT = outs[4 * num_layers : 4 * num_layers + 4]
     return {
         "rnn": rnn,
         "head_ampl": {"w": dawT.T, "b": dabT[:, 0]},

@@ -39,11 +39,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .seeding import TILE_SEED_STRIDE
 
-TILE = 512  # batch rows per grid program
+TILE = 512  # max batch rows per grid program
+_MIN_TILE = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _cap_tile(batch: int) -> int:
+    """Smallest power-of-two tile (>= 128) covering the batch — tiles wider
+    than the batch only compute padding lanes (an S=64 long-chain batch on
+    the fixed 512 tile wastes 8x)."""
+    cap = _MIN_TILE
+    while cap < min(batch, TILE):
+        cap *= 2
+    return cap
 
 
 def _gru_layer_rows(gx, h, whT, bhT):
@@ -171,16 +182,17 @@ def _log_prob_pallas(params, samples: jax.Array) -> jax.Array:
     num_layers = len(params["rnn"])
     b, n = samples.shape
     u = params["rnn"][0]["wh"].shape[0]
-    b_pad = _round_up(max(b, 8), TILE)
+    tile = _cap_tile(b)
+    b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     out = pl.pallas_call(
         _make_log_prob_kernel(num_layers),
-        grid=(b_pad // TILE,),
+        grid=(b_pad // tile,),
         in_specs=[
-            pl.BlockSpec((n, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ] + _weightT_specs(u, num_layers),
-        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
     )(seq, *_weightsT(params))
     return out[0, :b]
@@ -235,17 +247,18 @@ def _sample_pallas(
     """Returns (samples (B, N) int32, logp (B,) f32)."""
     num_layers = len(params["rnn"])
     u = params["rnn"][0]["wh"].shape[0]
-    b_pad = _round_up(max(num_samples, 8), TILE)
+    tile = _cap_tile(num_samples)
+    b_pad = _round_up(max(num_samples, 8), tile)
 
     samples, logp = pl.pallas_call(
         _make_sample_kernel(num_layers),
-        grid=(b_pad // TILE,),
+        grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + _weightT_specs(u, num_layers),
         out_specs=(
-            pl.BlockSpec((n_sites, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
@@ -261,11 +274,11 @@ def _sample_pallas(
 
 def make_log_prob_fn(jnp_log_prob):
     """Build ``log_prob(params, samples)`` that runs the Pallas kernel
-    forward and the fused Pallas BPTT kernel backward (one launch, history
-    VMEM-resident; ``ops/fused_gru_bwd``).  Chains whose history exceeds
-    VMEM differentiate through the jnp reference implementation instead —
-    the gradient path only ever sees the small S-row surrogate batch, so
-    recompute there stays cheap."""
+    forward and the fused Pallas BPTT kernel backward (one launch;
+    ``ops/fused_gru_bwd`` keeps the history VMEM-resident within reach and
+    streams it through an HBM chunk ring beyond — the N=1000 class).  Only
+    configurations whose resident pieces exceed even the spill budget fall
+    back to differentiating the jnp reference implementation."""
     from . import fused_gru_bwd
 
     @jax.custom_vjp

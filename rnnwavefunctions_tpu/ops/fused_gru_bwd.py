@@ -6,10 +6,25 @@ re-runs the site scan twice (forward recompute + reverse accumulation) with
 every activation round-tripping through HBM and XLA's per-step scan
 overhead; at N=100/S=500 that is ~0.44 ms of a 2.6 ms step, and ~50% of
 the (much smaller) MDRNN steps.  This kernel fuses the whole VJP into one
-launch: a forward replay stores the (N, L*U, T) hidden history in VMEM,
-then a reverse sweep recomputes the gates per site and accumulates all
-weight cotangents in-register — HBM traffic is "read samples + cotangent
-once, write one weight-shaped gradient per tile".
+launch: a forward replay stores the (N, L*U, T) hidden history, then a
+reverse sweep recomputes the gates per site and accumulates all weight
+cotangents in-register — HBM traffic is "read samples + cotangent once,
+write one weight-shaped gradient per tile".
+
+Two history placements, selected by VMEM reach:
+
+* **resident** — the whole (N, L*U, T) history lives in a VMEM scratch
+  buffer (short chains; the N=100 flagship).
+* **spilled** — long chains (the reference's N=1000 published workload,
+  ``/root/reference/Tutorials/1DTFIM/Tutorial_1DTFIM.ipynb`` cell 24)
+  stream the history through HBM in C-site chunks with a double-buffered
+  VMEM ring: the forward replay DMAs each filled chunk out while the next
+  chunk computes, the reverse sweep prefetches chunk i-2 while chunk i is
+  consumed, and the last two chunks are never written at all (the reverse
+  sweep starts on them while they are still ring-resident).  HBM traffic
+  is 2 x history bytes per tile — the same as XLA's scan VJP — but with
+  none of the per-step scan dispatch overhead, no gate-activation
+  round-trips (gates recompute in-register), and full DMA/compute overlap.
 
 Gradient math (reset-after GRU, gate rows [r; z; c] as in ``fused_gru``):
 
@@ -27,7 +42,8 @@ Weight cotangents come out in the same transposed layout ``_weightsT``
 feeds the kernels ((3U, in), (3U, U), (3U, 1), (3U, 1) per layer + head
 (2, U), (2, 1)), summed over the batch; grid programs beyond the first
 accumulate into the same output blocks.  Used by ``make_log_prob_fn``'s
-backward when the history fits VMEM; longer chains keep the jnp VJP.
+backward (and, via the shared trunk helpers and ``run_history_bptt``, by
+the cRNN backward in ``ops/fused_crnn_bwd``).
 
 Validated in interpret mode against ``jax.grad`` of the jnp reference path
 (tests/test_fused_bwd.py) — the reference implementation of record
@@ -47,31 +63,251 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_gru import TILE, _round_up, _split_cells, _weightsT, _weightT_specs
 
 _MIN_TILE = 128
-_VMEM_BUDGET = 13 * 1024 * 1024  # history + dh carry + weight accumulators
+_VMEM_BUDGET = 13 * 1024 * 1024
+_MIN_CHUNK = 8    # smallest spill-ring chunk (sites per DMA)
+_MAX_CHUNK = 256
 
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
+# ---------------------------------------------------------------------------
+# VMEM accounting (joint: history/ring + every resident piece)
+# ---------------------------------------------------------------------------
+
+def _weight_bytes(units, heads: int = 1) -> int:
+    """Bytes of one transposed weight set (per-layer gate mats + biases,
+    plus ``heads`` 2-logit output heads)."""
+    u = units[0]
+    total = 0
+    for l in range(len(units)):
+        in_dim = 2 if l == 0 else u
+        total += 3 * u * in_dim + 3 * u * u + 6 * u
+    total += heads * (2 * u + 2)
+    return total * 4
+
+
+def _base_bytes(n: int, units, tile: int, heads: int = 1) -> int:
+    """VMEM-resident pieces excluding the history: the samples block, the
+    cotangent row(s), the double-buffered (L*U, T) recurrent-cotangent
+    carry, and four weight-shaped sets (input refs, output refs, and the
+    two in-flight fori-loop accumulator carries)."""
+    lu_pad = _round8(sum(units))
+    return (
+        (n + heads) * tile * 4
+        + 2 * lu_pad * tile * 4
+        + 4 * _weight_bytes(units, heads)
+    )
+
+
 def _hist_bytes(n: int, units, tile: int) -> int:
     return n * _round8(sum(units)) * tile * 4
 
 
-def _pick_tile(n: int, units, batch) -> int:
-    """Largest power-of-two tile (>= 128) capped by the batch whose history
-    fits the VMEM budget (narrower tiles just mean more grid programs)."""
-    tile = _MIN_TILE
-    while tile < min(batch, TILE):
-        tile *= 2
-    while tile > _MIN_TILE and _hist_bytes(n, units, tile) > _VMEM_BUDGET:
+def _ring_bytes(units, tile: int, chunk: int) -> int:
+    return 2 * chunk * _round8(sum(units)) * tile * 4
+
+
+def _pick_tile(n: int, units, batch, heads: int = 1):
+    """(tile, spill): largest power-of-two tile (>= 128, <= the batch cap)
+    whose history + resident pieces fit the VMEM budget; when even the
+    minimum tile cannot hold the history, spill it to HBM and size the
+    tile by the resident pieces + the minimum ring."""
+    cap = _MIN_TILE
+    while cap < min(batch, TILE):
+        cap *= 2
+    tile = cap
+    while tile > _MIN_TILE and (
+        _base_bytes(n, units, tile, heads) + _hist_bytes(n, units, tile)
+        > _VMEM_BUDGET
+    ):
         tile //= 2
-    return tile
+    if (
+        _base_bytes(n, units, tile, heads) + _hist_bytes(n, units, tile)
+        <= _VMEM_BUDGET
+    ):
+        return tile, False
+    tile = cap
+    while tile > _MIN_TILE and (
+        _base_bytes(n, units, tile, heads)
+        + _ring_bytes(units, tile, _MIN_CHUNK)
+        > _VMEM_BUDGET
+    ):
+        tile //= 2
+    return tile, True
 
 
-def supports(n: int, units) -> bool:
-    """History-resident only: (N, L*U, T) in VMEM at the minimum tile."""
-    return _hist_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+def _pick_chunk(n: int, units, tile: int, heads: int = 1) -> int:
+    """Largest power-of-two chunk whose double-buffered ring still fits the
+    budget next to the resident pieces (bigger chunks mean fewer, fatter
+    DMAs and longer prefetch windows)."""
+    c = _MIN_CHUNK
+    while (
+        2 * c <= _MAX_CHUNK
+        and 2 * c < n
+        and _base_bytes(n, units, tile, heads)
+        + _ring_bytes(units, tile, 2 * c)
+        <= _VMEM_BUDGET
+    ):
+        c *= 2
+    return c
+
+
+def supports(n: int, units, heads: int = 1) -> bool:
+    """True when a fused backward is available: either history-resident or
+    the HBM-spilled variant (which only needs the resident pieces plus the
+    minimum ring to fit at the minimum tile)."""
+    return (
+        _base_bytes(n, units, _MIN_TILE, heads)
+        + _ring_bytes(units, _MIN_TILE, _MIN_CHUNK)
+        <= _VMEM_BUDGET
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared forward-replay / reverse-sweep skeleton
+# ---------------------------------------------------------------------------
+
+def run_history_bptt(n_sites, lu, t, fwd_site, fwd_carry0, bwd_site,
+                     bwd_carry0, h_hist, spill=None):
+    """Forward replay storing one (lu, t) state row per site, then a
+    reverse sweep feeding each site its own and its predecessor's rows.
+
+    ``fwd_site(n, carry) -> (h_cat, carry)``;
+    ``bwd_site(n, hist_n, hist_p, carry) -> carry`` (``hist_p`` is zeros at
+    site 0).  Returns the final backward carry.
+
+    Resident (``spill is None``): ``h_hist`` is a VMEM (n, lu, t) scratch.
+    Spilled: ``h_hist`` is an HBM (tiles, nchunks, C, lu_pad, t) output and
+    ``spill = (chunk, ring, sem_wr, sem_rd)`` with ``ring`` a VMEM
+    (2*chunk, lu_pad, t) double buffer; chunks stream out during the
+    forward pass and prefetch back two chunks ahead of the reverse sweep,
+    and the last two chunks are never written (the sweep starts on them
+    while still ring-resident).
+    """
+    if spill is None:
+        def fbody(n, carry):
+            h_cat, carry = fwd_site(n, carry)
+            h_hist[pl.ds(n, 1)] = h_cat[None]
+            return carry
+
+        jax.lax.fori_loop(0, n_sites, fbody, fwd_carry0)
+
+        def bbody(i, carry):
+            n = n_sites - 1 - i
+            hist_n = h_hist[pl.ds(n, 1)][0]
+            hist_p = jnp.where(
+                n > 0, h_hist[pl.ds(jnp.maximum(n - 1, 0), 1)][0], 0.0
+            )
+            return bwd_site(n, hist_n, hist_p, carry)
+
+        return jax.lax.fori_loop(0, n_sites, bbody, bwd_carry0)
+
+    chunk, ring, sem_wr, sem_rd = spill
+    nchunks = -(-n_sites // chunk)
+    tid = pl.program_id(0)
+
+    def wr_dma(idx):
+        slot = idx % 2
+        return pltpu.make_async_copy(
+            ring.at[pl.ds(slot * chunk, chunk)],
+            h_hist.at[tid, idx],
+            sem_wr.at[slot],
+        )
+
+    def rd_dma(idx):
+        slot = idx % 2
+        return pltpu.make_async_copy(
+            h_hist.at[tid, idx],
+            ring.at[pl.ds(slot * chunk, chunk)],
+            sem_rd.at[slot],
+        )
+
+    # ---- forward: fill ring slots chunk by chunk, streaming filled chunks
+    # out while the next computes.  Chunk j reuses the slot of j-2, so its
+    # write is waited there; the last two chunks are never written.
+    carry = fwd_carry0
+    for idx in range(nchunks):
+        rows = min(chunk, n_sites - idx * chunk)
+        base = (idx % 2) * chunk
+        if idx >= 2:
+            wr_dma(idx - 2).wait()
+
+        def fbody(r, carry, idx=idx, base=base):
+            h_cat, carry = fwd_site(idx * chunk + r, carry)
+            ring[pl.ds(base + r, 1), 0:lu, :] = h_cat[None]
+            return carry
+
+        carry = jax.lax.fori_loop(0, rows, fbody, carry)
+        if idx <= nchunks - 3:
+            wr_dma(idx).start()
+
+    # ---- backward: chunks in reverse; chunk idx-2 prefetches into the
+    # slot chunk idx just vacated while chunk idx-1 is consumed.  Each
+    # prefetch is waited exactly once — at the chunk-boundary read (site 0
+    # of the chunk above it), i.e. after nearly a full chunk of overlap.
+    carry = bwd_carry0
+    for ci in range(nchunks):
+        idx = nchunks - 1 - ci
+        rows = min(chunk, n_sites - idx * chunk)
+        base = (idx % 2) * chunk
+        ob = ((idx - 1) % 2) * chunk
+        # recv(idx-1) exists only for prefetched chunks (idx-1 <= nchunks-3)
+        needs_wait = 0 < idx <= nchunks - 2
+
+        def bbody(i2, carry, idx=idx, rows=rows, base=base, ob=ob,
+                  needs_wait=needs_wait):
+            r = rows - 1 - i2
+            n = idx * chunk + r
+            if needs_wait:
+                @pl.when(r == 0)
+                def _():
+                    rd_dma(idx - 1).wait()
+
+            hist_n = ring[pl.ds(base + r, 1)][0][0:lu]
+            if idx == 0:
+                hist_p = jnp.where(
+                    r > 0,
+                    ring[pl.ds(base + jnp.maximum(r - 1, 0), 1)][0][0:lu],
+                    0.0,
+                )
+            else:
+                hp_in = ring[pl.ds(base + jnp.maximum(r - 1, 0), 1)][0][0:lu]
+                hp_bd = ring[pl.ds(ob + chunk - 1, 1)][0][0:lu]
+                hist_p = jnp.where(r > 0, hp_in, hp_bd)
+            return bwd_site(n, hist_n, hist_p, carry)
+
+        carry = jax.lax.fori_loop(0, rows, bbody, carry)
+        if idx >= 2:
+            rd_dma(idx - 2).start()
+    return carry
+
+
+def bptt_scratch(n, lu, tile, chunk=None):
+    """Scratch list for a history-BPTT kernel: the VMEM history buffer for
+    the resident variant, or the chunk ring + DMA semaphores for spill."""
+    if chunk is None:
+        return [pltpu.VMEM((n, lu, tile), jnp.float32)]
+    return [
+        pltpu.VMEM((2 * chunk, _round8(lu), tile), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+def bptt_hist_out(n, lu, tile, num_tiles, chunk=None):
+    """(out_specs, out_shapes) for the spilled history HBM buffer (empty
+    for the resident variant)."""
+    if chunk is None:
+        return [], []
+    nchunks = -(-n // chunk)
+    return (
+        [pl.BlockSpec(memory_space=pltpu.HBM)],
+        [jax.ShapeDtypeStruct(
+            (num_tiles, nchunks, chunk, _round8(lu), tile), jnp.float32
+        )],
+    )
 
 
 def _rowsum(a):
@@ -181,13 +417,33 @@ def gru_trunk_bwd_site(cells, u, num_layers, x_row, x_scale,
     return new_dh[0] if num_layers == 1 else jnp.concatenate(new_dh, axis=0)
 
 
-def _make_bwd_kernel(num_layers: int):
+def accumulate_grad_outputs(grefs, accs):
+    """Write per-tile accumulators to the gradient outputs: program 0
+    initializes, later programs accumulate."""
+    first = pl.program_id(0) == 0
+    for ref, acc in zip(grefs, accs):
+        @pl.when(first)
+        def _(ref=ref, acc=acc):
+            ref[:] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, acc=acc):
+            ref[:] = ref[:] + acc
+
+
+def _make_bwd_kernel(num_layers: int, chunk=None):
     nw = 4 * num_layers + 2
 
     def kernel(samples_ref, g_ref, *rest):
         wrefs = rest[:nw]
-        grefs = rest[nw : 2 * nw]   # outputs: same shapes as the weights
-        h_hist = rest[2 * nw]       # scratch (N, L*U, T)
+        grefs = rest[nw : 2 * nw]
+        aux = rest[2 * nw :]
+        if chunk is None:
+            (h_hist,) = aux
+            spill = None
+        else:
+            h_hist, ring, sem_wr, sem_rd = aux
+            spill = (chunk, ring, sem_wr, sem_rd)
         n_sites = samples_ref.shape[0]
         t = g_ref.shape[1]
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
@@ -197,8 +453,7 @@ def _make_bwd_kernel(num_layers: int):
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
 
-        # ---- forward replay: store the hidden history -------------------
-        def fwd_body(n, carry):
+        def fwd_site(n, carry):
             hs, x_row = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             new_hs = gru_trunk_fwd_site(
@@ -208,24 +463,12 @@ def _make_bwd_kernel(num_layers: int):
                 new_hs[0] if num_layers == 1
                 else jnp.concatenate(new_hs, axis=0)
             )
-            h_hist[pl.ds(n, 1)] = h_cat[None]
-            return new_hs, read_s(n)
-
-        hs0 = tuple(jnp.zeros((u, t), jnp.float32) for _ in range(num_layers))
-        jax.lax.fori_loop(
-            0, n_sites, fwd_body, (hs0, jnp.zeros((1, t), jnp.float32))
-        )
+            return h_cat, (new_hs, read_s(n))
 
         g = g_ref[:]  # (1, T) per-sample cotangent
 
-        # ---- reverse sweep ---------------------------------------------
-        def bwd_body(i, carry):
-            n = n_sites - 1 - i
-            dh_carry, accs = carry  # (L*U, T), tuple of weight cotangents
-            hist_n = h_hist[pl.ds(n, 1)][0]
-            hist_p = jnp.where(
-                n > 0, h_hist[pl.ds(jnp.maximum(n - 1, 0), 1)][0], 0.0
-            )
+        def bwd_site(n, hist_n, hist_p, carry):
+            dh_carry, accs = carry
             s_n = read_s(n)
             x_row = jnp.where(n > 0, read_s(jnp.maximum(n - 1, 0)), 0.0)
             x_scale = jnp.where(n > 0, 1.0, 0.0)
@@ -250,20 +493,14 @@ def _make_bwd_kernel(num_layers: int):
             )
             return dh_cat, tuple(new_accs)
 
+        hs0 = tuple(jnp.zeros((u, t), jnp.float32) for _ in range(num_layers))
+        fwd0 = (hs0, jnp.zeros((1, t), jnp.float32))
         accs0 = tuple(jnp.zeros_like(r[:]) for r in wrefs)
-        dh0 = jnp.zeros((lu, t), jnp.float32)
-        _, accs = jax.lax.fori_loop(0, n_sites, bwd_body, (dh0, accs0))
-
-        # ---- accumulate across grid programs ----------------------------
-        first = pl.program_id(0) == 0
-        for ref, acc in zip(grefs, accs):
-            @pl.when(first)
-            def _(ref=ref, acc=acc):
-                ref[:] = acc
-
-            @pl.when(jnp.logical_not(first))
-            def _(ref=ref, acc=acc):
-                ref[:] = ref[:] + acc
+        bwd0 = (jnp.zeros((lu, t), jnp.float32), accs0)
+        _, accs = run_history_bptt(
+            n_sites, lu, t, fwd_site, fwd0, bwd_site, bwd0, h_hist, spill
+        )
+        accumulate_grad_outputs(grefs, accs)
 
     return kernel
 
@@ -275,7 +512,12 @@ def gru_log_prob_bwd(params, samples: jax.Array, g: jax.Array):
     b, n = samples.shape
     u = params["rnn"][0]["wh"].shape[0]
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile = _pick_tile(n, units, b)
+    assert supports(n, units), (
+        f"fused GRU BPTT unsupported for N={n}, units={units} "
+        "(resident pieces exceed the VMEM budget)"
+    )
+    tile, spill = _pick_tile(n, units, b)
+    chunk = _pick_chunk(n, units, tile) if spill else None
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
     g_row = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(g)
@@ -288,19 +530,20 @@ def gru_log_prob_bwd(params, samples: jax.Array, g: jax.Array):
         pl.BlockSpec(s.block_shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for s in wspecs
     )
+    hist_specs, hist_shapes = bptt_hist_out(
+        n, num_layers * u, tile, b_pad // tile, chunk
+    )
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(num_layers),
+        _make_bwd_kernel(num_layers, chunk),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ] + wspecs,
-        out_specs=out_specs,
-        out_shape=tuple(wshapes),
-        scratch_shapes=[
-            pltpu.VMEM((n, num_layers * u, tile), jnp.float32),
-        ],
+        out_specs=out_specs + tuple(hist_specs),
+        out_shape=tuple(wshapes) + tuple(hist_shapes),
+        scratch_shapes=bptt_scratch(n, num_layers * u, tile, chunk),
     )(seq, g_row, *_weightsT(params))
 
     rnn = []
@@ -310,5 +553,5 @@ def gru_log_prob_bwd(params, samples: jax.Array, g: jax.Array):
             "wx": dwxT.T, "wh": dwhT.T,
             "bx": dbxT[:, 0], "bh": dbhT[:, 0],
         })
-    dhwT, dhbT = outs[-2], outs[-1]
+    dhwT, dhbT = outs[4 * num_layers], outs[4 * num_layers + 1]
     return {"rnn": rnn, "head": {"w": dhwT.T, "b": dhbT[:, 0]}}

@@ -50,7 +50,7 @@ from .fused_crnn import (
 )
 from .seeding import TILE_SEED_STRIDE
 from .spill import hist_out as _spill_hist_out
-from .spill import make_hist_io, spill_scratch
+from .spill import make_hist_io, spill_bytes, spill_scratch, window_start
 
 GROUP = 8
 # Spilled (long-chain) kernels run the minimum 128-lane tile, where the
@@ -63,20 +63,25 @@ SPILL_GROUP = 16
 
 
 def _resident_bytes(n: int, units, tile: int, group: int) -> int:
-    """VMEM bytes excluding the hidden history: samples + the three (N, T)
-    prefix/up-count rows, the six wavefront blocks, and the spill ring +
-    staging buffer; sized with the group the kernel will actually run."""
+    """VMEM bytes excluding the hidden history and the spill machinery:
+    samples + the three (N, T) prefix/up-count rows and the six wavefront
+    blocks; sized with the group the kernel will actually run."""
     lu = _round8(sum(_norm_units(units)))
     rows = 4 * n  # samples (int32) + pfx_re + pfx_im + cup
-    wf = lu * group + 5 * group + 3 * lu  # wf blocks + DMA ring + staging
+    wf = lu * group + 5 * group
     return (rows + wf) * tile * 4
+
+
+def _spill_extra_bytes(n: int, units, tile: int, group: int) -> int:
+    # worst case window: the bond-pair packed variant stages 2*group rows
+    return spill_bytes(sum(_norm_units(units)), tile, 2 * group, n)
 
 
 def _pick_tile(n: int, units, batch=None):
     """(tile, spill) for the exchange kernel's VMEM footprint; the tile is
     capped by the actual batch (padding columns are pure waste).  Each
     regime is accounted with its own wavefront group (8 resident, 16
-    spilled)."""
+    spilled), the spill regime including its ring/staging buffers."""
     cap = _batch_cap(batch)
     tile = cap
     while tile > _MIN_TILE and (
@@ -91,7 +96,9 @@ def _pick_tile(n: int, units, batch=None):
         return tile, False
     tile = cap
     while tile > _MIN_TILE and (
-        _resident_bytes(n, units, tile, SPILL_GROUP) > _VMEM_BUDGET
+        _resident_bytes(n, units, tile, SPILL_GROUP)
+        + _spill_extra_bytes(n, units, tile, SPILL_GROUP)
+        > _VMEM_BUDGET
     ):
         tile //= 2
     return tile, True
@@ -99,17 +106,28 @@ def _pick_tile(n: int, units, batch=None):
 
 def supports(n: int, units) -> bool:
     """True when the exchange wavefront estimator applies; the spilled
-    variant covers every chain whose non-history pieces fit at the minimum
-    tile (the resident case is a strict subset)."""
+    variant covers every chain whose non-history pieces (+ ring/staging)
+    fit at the minimum tile (the resident case is a strict subset)."""
     return (
-        _resident_bytes(n, units, _MIN_TILE, SPILL_GROUP) <= _VMEM_BUDGET
+        _resident_bytes(n, units, _MIN_TILE, SPILL_GROUP)
+        + _spill_extra_bytes(n, units, _MIN_TILE, SPILL_GROUP)
+        <= _VMEM_BUDGET
     )
 
 
 def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                  has_nnn: bool, periodic: bool = False,
                  sample_mode: bool = False, num_layers: int = 1,
-                 spill: bool = False, group: int = GROUP):
+                 spill: bool = False, group: int = GROUP,
+                 pack: bool = False):
+    """``pack=True`` (small batches: 2*B <= tile, one grid program) runs the
+    bond-pair lane packing: the base pass carries two copies of the batch in
+    the tile's lane halves, so each wavefront column block serves the bond
+    PAIR (2m, 2m+1) — halves initialize independently by lane-mask blends
+    while the shared teacher-forcing advance is unchanged (the per-lane bond
+    index of the target construction simply switches from block to half
+    granularity).  Halves the wavefront iterations for the N=1000 S=64
+    workload that otherwise computes 50% padding lanes."""
     nw = 4 * num_layers + 4
 
     def kernel(*refs):
@@ -154,10 +172,16 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
 
-        hist_write, hist_drain, hist_read_into_wf = make_hist_io(
-            spill, h_hist, wf_h, n_sites, lu, t,
+        fpg = (2 if pack else 1) * group  # bonds covered per group
+        half = t // 2
+        hist_write, hist_drain, stage, read_col, read_col_blk = make_hist_io(
+            spill, h_hist, wf_h, n_sites, lu, t, fpg,
             *((ring, staging, sem_wr, sem_rd) if spill else ()),
         )
+        if pack:
+            upper = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) >= half
+            )
 
         # ---- base pass
         def base_body(n, carry):
@@ -178,6 +202,10 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 # clamp to the allowed class (see fused_crnn sample kernel)
                 s = jnp.where(lp1 < 0.5 * LOG_ZERO, 0.0, s)
                 s = jnp.where(lp0 < 0.5 * LOG_ZERO, 1.0, s)
+                if pack:
+                    # mirror the lower-half draws so the base pass stays
+                    # half-duplicated
+                    s = jnp.where(upper, pltpu.roll(s, half, axis=1), s)
                 samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
             else:
                 s = read_s(n)
@@ -199,51 +227,81 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
 
         # ---- grouped wavefront over bonds of one family (fixed gap) --------
         def family(gap, num_bonds, el, eoff_re, eoff_im):
-            num_groups = -(-num_bonds // group)
+            num_groups = -(-num_bonds // fpg)
 
-            def init_col(i):
-                """Bond i diverges at site i: state/prefix from before i."""
-                k = i % group
+            def ws(g):
+                # bonds [g0, g0+fpg) read divergence rows [g0-1, g0+fpg-2]
+                return window_start(g * fpg, -1, n_sites, fpg)
+
+            def init_col(i, slot, start):
+                """Bond i diverges at site i: state/prefix from before i.
+                Packed: bond pair (2m, 2m+1) shares block m; halves blend in
+                by lane mask (base-pass rows are half-duplicated)."""
+                if pack:
+                    k = (i % fpg) // 2
+                    mask = upper == (i % 2 > 0)
+                else:
+                    k = i % group
+                    mask = None
                 sl = pl.ds(k * t, t)
 
                 @pl.when(i > 0)
                 def _():
-                    hist_read_into_wf(jnp.maximum(i - 1, 0), k)
+                    read_col(jnp.maximum(i - 1, 0), k, slot, start, mask)
 
                 @pl.when(i == 0)
                 def _():
-                    wf_h[:, sl] = jnp.zeros((lu, t), jnp.float32)
+                    if pack:
+                        wf_h[:, sl] = jnp.where(mask, 0.0, wf_h[:, sl])
+                    else:
+                        wf_h[:, sl] = jnp.zeros((lu, t), jnp.float32)
 
-                wf_x[:, sl] = jnp.where(
+                def bset(ref, val):
+                    if pack:
+                        ref[:, sl] = jnp.where(mask, val, ref[:, sl])
+                    else:
+                        ref[:, sl] = val
+
+                bset(wf_x, jnp.where(
                     i > 0, read_s(jnp.maximum(i - 1, 0)), 0.0
-                )
-                wf_xv[:, sl] = jnp.where(i > 0, 1.0, 0.0) + zero_row
-                wf_up[:, sl] = cup[pl.ds(i, 1), :]
-                wf_re[:, sl] = jnp.where(
+                ))
+                bset(wf_xv, jnp.where(i > 0, 1.0, 0.0) + zero_row)
+                bset(wf_up, cup[pl.ds(i, 1), :])
+                bset(wf_re, jnp.where(
                     i > 0, pfx_re[pl.ds(jnp.maximum(i - 1, 0), 1), :], zero_row
-                )
-                wf_im[:, sl] = jnp.where(
+                ))
+                bset(wf_im, jnp.where(
                     i > 0, pfx_im[pl.ds(jnp.maximum(i - 1, 0), 1), :], zero_row
-                )
+                ))
 
             def group_body(g, _):
-                g0 = g * group
-                init_col(g0)
+                g0 = g * fpg
+                slot = g % 2
+                start = ws(g)
+                if spill:
+                    # wait this group's staged window; prefetch the next
+                    stage(slot, start, False)
+
+                    @pl.when(g + 1 < num_groups)
+                    def _():
+                        stage((g + 1) % 2, ws(g + 1), True)
+
+                init_col(g0, slot, start)
 
                 def site_body(n, _):
-                    # bonds g0+1 .. g0+group-1 initialize as their site comes
-                    @pl.when((n > g0) & (n < jnp.minimum(g0 + group, num_bonds)))
+                    # bonds g0+1 .. g0+fpg-1 initialize as their site comes
+                    @pl.when((n > g0) & (n < jnp.minimum(g0 + fpg, num_bonds)))
                     def _():
-                        init_col(n)
+                        init_col(n, slot, start)
 
                     s_n = read_s(n)
-                    # per-column targets: column block k serves bond
-                    # i_k = g0 + k, flipped where n == i_k or n == i_k+gap
-                    # (one vectorized compare via a lane-indexed iota
-                    # instead of a group-long unrolled select chain)
+                    # per-column targets: lane segment (block, or half under
+                    # packing) serves bond i, flipped where n == i or
+                    # n == i+gap (one vectorized compare via a lane-indexed
+                    # iota instead of a group-long unrolled select chain)
                     i_lane = g0 + jax.lax.broadcasted_iota(
                         jnp.int32, (1, group * t), 1
-                    ) // t
+                    ) // (half if pack else t)
                     flip = jnp.where(
                         (n == i_lane) | (n == i_lane + gap), 1.0, 0.0
                     )
@@ -265,20 +323,64 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 jax.lax.fori_loop(g0, n_sites, site_body, 0)
 
                 for k in range(group):
-                    i = g0 + k
+                    if pack:
+                        a = g0 + 2 * k
 
-                    @pl.when(i < num_bonds)
-                    def _():
-                        sl = pl.ds(k * t, t)
-                        anti = jnp.where(read_s(i) != read_s(i + gap), 1.0, 0.0)
-                        d_re = wf_re[:, sl] - base_re
-                        d_im = wf_im[:, sl] - base_im
-                        mag = anti * jnp.exp(d_re)
-                        eoff_re_ref[:] = eoff_re_ref[:] + el * mag * jnp.cos(d_im)
-                        eoff_im_ref[:] = eoff_im_ref[:] + el * mag * jnp.sin(d_im)
+                        @pl.when(a < num_bonds)
+                        def _(k=k, a=a):
+                            sl = pl.ds(k * t, t)
+                            b = a + 1
+                            bc = jnp.minimum(b, num_bonds - 1)
+                            anti_a = jnp.where(
+                                read_s(a) != read_s(a + gap), 1.0, 0.0
+                            )
+                            anti_b = jnp.where(
+                                read_s(bc) != read_s(bc + gap), 1.0, 0.0
+                            )
+                            anti = jnp.where(upper, anti_b, anti_a)
+                            live = jnp.where(
+                                upper,
+                                jnp.where(b < num_bonds, 1.0, 0.0),
+                                1.0,
+                            )
+                            # clamp the dead half before exp/cos (its acc is
+                            # uninitialized garbage; 0 * inf/NaN stays NaN)
+                            d_re = jnp.where(
+                                live > 0, wf_re[:, sl] - base_re, 0.0
+                            )
+                            d_im = jnp.where(
+                                live > 0, wf_im[:, sl] - base_im, 0.0
+                            )
+                            mag = anti * live * jnp.exp(d_re)
+                            eoff_re_ref[:] = (
+                                eoff_re_ref[:] + el * mag * jnp.cos(d_im)
+                            )
+                            eoff_im_ref[:] = (
+                                eoff_im_ref[:] + el * mag * jnp.sin(d_im)
+                            )
+                    else:
+                        i = g0 + k
+
+                        @pl.when(i < num_bonds)
+                        def _(k=k, i=i):
+                            sl = pl.ds(k * t, t)
+                            anti = jnp.where(
+                                read_s(i) != read_s(i + gap), 1.0, 0.0
+                            )
+                            d_re = wf_re[:, sl] - base_re
+                            d_im = wf_im[:, sl] - base_im
+                            mag = anti * jnp.exp(d_re)
+                            eoff_re_ref[:] = (
+                                eoff_re_ref[:] + el * mag * jnp.cos(d_im)
+                            )
+                            eoff_im_ref[:] = (
+                                eoff_im_ref[:] + el * mag * jnp.sin(d_im)
+                            )
 
                 return 0
 
+            if spill:
+                stage(0, ws(0), True)
             jax.lax.fori_loop(0, num_groups, group_body, 0)
 
         # ---- periodic wrap bonds: trajectories diverge at site 0/1, so each
@@ -288,7 +390,8 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
             def init_wcol(k, i):
                 sl = pl.ds(k * t, t)
                 if i > 0:
-                    hist_read_into_wf(i - 1, k)
+                    # <=3 static rows outside any staged window: blocking read
+                    read_col_blk(i - 1, k)
                 else:
                     wf_h[:, sl] = jnp.zeros((lu, t), jnp.float32)
                 wf_x[:, sl] = jnp.where(
@@ -345,6 +448,10 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 d_re = wf_re[:, sl] - base_re
                 d_im = wf_im[:, sl] - base_im
                 mag = anti * jnp.exp(d_re)
+                if pack:
+                    # wrap blocks stay full-width (duplicated halves); count
+                    # each bond once — the caller sums the lane halves
+                    mag = jnp.where(upper, 0.0, mag)
                 eoff_re_ref[:] = eoff_re_ref[:] + el * mag * jnp.cos(d_im)
                 eoff_im_ref[:] = eoff_im_ref[:] + el * mag * jnp.sin(d_im)
 
@@ -379,15 +486,19 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
     units = (u,) * num_layers
     tile, spill = _pick_tile(n, units, b)
     group = SPILL_GROUP if spill else GROUP
+    pack = 2 * max(b, 8) <= tile  # one grid program; halves pack bond pairs
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+    if pack:
+        seq = seq.at[:, tile // 2 : tile // 2 + b].set(samples.T)
     hist_specs, hist_shapes = _hist_out(
         n, units, tile, b_pad // tile, spill
     )
 
     outs = pl.pallas_call(
         _make_kernel(n, u1, el_nn, el_nnn, has_nnn, periodic,
-                     num_layers=num_layers, spill=spill, group=group),
+                     num_layers=num_layers, spill=spill, group=group,
+                     pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -399,9 +510,16 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
         out_shape=tuple(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32) for _ in range(4)
         ) + tuple(hist_shapes),
-        scratch_shapes=_scratch(n, num_layers * u, tile, spill, group),
+        scratch_shapes=_scratch(n, num_layers * u, tile, spill, group, pack),
     )(seq, *_weightsT(params))
     eoff_re, eoff_im, lp_re, lp_im = outs[:4]
+    if pack:
+        h = tile // 2
+        return (
+            eoff_re[0, :b] + eoff_re[0, h : h + b],
+            eoff_im[0, :b] + eoff_im[0, h : h + b],
+            lp_re[0, :b], lp_im[0, :b],
+        )
     return eoff_re[0, :b], eoff_im[0, :b], lp_re[0, :b], lp_im[0, :b]
 
 
@@ -409,7 +527,7 @@ def _hist_out(n, units, tile, num_tiles, spill):
     return _spill_hist_out(sum(_norm_units(units)), n, tile, num_tiles, spill)
 
 
-def _scratch(n, lu, tile, spill=False, group=GROUP):
+def _scratch(n, lu, tile, spill=False, group=GROUP, pack=False):
     hist = [] if spill else [pltpu.VMEM((n, lu, tile), jnp.float32)]
     out = hist + [
         pltpu.VMEM((n, tile), jnp.float32),
@@ -423,7 +541,7 @@ def _scratch(n, lu, tile, spill=False, group=GROUP):
         pltpu.VMEM((1, group * tile), jnp.float32),
     ]
     if spill:
-        out += spill_scratch(lu, tile)
+        out += spill_scratch(lu, tile, (2 if pack else 1) * group, n)
     return out
 
 
@@ -449,6 +567,7 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
     units = (u,) * num_layers
     tile, spill = _pick_tile(n_sites, units, num_samples)
     group = SPILL_GROUP if spill else GROUP
+    pack = 2 * max(num_samples, 8) <= tile
     b_pad = _round_up(max(num_samples, 8), tile)
     hist_specs, hist_shapes = _hist_out(
         n_sites, units, tile, b_pad // tile, spill
@@ -457,7 +576,7 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
     outs = pl.pallas_call(
         _make_kernel(n_sites, u1, el_nn, el_nnn, has_nnn, periodic,
                      sample_mode=True, num_layers=num_layers, spill=spill,
-                     group=group),
+                     group=group, pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -474,9 +593,16 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
         ) + tuple(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32) for _ in range(4)
         ) + tuple(hist_shapes),
-        scratch_shapes=_scratch(n_sites, num_layers * u, tile, spill, group),
+        scratch_shapes=_scratch(n_sites, num_layers * u, tile, spill, group,
+                                pack),
     )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
     seq, eoff_re, eoff_im, lp_re, lp_im = outs[:5]
     b = num_samples
+    if pack:
+        h = tile // 2
+        return (seq[:, :b].T,
+                eoff_re[0, :b] + eoff_re[0, h : h + b],
+                eoff_im[0, :b] + eoff_im[0, h : h + b],
+                lp_re[0, :b], lp_im[0, :b])
     return (seq[:, :b].T, eoff_re[0, :b], eoff_im[0, :b],
             lp_re[0, :b], lp_im[0, :b])

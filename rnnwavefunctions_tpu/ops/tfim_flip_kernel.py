@@ -31,6 +31,15 @@ per-layer hidden states along the sublane (feature) dimension — the history
 and wavefront scratch carry (L*U, T) blocks and the site step peels static
 (U, T) slices per layer.
 
+Long chains (the N=1000 published workload) spill the history to HBM via
+``ops/spill.py``: the base pass streams rows out through a write ring, and
+the wavefront prefetches each group's divergence-row window back through a
+double-buffered staging block — one fat DMA per group, started a full group
+ahead.  Spilled configs also widen the group (SPILL_GROUP): at the minimum
+128-lane tile the serial matmul-chain latency floor dominates, and a wider
+wavefront amortizes it (the same G16 measurement as the cRNN exchange
+kernel, ``ops/j1j2_exchange_kernel.py``).
+
 Returns  sum_i exp(0.5 * (log p(sigma^(i)) - log p(sigma)))  per sample
 (the pRNN amplitude-ratio sum of ``TrainingRNN_1DTFIM.py:74``) plus the base
 log p as a by-product.
@@ -52,10 +61,14 @@ from .fused_gru import (
 )
 from .seeding import TILE_SEED_STRIDE
 from .spill import hist_out as _spill_hist_out
-from .spill import make_hist_io, spill_scratch
+from .spill import make_hist_io, spill_bytes, spill_scratch, window_start
 
 FLIP_TILE = 512  # max sample rows per grid program
-GROUP = 8        # flips advanced together per wavefront iteration
+GROUP = 8        # flips advanced together per wavefront iteration (resident)
+# Spilled (long-chain) kernels run the minimum 128-lane tile, where the
+# serial per-site matmul chain leaves the wavefront latency-bound: doubling
+# the group amortizes it (same trade measured for the cRNN exchange kernel).
+SPILL_GROUP = 16
 _MIN_TILE = 128  # Pallas TPU lane-dim block minimum
 # Joint budget for history + resident scratch (VMEM is ~16 MB/core; the
 # remainder covers Mosaic's input/output buffers — the N=100 flagship
@@ -79,13 +92,19 @@ def _hist_bytes(n: int, units, tile: int) -> int:
     return n * _round8(sum(units)) * tile * 4
 
 
-def _resident_bytes(n: int, units, tile: int) -> int:
-    """VMEM bytes excluding the hidden history (samples + pfx + fl +
-    wavefront blocks + the spill staging ring)."""
+def _resident_bytes(n: int, units, tile: int, group: int = GROUP) -> int:
+    """VMEM bytes excluding the hidden history and the spill machinery:
+    samples + pfx + fl rows and the wavefront blocks."""
     lu = _round8(sum(_norm_units(units)))
     rows = 3 * n  # samples (int32) + pfx + fl
-    wf = lu * GROUP + 2 * GROUP + 3 * lu  # wf blocks + DMA ring + staging
+    wf = lu * group + 2 * group
     return (rows + wf) * tile * 4
+
+
+def _spill_extra_bytes(n: int, units, tile: int, group: int) -> int:
+    lu = sum(_norm_units(units))
+    # worst case window: the flip-pair packed variant stages 2*group rows
+    return spill_bytes(lu, tile, 2 * group, n)
 
 
 def _batch_cap(batch) -> int:
@@ -106,21 +125,26 @@ def _pick_tile(n: int, units, batch=None):
     <= the batch cap) whose hidden-state history PLUS resident scratch fits
     the VMEM budget; when even the minimum tile cannot hold the history,
     spill it to HBM (manual DMA) and size the tile by the VMEM-resident
-    pieces only."""
+    pieces plus the ring/staging buffers (each regime accounted with the
+    group it actually runs)."""
     cap = _batch_cap(batch)
     tile = cap
     while tile > _MIN_TILE and (
-        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
+        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile, GROUP)
         > _VMEM_BUDGET
     ):
         tile //= 2
     if (
-        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile)
+        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile, GROUP)
         <= _VMEM_BUDGET
     ):
         return tile, False
     tile = cap
-    while tile > _MIN_TILE and _resident_bytes(n, units, tile) > _VMEM_BUDGET:
+    while tile > _MIN_TILE and (
+        _resident_bytes(n, units, tile, SPILL_GROUP)
+        + _spill_extra_bytes(n, units, tile, SPILL_GROUP)
+        > _VMEM_BUDGET
+    ):
         tile //= 2
     return tile, True
 
@@ -128,10 +152,14 @@ def _pick_tile(n: int, units, batch=None):
 def supports(n: int, units) -> bool:
     """True when the wavefront estimator applies.  The spilled variant
     (history in HBM via DMA — covers the reference's largest published
-    chains, N=1000) only needs the VMEM-resident pieces to fit at the
-    minimum tile; the history-resident case is a strict subset of that, so
-    one check suffices."""
-    return _resident_bytes(n, units, _MIN_TILE) <= _VMEM_BUDGET
+    chains, N=1000) only needs the VMEM-resident pieces + ring/staging to
+    fit at the minimum tile; the history-resident case is a strict subset
+    of that, so one check suffices."""
+    return (
+        _resident_bytes(n, units, _MIN_TILE, SPILL_GROUP)
+        + _spill_extra_bytes(n, units, _MIN_TILE, SPILL_GROUP)
+        <= _VMEM_BUDGET
+    )
 
 
 def _logp_rows(l0, l1, s):
@@ -150,7 +178,8 @@ def _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u):
 
 
 def _make_flip_kernel(num_layers: int, sample_mode: bool,
-                      per_flip: bool = False, spill: bool = False):
+                      per_flip: bool = False, spill: bool = False,
+                      group: int = GROUP, pack: bool = False):
     """Kernel factory: teacher-forced (``sample_mode=False``, reads a given
     sample batch) or fully fused sample-and-estimate (``sample_mode=True``,
     draws the batch in-kernel — the base pass doubles as the autoregressive
@@ -161,11 +190,23 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
     forward and reversed chains per flip).
 
     ``spill=True`` keeps the (N, L*U, T) hidden history in HBM (long chains,
-    SURVEY.md §5's N=1000 case): the base pass streams history rows out
-    through a 2-slot VMEM ring (the DMA of site n-2 completes while site n
-    computes), and each wavefront column initialization DMAs one (L*U, T)
-    row back — ~N * 4*L*U*T bytes of traffic per tile, negligible against
-    the O(N^2/2) wavefront matmuls."""
+    SURVEY.md §5's N=1000 case) via the ``ops/spill.py`` protocol: the base
+    pass streams rows out through the write ring, the wavefront prefetches
+    each group's divergence-row window one group ahead — ~N * 4*L*U*T bytes
+    of traffic per tile, negligible against the O(N^2/2) wavefront matmuls,
+    and no blocking DMA on the wavefront critical path.
+
+    ``pack=True`` (small batches: 2*B <= tile, one grid program) runs the
+    flip-pair lane packing: the base pass carries TWO copies of the batch
+    in the tile's lane halves (teacher-forced inputs arrive pre-duplicated;
+    sampled draws are mirrored in-kernel), so every base-pass row — prefix
+    sums, flip log-probs, hidden history — is half-duplicated, and each
+    wavefront column block serves the flip PAIR (2m, 2m+1): halves
+    initialize independently via lane-mask blends (the duplicated rows
+    already carry the right values in both halves) while the shared
+    teacher-forcing advance is unchanged.  Iterations halve — without this,
+    a 64-sample chain on the 128-lane minimum tile computes 50% padding
+    and caps at half the achievable MFU."""
     nw = 4 * num_layers + 2
 
     def kernel(*refs):
@@ -202,10 +243,15 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
         def step(x, x_scale, h_cat):
             return _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u)
 
-        hist_write, hist_drain, hist_read_into_wf = make_hist_io(
-            spill, h_hist, wf_h, n_sites, lu, t,
+        window = (2 if pack else 1) * group
+        hist_write, hist_drain, stage, read_col, _ = make_hist_io(
+            spill, h_hist, wf_h, n_sites, lu, t, window,
             *((ring, staging, sem_wr, sem_rd) if spill else ()),
         )
+        if pack:
+            upper = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) >= t // 2
+            )
 
         # ---- base pass: (draw and) store hidden history, prefix sums,
         # flipped-site logps
@@ -221,6 +267,10 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
                 )
                 uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
                 s = jnp.where(uni >= p0, 1.0, 0.0)
+                if pack:
+                    # mirror the lower-half draws into the upper half so the
+                    # whole base pass stays half-duplicated
+                    s = jnp.where(upper, pltpu.roll(s, t // 2, axis=1), s)
                 samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
             else:
                 s = read_s(n)
@@ -237,77 +287,139 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
         hist_drain()
         lp_ref[:] = lp_base
         _flip_wavefront(
-            step, eoff_ref, lp_base, hist_read_into_wf, pfx, fl,
+            step, eoff_ref, lp_base, stage, read_col, pfx, fl,
             wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip,
+            group, spill, pack,
         )
 
     return kernel
 
 
 def _flip_wavefront(
-    step, eoff_ref, lp_base, hist_read_into_wf, pfx, fl,
-    wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip=False,
+    step, eoff_ref, lp_base, stage, read_col, pfx, fl,
+    wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip,
+    group, spill, pack=False,
 ):
 
     # ---- grouped wavefront over flips --------------------------------------
-    num_groups = -(-n_sites // GROUP)
+    fpg = (2 if pack else 1) * group  # flips covered per group
+    num_groups = -(-n_sites // fpg)
+    half = t // 2
+    if pack:
+        upper = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) >= half
 
-    def init_col(i):
-        """Initialize the wavefront block of flip ``i`` (suffix starts i+1)."""
-        k = i % GROUP
-        hist_read_into_wf(i, k)
-        wf_x[:, pl.ds(k * t, t)] = 1.0 - read_s(i)
-        p_before = jnp.where(
-            i > 0, pfx[pl.ds(jnp.maximum(i - 1, 0), 1), :], zero_row
-        )
-        wf_acc[:, pl.ds(k * t, t)] = p_before + fl[pl.ds(i, 1), :]
+    def ws(g):
+        return window_start(g * fpg, 0, n_sites, fpg)
+
+    def init_col(f, slot, start):
+        """Initialize flip ``f``'s wavefront column (suffix starts f+1).
+        Packed: flip pair (2m, 2m+1) shares block m; the half being
+        initialized is blended in by lane mask (base-pass rows are
+        half-duplicated, so both halves of the source carry f's values)."""
+        if pack:
+            k = (f % fpg) // 2
+            h = f % 2
+            mask = upper == (h > 0)            # bool (1, T)
+        else:
+            k = f % group
+            mask = None
+        sl = pl.ds(k * t, t)
+        read_col(f, k, slot, start, mask)
+        x_new = 1.0 - read_s(f)
+        acc_new = jnp.where(
+            f > 0, pfx[pl.ds(jnp.maximum(f - 1, 0), 1), :], zero_row
+        ) + fl[pl.ds(f, 1), :]
+        if pack:
+            wf_x[:, sl] = jnp.where(mask, x_new, wf_x[:, sl])
+            wf_acc[:, sl] = jnp.where(mask, acc_new, wf_acc[:, sl])
+        else:
+            wf_x[:, sl] = x_new
+            wf_acc[:, sl] = acc_new
 
     def wavefront_step(n):
-        """Advance all GROUP trajectories one site with fat matmuls."""
+        """Advance all GROUP trajectory blocks one site with fat matmuls."""
         s_n = read_s(n)                                   # (1, T)
-        tgt = jnp.concatenate([s_n] * GROUP, axis=1)      # (1, GROUP*T)
+        tgt = jnp.concatenate([s_n] * group, axis=1)      # (1, GROUP*T)
         h_new, l0, l1 = step(wf_x[:], 1.0, wf_h[:])
         wf_h[:] = h_new
         wf_x[:] = tgt
         wf_acc[:] = wf_acc[:] + _logp_rows(l0, l1, tgt)
 
     def group_body(g, _):
-        g0 = g * GROUP
+        g0 = g * fpg
+        slot = g % 2
+        start = ws(g)
+        if spill:
+            # wait this group's staged window; prefetch the next
+            stage(slot, start, False)
+
+            @pl.when(g + 1 < num_groups)
+            def _():
+                stage((g + 1) % 2, ws(g + 1), True)
+
         wf_h[:] = jnp.zeros_like(wf_h)
         wf_x[:] = jnp.zeros_like(wf_x)
         wf_acc[:] = jnp.zeros_like(wf_acc)
-        init_col(g0)  # flip g0 diverges first, at site g0+1
+        init_col(g0, slot, start)  # flip g0 diverges first, at site g0+1
 
         def site_body(n, _):
-            @pl.when((n - 1 > g0) & (n - 1 < jnp.minimum(g0 + GROUP, n_sites)))
+            @pl.when((n - 1 > g0) & (n - 1 < jnp.minimum(g0 + fpg, n_sites)))
             def _():
-                init_col(n - 1)
+                init_col(n - 1, slot, start)
 
             wavefront_step(n)
             return 0
 
         jax.lax.fori_loop(g0 + 1, n_sites, site_body, 0)
 
-        for k in range(GROUP):
-            i = g0 + k
+        # the last flip of the chain (empty suffix) never initializes in the
+        # site loop — its init site would be n_sites
+        @pl.when((n_sites - 1 >= g0) & (n_sites - 1 < g0 + fpg))
+        def _():
+            init_col(n_sites - 1, slot, start)
 
-            @pl.when(i < n_sites)
-            def _():
-                # the last flip (empty suffix) never initializes in the loop
-                @pl.when(i >= n_sites - 1)
-                def _():
-                    init_col(i)
+        for k in range(group):
+            sl = pl.ds(k * t, t)
+            if pack:
+                a = g0 + 2 * k
 
-                acc = wf_acc[:, pl.ds(k * t, t)]
-                if per_flip:
-                    eoff_ref[pl.ds(i, 1), :] = acc
-                else:
-                    eoff_ref[:] = eoff_ref[:] + jnp.exp(0.5 * (acc - lp_base))
+                @pl.when(a < n_sites)
+                def _(k=k, sl=sl, a=a):
+                    acc = wf_acc[:, sl]
+                    if per_flip:
+                        eoff_ref[pl.ds(a, 1), :] = acc
+
+                        @pl.when(a + 1 < n_sites)
+                        def _():
+                            eoff_ref[pl.ds(a + 1, 1), :] = pltpu.roll(
+                                acc, half, axis=1
+                            )
+                    else:
+                        ratio = jnp.exp(0.5 * (acc - lp_base))
+                        # mask the upper half when its flip is out of range
+                        live = jnp.where(
+                            upper, jnp.where(a + 1 < n_sites, 1.0, 0.0), 1.0
+                        )
+                        eoff_ref[:] = eoff_ref[:] + ratio * live
+            else:
+                i = g0 + k
+
+                @pl.when(i < n_sites)
+                def _(i=i, sl=sl):
+                    acc = wf_acc[:, sl]
+                    if per_flip:
+                        eoff_ref[pl.ds(i, 1), :] = acc
+                    else:
+                        eoff_ref[:] = eoff_ref[:] + jnp.exp(
+                            0.5 * (acc - lp_base)
+                        )
 
         return 0
 
     if not per_flip:
         eoff_ref[:] = zero_row
+    if spill:
+        stage(0, ws(0), True)
     jax.lax.fori_loop(0, num_groups, group_body, 0)
 
 
@@ -325,12 +437,17 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
     tile, spill = _pick_tile(n, units, b)
+    group = SPILL_GROUP if spill else GROUP
+    pack = 2 * max(b, 8) <= tile  # one grid program; halves pack flip pairs
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+    if pack:
+        seq = seq.at[:, tile // 2 : tile // 2 + b].set(samples.T)
     hist_specs, hist_shapes = _hist_out(n, units, tile, b_pad // tile, spill)
 
     outs = pl.pallas_call(
-        _make_flip_kernel(num_layers, sample_mode=False, spill=spill),
+        _make_flip_kernel(num_layers, sample_mode=False, spill=spill,
+                          group=group, pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -345,9 +462,15 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n, units, tile, spill),
+        scratch_shapes=_flip_scratch(n, units, tile, spill, group, pack),
     )(seq, *_weightsT(params))
     eoff, lp = outs[0], outs[1]
+    if pack:
+        # each lane half accumulated its own flips' ratios
+        return (
+            eoff[0, :b] + eoff[0, tile // 2 : tile // 2 + b],
+            lp[0, :b],
+        )
     return eoff[0, :b], lp[0, :b]
 
 
@@ -362,13 +485,17 @@ def tfim_flip_log_probs(params, samples: jax.Array):
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
     tile, spill = _pick_tile(n, units, b)
+    group = SPILL_GROUP if spill else GROUP
+    pack = 2 * max(b, 8) <= tile
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+    if pack:
+        seq = seq.at[:, tile // 2 : tile // 2 + b].set(samples.T)
     hist_specs, hist_shapes = _hist_out(n, units, tile, b_pad // tile, spill)
 
     outs = pl.pallas_call(
         _make_flip_kernel(num_layers, sample_mode=False, per_flip=True,
-                          spill=spill),
+                          spill=spill, group=group, pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -383,7 +510,7 @@ def tfim_flip_log_probs(params, samples: jax.Array):
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n, units, tile, spill),
+        scratch_shapes=_flip_scratch(n, units, tile, spill, group, pack),
     )(seq, *_weightsT(params))
     lpf, lp = outs[0], outs[1]
     return lpf[:, :b].T, lp[0, :b]
@@ -402,6 +529,8 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     num_layers = len(params["rnn"])
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
     tile, spill = _pick_tile(n_sites, units, num_samples)
+    group = SPILL_GROUP if spill else GROUP
+    pack = 2 * max(num_samples, 8) <= tile
     b_pad = _round_up(max(num_samples, 8), tile)
     eoff_rows = n_sites if per_flip else 1
     hist_specs, hist_shapes = _hist_out(
@@ -410,7 +539,7 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
 
     outs = pl.pallas_call(
         _make_flip_kernel(num_layers, sample_mode=True, per_flip=per_flip,
-                          spill=spill),
+                          spill=spill, group=group, pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -427,24 +556,32 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n_sites, units, tile, spill),
+        scratch_shapes=_flip_scratch(n_sites, units, tile, spill, group, pack),
     )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
     samples, eoff, lp = outs[0], outs[1], outs[2]
-    out = eoff[:, :num_samples].T if per_flip else eoff[0, :num_samples]
+    if per_flip:
+        out = eoff[:, :num_samples].T
+    elif pack:
+        out = (
+            eoff[0, :num_samples]
+            + eoff[0, tile // 2 : tile // 2 + num_samples]
+        )
+    else:
+        out = eoff[0, :num_samples]
     return samples[:, :num_samples].T, lp[0, :num_samples], out
 
 
-def _flip_scratch(n, units, tile, spill=False):
+def _flip_scratch(n, units, tile, spill=False, group=GROUP, pack=False):
     units = _norm_units(units)
     lu = sum(units)
     hist = [] if spill else [pltpu.VMEM((n, lu, tile), jnp.float32)]
     out = hist + [
         pltpu.VMEM((n, tile), jnp.float32),
         pltpu.VMEM((n, tile), jnp.float32),
-        pltpu.VMEM((lu, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((lu, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
     ]
     if spill:
-        out += spill_scratch(lu, tile)
+        out += spill_scratch(lu, tile, (2 if pack else 1) * group, n)
     return out

@@ -39,7 +39,9 @@ def test_bwd_kernel_multiple_tiles(monkeypatch):
     params = ansatz.init(jax.random.PRNGKey(3))
     samples = ansatz.sample(params, jax.random.PRNGKey(4), 300)
     g = jax.random.normal(jax.random.PRNGKey(5), (300,))
-    monkeypatch.setattr(m, "_pick_tile", lambda n, u, b: 128)  # 3 programs
+    monkeypatch.setattr(
+        m, "_pick_tile", lambda n, u, b, heads=1: (128, False)
+    )  # 3 programs
 
     def loss(p):
         return jnp.sum(ansatz._log_prob_plain_jnp(p, samples) * g)
@@ -47,6 +49,60 @@ def test_bwd_kernel_multiple_tiles(monkeypatch):
     want = jax.grad(loss)(params)
     with pltpu.force_tpu_interpret_mode():
         got = m.gru_log_prob_bwd(params, samples, g)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("n,units", [(8, (10,)), (16, (10,)), (21, (10,)),
+                                     (33, (10,)), (21, (8, 8))])
+def test_bwd_kernel_spill_matches_jnp_grad(n, units, monkeypatch):
+    """Chunk-streamed (HBM-spilled history) BPTT == jnp grad.  chunk=8
+    exercises nchunks = 1, 2, 3 and 5 including partial last chunks, the
+    resident-tail fast path, and the reverse-sweep prefetch protocol."""
+    from rnnwavefunctions_tpu.ops import fused_gru_bwd as m
+
+    monkeypatch.setattr(m, "_pick_tile", lambda n, u, b, heads=1: (128, True))
+    monkeypatch.setattr(m, "_pick_chunk", lambda n, u, t, heads=1: 8)
+    ansatz = PRNN1D(num_sites=n, units=units, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 13)
+    g = jax.random.normal(jax.random.PRNGKey(2), (13,))
+
+    def loss(p):
+        return jnp.sum(ansatz._log_prob_plain_jnp(p, samples) * g)
+
+    want = jax.grad(loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = m.gru_log_prob_bwd(params, samples, g)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_crnn_bwd_kernel_spill_matches_jnp_grad(monkeypatch):
+    """The cRNN backward rides the same chunk-streaming skeleton."""
+    from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
+    from rnnwavefunctions_tpu.ops import fused_crnn_bwd as m
+
+    monkeypatch.setattr(m, "_pick_tile", lambda n, u, b, heads=1: (128, True))
+    monkeypatch.setattr(m, "_pick_chunk", lambda n, u, t, heads=1: 8)
+    n = 18
+    ansatz = CRNNU1(num_sites=n, units=(10,), u1=True, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 11)
+    g_re = jax.random.normal(jax.random.PRNGKey(2), (11,))
+    g_im = jax.random.normal(jax.random.PRNGKey(3), (11,))
+
+    def loss(p):
+        re, im = ansatz._log_amp_parts_jnp(p, samples)
+        return jnp.sum(re * g_re) + jnp.sum(im * g_im)
+
+    want = jax.grad(loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = m.crnn_log_amp_bwd(params, samples, g_re, g_im, True)
     for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
