@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parity-symmetrized density (RNNwavefunction_paritysym)")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width: shard the GRU hidden "
+                        "dimension over a second mesh axis (Megatron-style; "
+                        "devices used = dp x tp)")
     p.add_argument("--chunk-size", type=int, default=None,
                    help="max rows per log-amplitude evaluation batch")
     p.add_argument("--workdir", type=str, default="Check_Points/1DTFIM")
@@ -49,9 +53,19 @@ def main(argv=None):
         learning_rate=args.learningrate,
         schedule="constant",
         chunk_size=args.chunk_size,
+        tp=args.tp,
         seed=args.seed,
     )
-    trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
+    if args.tp > 1:
+        import jax
+
+        from ..parallel.tensor import make_dp_tp_mesh
+
+        n_dev = args.num_devices or len(jax.devices())
+        mesh = make_dp_tp_mesh(max(1, n_dev // args.tp), args.tp)
+    else:
+        mesh = make_mesh(args.num_devices)
+    trainer = VMCTrainer(ansatz, ham, config, mesh=mesh)
     sym = "_paritysym" if args.parity else ""
     tag = (
         f"N{args.systemsize}_samp{args.numsamples}_Jz1Bx{args.bx}"

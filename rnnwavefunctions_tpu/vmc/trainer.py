@@ -60,6 +60,13 @@ class TrainConfig:
     # cap on rows per log-amplitude evaluation batch; the in-graph analogue of
     # the reference's 25k/30k host-side chunking (TrainingRNN_1DTFIM.py:57).
     chunk_size: Optional[int] = None
+    # tensor-parallel width: >1 shards the GRU hidden dimension over a
+    # second mesh axis "tp" (Megatron-style column sharding,
+    # parallel/tensor.py) orthogonal to the Monte-Carlo "dp" axis.  No
+    # reference analog (single GPU); this is the rebuild's very-large-units
+    # scaling path.  Requires a plain positive GRU PRNN1D ansatz with
+    # tp-divisible hidden widths and a flat-encoded Hamiltonian.
+    tp: int = 1
     seed: int = 111
 
 
@@ -100,7 +107,20 @@ class VMCTrainer:
         self.ansatz = ansatz
         self.hamiltonian = hamiltonian
         self.config = config
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(1)
+        self.tp = config.tp
+        if mesh is not None:
+            self.mesh = mesh
+        elif self.tp > 1:
+            from ..parallel import tensor as tensor_lib
+
+            n_dev = len(jax.devices())
+            self.mesh = tensor_lib.make_dp_tp_mesh(
+                max(1, n_dev // self.tp), self.tp
+            )
+        else:
+            self.mesh = mesh_lib.make_mesh(1)
+        if self.tp > 1:
+            self._validate_tp()
         self.local_samples = mesh_lib.local_batch(config.num_samples, self.mesh)
         self.optimizer = optax.adam(
             learning_rate=make_schedule(config),
@@ -111,10 +131,47 @@ class VMCTrainer:
         self.local_energy = make_local_energy_fn(
             ansatz, hamiltonian, config.chunk_size
         )
-        self._fused_sample_energy = self._maybe_build_fused_sample_energy()
+        self._fused_sample_energy = (
+            None if self.tp > 1 else self._maybe_build_fused_sample_energy()
+        )
+        self._device_step_impl = (
+            self._device_step_tp if self.tp > 1 else self._device_step
+        )
         self._step_fn = self._build_step()
         self._multi_step_cache = {}
         self._eval_fn = None
+
+    def _validate_tp(self):
+        """The tensor-parallel trunk (parallel/tensor.py) covers the plain
+        positive GRU PRNN1D on flat-encoded real Hamiltonians."""
+        from ..parallel.tensor import TP_AXIS
+
+        if (
+            TP_AXIS not in self.mesh.shape
+            or self.mesh.shape[TP_AXIS] != self.tp
+        ):
+            raise ValueError(
+                f"config.tp={self.tp} needs a mesh with a '{TP_AXIS}' axis "
+                f"of that size; got {dict(self.mesh.shape)}"
+            )
+        a = self.ansatz
+        if not (
+            getattr(a, "plain_positive", False)
+            and getattr(a, "cell", "gru") == "gru"
+            and type(a).__name__ in ("PRNN1D", "PRNNSnake2D")
+        ):
+            raise ValueError(
+                "tensor parallelism supports the plain positive GRU pRNN "
+                f"family; got {type(a).__name__}"
+            )
+        if any(u % self.tp for u in a.units):
+            raise ValueError(
+                f"hidden widths {a.units} must divide tp={self.tp}"
+            )
+        if getattr(self.hamiltonian, "encoding", "flat") != "flat":
+            raise ValueError(
+                "tensor parallelism needs a flat-encoded Hamiltonian"
+            )
 
     def _maybe_build_fused_sample_energy(self):
         """Single-kernel sample + local-energy paths: the sampling rollout
@@ -250,6 +307,80 @@ class VMCTrainer:
             step=jnp.zeros((), jnp.int32),
         )
 
+    # -- the tensor-parallel step --------------------------------------------
+
+    def _tp_sample_and_energy(self, params, key):
+        """Sample + local energies through the tp-sharded trunk (runs inside
+        shard_map on the (dp, tp) mesh; ``params`` replicated).  Returns
+        (samples, logp_sampling, e_re) — all tp-replicated."""
+        from ..parallel import tensor as tp_lib
+        from .local_energy import _chunked_apply
+
+        ansatz, ham = self.ansatz, self.hamiltonian
+        k = self.tp
+        units = tuple(ansatz.units)
+        idx = jax.lax.axis_index(tp_lib.TP_AXIS)
+        shard = tp_lib.shard_params(params, k, idx)
+        with jax.named_scope("vmc_sample"):
+            samples, logp = tp_lib.tp_sample_with_log_prob(
+                shard, key, self.local_samples, ansatz.num_sites, units, k
+            )
+        samples = jax.lax.stop_gradient(samples)
+        with jax.named_scope("vmc_local_energy"):
+            diag, flips, elements, mask = jax.vmap(ham.connected)(samples)
+            s, kk = flips.shape[0], flips.shape[1]
+            flat = flips.reshape((s * kk,) + flips.shape[2:])
+            la = _chunked_apply(
+                lambda c: 0.5 * tp_lib.tp_log_prob(shard, c, units, k),
+                flat,
+                self.config.chunk_size,
+            ).reshape(s, kk)
+            ratios = jnp.exp(la - 0.5 * logp[:, None])
+            contrib = elements.astype(ratios.dtype) * ratios
+            e_re = diag.astype(ratios.dtype) + jnp.sum(
+                jnp.where(mask, contrib, 0.0), axis=1
+            )
+        return samples, logp, jax.lax.stop_gradient(e_re)
+
+    def _device_step_tp(self, params, opt_state, step, key):
+        """Tensor-parallel device step: the GRU hidden dimension is sharded
+        over the mesh's "tp" axis (parallel/tensor.py); params and optimizer
+        state stay replicated (each member slices its shard in-graph, so the
+        dynamic_slice transpose scatters shard gradients back into
+        full-shaped cotangents).  pmean over tp assembles the disjoint slice
+        gradients at 1x (the in-trunk head psum transposes to a psum — see
+        tests/test_tensor_parallel.py::test_tp_inner_grad_pmean_matches_
+        unsharded), so the Adam update is identical on every device."""
+        from ..parallel import tensor as tp_lib
+        from .loss import surrogate_loss as _surrogate
+
+        key = mesh_lib.device_key(jax.random.fold_in(key, step))
+        samples, _, e_re = self._tp_sample_and_energy(params, key)
+        e_mean = mesh_lib.pmean(jnp.mean(e_re))
+        var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean) ** 2))
+        units = tuple(self.ansatz.units)
+
+        def loss_fn(p):
+            sh = tp_lib.shard_params(
+                p, self.tp, jax.lax.axis_index(tp_lib.TP_AXIS)
+            )
+            la_s = 0.5 * tp_lib.tp_log_prob(sh, samples, units, self.tp)
+            return _surrogate(la_s, None, e_re, None, e_mean, None)
+
+        with jax.named_scope("vmc_grad"):
+            grads = jax.grad(loss_fn)(params)
+        grads = jax.tree.map(
+            lambda g: mesh_lib.pmean(jax.lax.pmean(g, tp_lib.TP_AXIS)),
+            grads,
+        )
+        with jax.named_scope("vmc_update"):
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        return params, opt_state, step + 1, {
+            "mean_energy": e_mean,
+            "var_energy": var_e,
+        }
+
     # -- the fused step -----------------------------------------------------
 
     def _device_step(self, params, opt_state, step, key):
@@ -331,7 +462,7 @@ class VMCTrainer:
 
     def _build_step(self):
         sharded = jax.shard_map(
-            self._device_step,
+            self._device_step_impl,
             mesh=self.mesh,
             in_specs=(P(), P(), P(), P()),
             out_specs=(P(), P(), P(), P()),
@@ -357,7 +488,7 @@ class VMCTrainer:
         def scanned(params, opt_state, step, key):
             def body(carry, _):
                 p, o, s = carry
-                p, o, s, m = self._device_step(p, o, s, key)
+                p, o, s, m = self._device_step_impl(p, o, s, key)
                 return (p, o, s), m
 
             (params, opt_state, step), ms = jax.lax.scan(
@@ -394,6 +525,17 @@ class VMCTrainer:
     # -- evaluation (no parameter update) ------------------------------------
 
     def _build_evaluate(self):
+        def device_eval_tp(params, key):
+            key = mesh_lib.device_key(key)
+            samples, _, e_re = self._tp_sample_and_energy(params, key)
+            e_mean = mesh_lib.pmean(jnp.mean(e_re))
+            var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean) ** 2))
+            mag = mesh_lib.pmean(
+                jnp.mean(2.0 * samples.astype(jnp.float32) - 1.0)
+            )
+            return {"mean_energy": e_mean, "var_energy": var_e,
+                    "magnetization": mag}
+
         def device_eval(params, key):
             ansatz = self.ansatz
             key = mesh_lib.device_key(key)
@@ -421,7 +563,8 @@ class VMCTrainer:
             return out
 
         sharded = jax.shard_map(
-            device_eval, mesh=self.mesh, in_specs=(P(), P()),
+            device_eval_tp if self.tp > 1 else device_eval,
+            mesh=self.mesh, in_specs=(P(), P()),
             out_specs=P(), check_vma=False,
         )
         return jax.jit(lambda params, key: sharded(params, key))

@@ -133,6 +133,62 @@ def test_tp_inner_grad_pmean_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_trainer_tp_matches_dp():
+    """The PRODUCT path: ``VMCTrainer(config.tp=4)`` on a (2, 4) mesh must
+    reproduce the dp-only trainer exactly — same drawn samples (tp members
+    share the dp-folded key), same energies, same post-Adam parameters."""
+    from rnnwavefunctions_tpu import TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.parallel import mesh as mesh_lib
+
+    n, s = 8, 16
+    ansatz = PRNN1D(num_sites=n, units=UNITS, impl="jnp")
+    ham = TFIM1D(num_sites=n, bx=1.0)
+    tr_tp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s, tp=K),
+                       mesh=_mesh())
+    tr_dp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s),
+                       mesh=mesh_lib.make_mesh(2))
+    key = jax.random.PRNGKey(11)
+    st_tp = tr_tp.init(key)
+    st_dp = tr_dp.init(key)
+    for a, b in zip(jax.tree.leaves(st_tp.params), jax.tree.leaves(st_dp.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for it in range(3):
+        st_tp, m_tp = tr_tp.step(st_tp, key)
+        st_dp, m_dp = tr_dp.step(st_dp, key)
+        np.testing.assert_allclose(
+            float(m_tp["mean_energy"]), float(m_dp["mean_energy"]),
+            rtol=1e-5,
+        )
+    for a, b in zip(jax.tree.leaves(st_tp.params), jax.tree.leaves(st_dp.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+    # evaluate() also routes through the sharded trunk
+    out = tr_tp.evaluate(st_tp, key)
+    assert np.isfinite(float(out["mean_energy"]))
+
+
+def test_trainer_tp_validation():
+    from rnnwavefunctions_tpu import CRNNU1, TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    import pytest
+
+    with pytest.raises(ValueError, match="plain positive"):
+        VMCTrainer(
+            CRNNU1(num_sites=8, units=(16,), impl="jnp"),
+            J1J2(num_sites=8, j2=0.2),
+            TrainConfig(num_samples=16, tp=K),
+            mesh=_mesh(),
+        )
+    with pytest.raises(ValueError, match="divide"):
+        VMCTrainer(
+            PRNN1D(num_sites=8, units=(10,), impl="jnp"),
+            TFIM1D(num_sites=8, bx=1.0),
+            TrainConfig(num_samples=16, tp=K),
+            mesh=_mesh(),
+        )
+
+
 def test_tp_vmc_step_trains():
     """Full dp x tp VMC step: sample, TFIM local energies, surrogate grad,
     SGD — energy decreases."""
