@@ -70,7 +70,7 @@ def flops_tfim_plain(n, u, s, layers=1):
     c = 6 * u * u * (2 * layers - 1) + 4 * u
     base = n * c                       # fused sample + base pass
     wf = _wavefront_cols(n, n, 1) * c  # flip suffixes
-    loss = 4 * n * c                   # pallas fwd + jnp vjp (fwd + 2x bwd)
+    loss = 4 * n * c                   # pallas fwd + fused BPTT (replay + 2x)
     return s * (base + wf + loss)
 
 
@@ -134,11 +134,15 @@ def main():
         VMCTrainer,
     )
 
+    from rnnwavefunctions_tpu.models.prnn_snake2d import PRNNSnake2D
+
     # (name, ansatz, hamiltonian, num_samples, steps/trial, flops/step).
-    # The two N=1000 rows run the HBM-spilled wavefront kernels at the
-    # small-sample spill configuration (S=64) with short trials (~100
-    # ms/step); the sub-ms MDRNN row gets 4x-long dispatches to amortize
-    # the sync RTT; the 2-layer row tracks the stacked kernels.
+    # One row per fused path the framework ships: the four reference
+    # workload families (1DTFIM, parity, snake-2D TFIM, 2D MDRNN, J1-J2 OBC
+    # + PBC), the stacked kernels, the two HBM-spilled long chains (N=1000
+    # at the S=64 pair-packed configuration), and the spilled 2D lattice
+    # (24x24 row window).  Sub-ms rows get 4x-long dispatches to amortize
+    # the sync RTT; slow rows keep short trials.
     workloads = [
         ("1dtfim_n100", PRNN1D(num_sites=100, units=(50,)),
          TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, STEPS_PER_TRIAL,
@@ -155,6 +159,18 @@ def main():
         ("1dtfim_2layer_n100", PRNN1D(num_sites=100, units=(50, 50)),
          TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, STEPS_PER_TRIAL,
          flops_tfim_plain(100, 50, NUM_SAMPLES, layers=2)),
+        ("snake2d_4x4", PRNNSnake2D(nx=4, ny=4, units=(50,)),
+         TFIM2D(nx=4, ny=4, bx=3.0, encoding="flat"), NUM_SAMPLES,
+         4 * STEPS_PER_TRIAL, flops_tfim_plain(16, 50, NUM_SAMPLES)),
+        ("mdrnn_16x16", MDRNN2D(nx=16, ny=16, units=50),
+         TFIM2D(nx=16, ny=16, bx=3.0, encoding="grid"), NUM_SAMPLES,
+         SLOW_STEPS_PER_TRIAL, flops_mdrnn(16, 16, 50, NUM_SAMPLES)),
+        ("mdrnn_24x24_s128", MDRNN2D(nx=24, ny=24, units=50),
+         TFIM2D(nx=24, ny=24, bx=3.0, encoding="grid"), 128,
+         SLOW_STEPS_PER_TRIAL, flops_mdrnn(24, 24, 50, 128)),
+        ("j1j2_n100_pbc", CRNNU1(num_sites=100, units=(50,)),
+         J1J2(num_sites=100, j2=0.2, periodic=True), NUM_SAMPLES,
+         STEPS_PER_TRIAL, flops_j1j2(100, 50, NUM_SAMPLES)),
         ("1dtfim_n1000_s64", PRNN1D(num_sites=1000, units=(50,)),
          TFIM1D(num_sites=1000, bx=1.0), 64, SLOW_STEPS_PER_TRIAL,
          flops_tfim_plain(1000, 50, 64)),

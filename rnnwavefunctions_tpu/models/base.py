@@ -48,3 +48,28 @@ class Ansatz(Protocol):
     def log_amp(self, params: Any, samples: jax.Array) -> jax.Array: ...
 
     def log_prob(self, params: Any, samples: jax.Array) -> jax.Array: ...
+
+
+_FORFEIT_WARNED = set()
+
+
+def warn_fused_forfeit(ansatz: Any) -> None:
+    """One-time warning when an ``impl="auto"`` configuration silently
+    forfeits every fused Pallas path on an accelerator backend (float64,
+    lstm cells, non-uniform stacks): the jnp scan fallback is correct but
+    ~an order of magnitude slower, and the reference's own workloads all
+    stay inside kernel coverage — a user should opt in knowingly."""
+    import warnings
+
+    key = repr(ansatz)
+    if key in _FORFEIT_WARNED:
+        return
+    _FORFEIT_WARNED.add(key)
+    warnings.warn(
+        f"{type(ansatz).__name__} configuration is outside fused-kernel "
+        "coverage (kernels need uniform-width float32 GRU/MDRNN cells with "
+        "local_dim=2); every sampling/estimator/gradient pass falls back "
+        "to the jnp scan path, which is far slower on TPU.  Pass "
+        "impl='jnp' explicitly to acknowledge and silence this warning.",
+        stacklevel=3,
+    )

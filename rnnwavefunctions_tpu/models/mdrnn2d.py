@@ -77,7 +77,12 @@ class MDRNN2D:
                     f"pallas kernels need local_dim=2 float32; got {self}"
                 )
             return True
-        return self._kernelizable() and jax.default_backend() != "cpu"
+        ok = self._kernelizable()
+        if not ok and jax.default_backend() != "cpu":
+            from .base import warn_fused_forfeit
+
+            warn_fused_forfeit(self)
+        return ok and jax.default_backend() != "cpu"
 
     @property
     def _pallas_log_prob(self):

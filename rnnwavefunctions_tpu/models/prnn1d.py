@@ -104,7 +104,12 @@ class PRNN1D:
             return True
         import jax as _jax
 
-        return self._kernelizable() and _jax.default_backend() != "cpu"
+        ok = self._kernelizable()
+        if not ok and _jax.default_backend() != "cpu":
+            from .base import warn_fused_forfeit
+
+            warn_fused_forfeit(self)
+        return ok and _jax.default_backend() != "cpu"
 
     @property
     def _pallas_log_prob(self):

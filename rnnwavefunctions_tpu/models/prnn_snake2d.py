@@ -28,6 +28,7 @@ def PRNNSnake2D(
     dtype: Any = jnp.float32,
     accum_dtype: Any = jnp.float32,
     cell: str = "gru",
+    impl: str = "auto",
 ) -> PRNN1D:
     """A PRNN1D over the flattened (y-major) Nx x Ny lattice.
 
@@ -41,6 +42,7 @@ def PRNNSnake2D(
         dtype=dtype,
         accum_dtype=accum_dtype,
         cell=cell,
+        impl=impl,
     )
     # attach lattice metadata without breaking dataclass frozen-ness
     object.__setattr__(ansatz, "lattice", (nx, ny))

@@ -484,6 +484,10 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
     num_layers = len(params["rnn"])
     u = params["rnn"][0]["wh"].shape[0]
     units = (u,) * num_layers
+    assert supports(n, units), (
+        f"exchange wavefront unsupported for N={n}, units={units}: "
+        "resident pieces exceed the VMEM budget (use the generic estimator)"
+    )
     tile, spill = _pick_tile(n, units, b)
     group = SPILL_GROUP if spill else GROUP
     pack = 2 * max(b, 8) <= tile  # one grid program; halves pack bond pairs
@@ -565,6 +569,10 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
     num_layers = len(params["rnn"])
     u = params["rnn"][0]["wh"].shape[0]
     units = (u,) * num_layers
+    assert supports(n_sites, units), (
+        f"exchange wavefront unsupported for N={n_sites}, units={units}: "
+        "resident pieces exceed the VMEM budget (use the generic estimator)"
+    )
     tile, spill = _pick_tile(n_sites, units, num_samples)
     group = SPILL_GROUP if spill else GROUP
     pack = 2 * max(num_samples, 8) <= tile

@@ -18,6 +18,18 @@ state at position m selects between that buffer (source position diverged,
 ``vis_up(m) >= f``) and the shared base history (prefix, unchanged).
 Vertical *inputs* are pure functions of the (XOR-flipped) samples.
 
+Unlike the 1D kernels, the 2D wavefront re-reads the base history at every
+site (the vertical prefix state lives one lattice row up), so the
+HBM-spilled variant (lattices beyond VMEM reach — 20x20+) keeps a 3-slot
+circular window of lattice-row chunks in VMEM: the base pass writes rows
+into the window and streams completed rows out (write of row r waited when
+its slot is reclaimed at row r+3), and each wavefront group stages its
+starting rows then prefetches row yy+1 while sweeping row yy — every
+history access (vertical state, column init) stays within the resident
+window {yy-1, yy, (yy+1 in flight)}.  Traffic is one extra history
+read-back per group (~NS*NY/G rows per tile), trivially hidden under the
+O(NS^2/G) wavefront matmuls.
+
 Inputs/outputs are in visit order: callers pre-permute the (B, Nx, Ny)
 lattice samples with the boustrophedon index map (see
 ``mdrnn_flip_ratio_sum``).  Returns the flip-ratio sums
@@ -38,9 +50,11 @@ from .seeding import TILE_SEED_STRIDE
 
 GROUP = 8
 _MIN_TILE = 128
+_WIN = 3  # circular lattice-row window slots (spill variant)
 # Joint budget for the cell-output history + per-trajectory row buffer
 # (VMEM ~16 MB/core; the TFIM kernels run at 14 MB accounted).  14 MB
-# reaches 18x18 lattices at 50 units with the minimum tile (13.4 MB).
+# reaches 18x18 lattices at 50 units with the minimum tile (13.4 MB);
+# beyond that the history spills to HBM through the row window.
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 
@@ -48,29 +62,64 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _bytes(nx: int, ny: int, u: int, tile: int) -> int:
+def _base_bytes(nx: int, ny: int, u: int, tile: int) -> int:
+    """Non-history pieces: samples + pfx rows, the per-trajectory row
+    buffer, and the wavefront blocks."""
     ns = nx * ny
-    hist = ns * _round8(u) * tile * 4
-    rowbuf = nx * _round8(u) * GROUP * tile * 4
-    return hist + rowbuf
+    up = _round8(u)
+    rows = 2 * ns * tile * 4                      # samples (int32) + pfx
+    rowbuf = nx * up * GROUP * tile * 4
+    wf = (up + 2) * GROUP * tile * 4
+    return rows + rowbuf + wf
 
 
-def _pick_tile(nx: int, ny: int, u: int, batch=None) -> int:
+def _hist_bytes(nx: int, ny: int, u: int, tile: int) -> int:
+    return nx * ny * _round8(u) * tile * 4
+
+
+def _win_bytes(nx: int, u: int, tile: int) -> int:
+    return _WIN * nx * _round8(u) * tile * 4
+
+
+def _pick_tile(nx: int, ny: int, u: int, batch=None):
+    """(tile, spill): resident when the full history fits next to the other
+    pieces; otherwise spill the history to HBM behind the row window."""
     from .tfim_flip_kernel import _batch_cap
 
-    tile = min(256, _batch_cap(batch))
-    while tile > _MIN_TILE and _bytes(nx, ny, u, tile) > _VMEM_BUDGET:
+    cap = min(256, _batch_cap(batch))
+    tile = cap
+    while tile > _MIN_TILE and (
+        _hist_bytes(nx, ny, u, tile) + _base_bytes(nx, ny, u, tile)
+        > _VMEM_BUDGET
+    ):
         tile //= 2
-    return tile
+    if (
+        _hist_bytes(nx, ny, u, tile) + _base_bytes(nx, ny, u, tile)
+        <= _VMEM_BUDGET
+    ):
+        return tile, False
+    tile = cap
+    while tile > _MIN_TILE and (
+        _win_bytes(nx, u, tile) + _base_bytes(nx, ny, u, tile)
+        > _VMEM_BUDGET
+    ):
+        tile //= 2
+    return tile, True
 
 
 def supports(nx: int, ny: int, u: int) -> bool:
-    """VMEM reach.  (An earlier >=25-site crossover gate reflected the
-    pre-vectorization select chain; with lane-indexed iota selects the
-    wavefront wins even at 4x4 — 2333 vs 1855 steps/s at 50 units, S=500.)
-    Lattices with a single row or column have no vertical/horizontal
-    neighbor structure worth the wavefront; they fall back too."""
-    return nx >= 2 and ny >= 2 and _bytes(nx, ny, u, _MIN_TILE) <= _VMEM_BUDGET
+    """Wavefront reach: resident or row-window spilled.  (An earlier
+    >=25-site crossover gate reflected the pre-vectorization select chain;
+    with lane-indexed iota selects the wavefront wins even at 4x4 — 2333 vs
+    1855 steps/s at 50 units, S=500.)  Lattices with a single row or column
+    have no vertical/horizontal neighbor structure worth the wavefront;
+    they fall back."""
+    return (
+        nx >= 2
+        and ny >= 2
+        and _win_bytes(nx, u, _MIN_TILE) + _base_bytes(nx, ny, u, _MIN_TILE)
+        <= _VMEM_BUDGET
+    )
 
 
 def visit_order(nx: int, ny: int):
@@ -81,25 +130,36 @@ def visit_order(nx: int, ny: int):
     return xx, yy
 
 
-def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
+def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
+                 spill: bool = False):
     ns = nx * ny
 
     def kernel(*refs):
         if sample_mode:
-            (seed_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
-             samples_ref, eoff_ref, lp_ref,
-             cell_hist, pfx, rowbuf, wf_h, wf_x, wf_acc) = refs
+            seed_ref = refs[0]
+            uhT, uvT, whT, wvT, bT, hwT, hbT = refs[1:8]
+            rest = refs[8:]
             pltpu.prng_seed(
                 seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
             )
+            samples_ref = rest[0]
+            rest = rest[1:]
         else:
-            (samples_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
-             eoff_ref, lp_ref,
-             cell_hist, pfx, rowbuf, wf_h, wf_x, wf_acc) = refs
+            samples_ref = refs[0]
+            uhT, uvT, whT, wvT, bT, hwT, hbT = refs[1:8]
+            rest = refs[8:]
+        if spill:
+            (eoff_ref, lp_ref, h_hist,
+             pfx, rowwin, rowbuf, wf_h, wf_x, wf_acc,
+             sem_wr, sem_rd) = rest
+        else:
+            (eoff_ref, lp_ref,
+             cell_hist, pfx, rowbuf, wf_h, wf_x, wf_acc) = rest
         t = eoff_ref.shape[1]
         u = whT.shape[0]
         w = (uhT[:], uvT[:], whT[:], wvT[:], bT[:], hwT[:], hbT[:])
         zero_row = jnp.zeros((1, t), jnp.float32)
+        tid = pl.program_id(0)
 
         def read_s(m):
             return samples_ref[pl.ds(m, 1), :].astype(jnp.float32)  # (1, T)
@@ -112,6 +172,51 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
             vis_up = (yy - 1) * nx + jnp.where(even, nx - 1 - xx, xx)
             return yy, k, xx, vis_up
 
+        # ---- history placement ------------------------------------------
+        if spill:
+            def row_dma(yy, sem):
+                slot = (yy % _WIN) * nx
+                return pltpu.make_async_copy(
+                    rowwin.at[pl.ds(slot, nx)],
+                    h_hist.at[tid, yy],
+                    sem.at[yy % _WIN],
+                ) if sem is sem_wr else pltpu.make_async_copy(
+                    h_hist.at[tid, yy],
+                    rowwin.at[pl.ds(slot, nx)],
+                    sem.at[yy % _WIN],
+                )
+
+            def hist_write(m, yy, off, h_new):
+                @pl.when((off == 0) & (yy >= _WIN))
+                def _():
+                    row_dma(yy - _WIN, sem_wr).wait()
+
+                rowwin[pl.ds((yy % _WIN) * nx + off, 1), 0:u, :] = h_new[None]
+
+                @pl.when(off == nx - 1)
+                def _():
+                    row_dma(yy, sem_wr).start()
+
+            def base_drain():
+                for d in range(min(_WIN, ny)):
+                    row_dma(ny - 1 - d, sem_wr).wait()
+
+            def hist_read(pos):
+                """History row at visit position ``pos`` — must lie in the
+                resident window {row-1, row} of the current sweep."""
+                yy = pos // nx
+                off = pos % nx
+                return rowwin[pl.ds((yy % _WIN) * nx + off, 1)][0][0:u, :]
+        else:
+            def hist_write(m, yy, off, h_new):
+                cell_hist[pl.ds(m, 1)] = h_new[None]
+
+            def base_drain():
+                pass
+
+            def hist_read(pos):
+                return cell_hist[pl.ds(pos, 1)][0]
+
         # ---- base pass (visit order) ------------------------------------
         def base_body(m, carry):
             h_h, x_h, acc = carry
@@ -121,7 +226,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
             h_h = jnp.where(k > 0, h_h, 0.0)
             x_h = jnp.where(k > 0, x_h, 0.0)
             h_v = jnp.where(
-                yy > 0, cell_hist[pl.ds(jnp.maximum(vis_up, 0), 1)][0], 0.0
+                yy > 0, hist_read(jnp.maximum(vis_up, 0)), 0.0
             )
             x_v = jnp.where(yy > 0, read_s(jnp.maximum(vis_up, 0)), 0.0)
             h_new, l0, l1 = _mdrnn_site_rows(x_h, sh, x_v, sv, h_h, h_v, w)
@@ -137,7 +242,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
             else:
                 s = read_s(m)
             acc = acc + _logp_rows(l0, l1, s)
-            cell_hist[pl.ds(m, 1)] = h_new[None]
+            hist_write(m, yy, k, h_new)
             pfx[pl.ds(m, 1), :] = acc
             return h_new, s, acc
 
@@ -145,6 +250,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
         _, _, lp_base = jax.lax.fori_loop(
             0, ns, base_body, (h0, zero_row, zero_row)
         )
+        base_drain()
         lp_ref[:] = lp_base
 
         # ---- grouped wavefront over flips (flip index f = visit position) --
@@ -156,7 +262,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
             sl = pl.ds(k * t, t)
             _, kf, _, _ = coords(f)
             wf_h[:, sl] = jnp.where(
-                kf > 0, cell_hist[pl.ds(jnp.maximum(f - 1, 0), 1)][0], 0.0
+                kf > 0, hist_read(jnp.maximum(f - 1, 0)), 0.0
             )
             wf_x[:, sl] = jnp.where(
                 kf > 0, read_s(jnp.maximum(f - 1, 0)), 0.0
@@ -167,21 +273,52 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
 
         def group_body(g, _):
             g0 = g * GROUP
+            if spill:
+                # stage the group's starting rows, prefetch the next one
+                yy0 = g0 // nx
+
+                @pl.when(yy0 >= 1)
+                def _():
+                    row_dma(yy0 - 1, sem_rd).start()
+
+                row_dma(yy0, sem_rd).start()
+
+                @pl.when(yy0 >= 1)
+                def _():
+                    row_dma(yy0 - 1, sem_rd).wait()
+
+                row_dma(yy0, sem_rd).wait()
+
+                @pl.when(yy0 + 1 < ny)
+                def _():
+                    row_dma(yy0 + 1, sem_rd).start()
+
             init_col(g0)
 
             def site_body(m, _):
+                yy, k, xx, vis_up = coords(m)
+                if spill:
+                    # row boundary: the prefetched chunk becomes current;
+                    # start the next one
+                    @pl.when((k == 0) & (m > g0))
+                    def _():
+                        row_dma(yy, sem_rd).wait()
+
+                        @pl.when(yy + 1 < ny)
+                        def _():
+                            row_dma(yy + 1, sem_rd).start()
+
                 @pl.when((m > g0) & (m < jnp.minimum(g0 + GROUP, ns)))
                 def _():
                     init_col(m)
 
-                yy, k, xx, vis_up = coords(m)
                 sh = jnp.where(k > 0, 1.0, 0.0)
                 sv = jnp.where(yy > 0, 1.0, 0.0)
                 s_m = read_s(m)
                 s_up = jnp.where(yy > 0, read_s(jnp.maximum(vis_up, 0)), 0.0)
                 h_v_base = jnp.where(
                     yy > 0,
-                    cell_hist[pl.ds(jnp.maximum(vis_up, 0), 1)][0],
+                    hist_read(jnp.maximum(vis_up, 0)),
                     0.0,
                 )                                             # (U, T)
                 h_v_wf = rowbuf[pl.ds(xx, 1)][0]              # (U, GROUP*T)
@@ -236,8 +373,20 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False):
     return kernel
 
 
-def _scratch(nx, ny, u, tile):
+def _scratch(nx, ny, u, tile, spill=False):
     ns = nx * ny
+    up = _round8(u)
+    if spill:
+        return [
+            pltpu.VMEM((ns, tile), jnp.float32),                 # pfx
+            pltpu.VMEM((_WIN * nx, up, tile), jnp.float32),      # rowwin
+            pltpu.VMEM((nx, u, GROUP * tile), jnp.float32),      # rowbuf
+            pltpu.VMEM((u, GROUP * tile), jnp.float32),          # wf_h
+            pltpu.VMEM((1, GROUP * tile), jnp.float32),          # wf_x
+            pltpu.VMEM((1, GROUP * tile), jnp.float32),          # wf_acc
+            pltpu.SemaphoreType.DMA((_WIN,)),
+            pltpu.SemaphoreType.DMA((_WIN,)),
+        ]
     return [
         pltpu.VMEM((ns, u, tile), jnp.float32),
         pltpu.VMEM((ns, tile), jnp.float32),
@@ -248,19 +397,31 @@ def _scratch(nx, ny, u, tile):
     ]
 
 
+def _hist_out(nx, ny, u, tile, num_tiles, spill):
+    if not spill:
+        return [], []
+    return (
+        [pl.BlockSpec(memory_space=pltpu.HBM)],
+        [jax.ShapeDtypeStruct(
+            (num_tiles, ny, nx, _round8(u), tile), jnp.float32
+        )],
+    )
+
+
 def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
     """samples (B, Nx, Ny) int -> (ratio_sum (B,), base_log_prob (B,))."""
     b = samples.shape[0]
     u = params["cell"]["wh"].shape[0]
     ns = nx * ny
-    tile = _pick_tile(nx, ny, u, b)
+    tile, spill = _pick_tile(nx, ny, u, b)
     b_pad = _round_up(max(b, 8), tile)
     xx, yy = visit_order(nx, ny)
     seq_v = samples[:, xx, yy].T  # (NS, B), visit order
     seq = jnp.zeros((ns, b_pad), jnp.int32).at[:, :b].set(seq_v)
+    hist_specs, hist_shapes = _hist_out(nx, ny, u, tile, b_pad // tile, spill)
 
-    eoff, lp = pl.pallas_call(
-        _make_kernel(nx, ny),
+    outs = pl.pallas_call(
+        _make_kernel(nx, ny, spill=spill),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((ns, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -268,13 +429,16 @@ def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
         out_specs=(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *hist_specs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            *hist_shapes,
         ),
-        scratch_shapes=_scratch(nx, ny, u, tile),
+        scratch_shapes=_scratch(nx, ny, u, tile, spill),
     )(seq, *_mdrnn_weightsT(params))
+    eoff, lp = outs[0], outs[1]
     return eoff[0, :b], lp[0, :b]
 
 
@@ -289,11 +453,12 @@ def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     """
     u = params["cell"]["wh"].shape[0]
     ns = nx * ny
-    tile = _pick_tile(nx, ny, u, num_samples)
+    tile, spill = _pick_tile(nx, ny, u, num_samples)
     b_pad = _round_up(max(num_samples, 8), tile)
+    hist_specs, hist_shapes = _hist_out(nx, ny, u, tile, b_pad // tile, spill)
 
-    seq, eoff, lp = pl.pallas_call(
-        _make_kernel(nx, ny, sample_mode=True),
+    outs = pl.pallas_call(
+        _make_kernel(nx, ny, sample_mode=True, spill=spill),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -302,14 +467,17 @@ def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
             pl.BlockSpec((ns, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *hist_specs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ns, b_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            *hist_shapes,
         ),
-        scratch_shapes=_scratch(nx, ny, u, tile),
+        scratch_shapes=_scratch(nx, ny, u, tile, spill),
     )(seed.reshape(1, 1).astype(jnp.int32), *_mdrnn_weightsT(params))
+    seq, eoff, lp = outs[0], outs[1], outs[2]
     # visit order (NS, B) -> lattice (B, Nx, Ny)
     xx, yy = visit_order(nx, ny)
     samples = (

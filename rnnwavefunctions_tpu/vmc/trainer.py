@@ -22,7 +22,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from ..parallel import mesh as mesh_lib
-from .local_energy import make_local_energy_fn
+from .local_energy import make_fused_sample_energy_fn, make_local_energy_fn
 from .loss import surrogate_loss
 
 
@@ -131,8 +131,12 @@ class VMCTrainer:
         self.local_energy = make_local_energy_fn(
             ansatz, hamiltonian, config.chunk_size
         )
+        # the same _select_family predicates back both the standalone
+        # estimator above and this fused sample+energy step, so the
+        # trainer and estimator cannot disagree on kernel dispatch
         self._fused_sample_energy = (
-            None if self.tp > 1 else self._maybe_build_fused_sample_energy()
+            None if self.tp > 1
+            else make_fused_sample_energy_fn(ansatz, hamiltonian)
         )
         self._device_step_impl = (
             self._device_step_tp if self.tp > 1 else self._device_step
@@ -172,128 +176,6 @@ class VMCTrainer:
             raise ValueError(
                 "tensor parallelism needs a flat-encoded Hamiltonian"
             )
-
-    def _maybe_build_fused_sample_energy(self):
-        """Single-kernel sample + local-energy paths: the sampling rollout
-        doubles as the base pass of the wavefront estimator, so one launch
-        replaces the separate sampler + base + off-diagonal evaluations —
-        the one-pass-per-step structure of the reference loops
-        (``Training2DRNN_2DTFIM.py:199``, ``TrainingRNN_J1J2.py:247``)
-        without the host ping-pong.  Covers all four reference workloads:
-        plain/parity TFIM pRNN, grid-TFIM MDRNN, and OBC J1-J2 cRNN.
-        Returns ``fused(params, key, n) -> (samples, log_amp, e_re, e_im)``
-        or None when no fused kernel applies."""
-        from ..ops.seeding import seed_from_key
-        from .local_energy import _flip_kernel_ok
-
-        ansatz, ham = self.ansatz, self.hamiltonian
-        is_complex = getattr(ansatz, "is_complex", False)
-        flip_element = getattr(ham, "uniform_flip_element", None)
-
-        # plain positive pRNN + flat TFIM: one launch for everything
-        if (
-            getattr(ansatz, "plain_positive", False)
-            and not is_complex
-            and type(ansatz).__name__ != "MDRNN2D"
-            and _flip_kernel_ok(ansatz, ham, "flat")
-        ):
-            from ..ops import tfim_flip_kernel as tk
-
-            n = ansatz.num_sites
-
-            def fused_plain(params, key, num_samples):
-                samples, lp, ratio = tk.tfim_sample_and_flip_sum(
-                    params, seed_from_key(key), num_samples, n
-                )
-                diag = jax.vmap(ham.diagonal)(samples)
-                return samples, 0.5 * lp, diag + flip_element * ratio, None
-
-            return fused_plain
-
-        # parity-symmetrized pRNN: the sample+per-flip launch covers the
-        # forward chain; one teacher-forced per-flip launch covers the
-        # reversed chain (sampling stays plain, as in the reference —
-        # RNNwavefunction_paritysym.py symmetrizes only the density).
-        if getattr(ansatz, "parity", False) and _flip_kernel_ok(
-            ansatz, ham, "flat"
-        ):
-            from ..ops import tfim_flip_kernel as tk
-
-            n = ansatz.num_sites
-
-            def fused_parity(params, key, num_samples):
-                samples, lp1, lpf1 = tk.tfim_sample_and_flip_sum(
-                    params, seed_from_key(key), num_samples, n, per_flip=True
-                )
-                lpf2_rev, lp2 = tk.tfim_flip_log_probs(params, samples[:, ::-1])
-                num = jnp.logaddexp(lpf1, lpf2_rev[:, ::-1])
-                den = jnp.logaddexp(lp1, lp2)
-                ratio_sum = jnp.sum(
-                    jnp.exp(0.5 * (num - den[:, None])), axis=1
-                )
-                diag = jax.vmap(ham.diagonal)(samples)
-                la = 0.5 * (den - jnp.log(2.0))
-                return samples, la, diag + flip_element * ratio_sum, None
-
-            return fused_parity
-
-        # 2D MDRNN + grid TFIM
-        if (
-            flip_element is not None
-            and flip_element != 0.0
-            and getattr(ham, "encoding", None) == "grid"
-            and type(ansatz).__name__ == "MDRNN2D"
-            and hasattr(ansatz, "_use_pallas")
-            and ansatz._kernelizable()
-            and ansatz._use_pallas()
-        ):
-            from ..ops import mdrnn_flip_kernel as mk
-
-            if mk.supports(ansatz.nx, ansatz.ny, ansatz.units):
-                nx, ny = ansatz.nx, ansatz.ny
-
-                def fused_mdrnn(params, key, num_samples):
-                    samples, lp, ratio = mk.mdrnn_sample_and_flip_sum(
-                        params, seed_from_key(key), num_samples, nx, ny
-                    )
-                    diag = jax.vmap(ham.diagonal)(samples)
-                    return samples, 0.5 * lp, diag + flip_element * ratio, None
-
-                return fused_mdrnn
-
-        # J1-J2 + cRNN (uniform-width stacks)
-        exch = getattr(ham, "exchange_kernel_info", None)
-        if (
-            exch is not None
-            and is_complex
-            and hasattr(ansatz, "_use_pallas")
-            and ansatz._kernelizable()
-            and ansatz._use_pallas()
-        ):
-            from ..ops import j1j2_exchange_kernel as xk
-            from ..ops.j1j2_exchange_kernel import j1j2_sample_and_exchange
-
-            if xk.supports(ansatz.num_sites, ansatz.units):
-                n = ansatz.num_sites
-
-                def fused_j1j2(params, key, num_samples):
-                    samples, e_re, e_im, lp_re, lp_im = j1j2_sample_and_exchange(
-                        params,
-                        seed_from_key(key),
-                        num_samples,
-                        n,
-                        u1=ansatz.u1,
-                        el_nn=exch["el_nn"],
-                        el_nnn=exch["el_nnn"],
-                        has_nnn=exch["has_nnn"],
-                        periodic=exch["periodic"],
-                    )
-                    diag = jax.vmap(ham.diagonal)(samples)
-                    return samples, (lp_re, lp_im), diag + e_re, e_im
-
-                return fused_j1j2
-
-        return None
 
     # -- state --------------------------------------------------------------
 

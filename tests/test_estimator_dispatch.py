@@ -64,3 +64,41 @@ def test_fused_paths_fall_back_cleanly():
             la = ansatz.log_amp(params, samples)
         e_re, e_im, _ = le(params, samples, la)
         assert np.isfinite(np.asarray(e_re)).all()
+
+
+def test_trainer_and_estimator_agree_on_dispatch():
+    """``make_fused_sample_energy_fn`` (the trainer's single-launch step) and
+    ``make_local_energy_fn`` both derive from the SAME ``_select_family``
+    predicates — for every (ansatz, hamiltonian) combination the trainer gets
+    a fused step iff the estimator took a fused path."""
+    from rnnwavefunctions_tpu.models.mdrnn2d import MDRNN2D
+    from rnnwavefunctions_tpu.vmc import local_energy as le
+
+    cases = [
+        (PRNN1D(num_sites=6, units=(8,), impl="pallas"),
+         TFIM1D(num_sites=6, bx=1.0), "plain_flip"),
+        (PRNN1D(num_sites=6, units=(8,), parity=True, impl="pallas"),
+         TFIM1D(num_sites=6, bx=1.0), "parity_flip"),
+        (PRNN1D(num_sites=6, units=(8,), impl="jnp"),
+         TFIM1D(num_sites=6, bx=1.0), None),
+        (PRNNSnake2D(nx=3, ny=2, units=(8,), impl="pallas"),
+         TFIM2D(nx=3, ny=2, bx=1.0, encoding="flat"), "plain_flip"),
+        (MDRNN2D(nx=3, ny=3, units=8, impl="pallas"),
+         TFIM2D(nx=3, ny=3, bx=1.0, encoding="grid"), "mdrnn_flip"),
+        (MDRNN2D(nx=3, ny=3, units=8, impl="jnp"),
+         TFIM2D(nx=3, ny=3, bx=1.0, encoding="grid"), None),
+        (CRNNU1(num_sites=6, units=(8,), impl="pallas"),
+         J1J2(num_sites=6, j2=0.2), "exchange"),
+        (CRNNU1(num_sites=6, units=(8,), impl="jnp"),
+         J1J2(num_sites=6, j2=0.2), None),
+        # zero transverse field: no single-flip kernel applies
+        (PRNN1D(num_sites=6, units=(8,), impl="pallas"),
+         TFIM1D(num_sites=6, bx=0.0), None),
+    ]
+    for ansatz, ham, want in cases:
+        fam = le._select_family(ansatz, ham)
+        assert fam == want, (type(ansatz).__name__, want, fam)
+        fused = le.make_fused_sample_energy_fn(ansatz, ham)
+        lef = le.make_local_energy_fn(ansatz, ham)
+        assert (fused is not None) == (fam is not None)
+        assert lef.needs_log_amp == (fam is None)

@@ -257,3 +257,74 @@ def test_spill_exchange_kernel_matches_resident(monkeypatch):
     w_re, w_im = ansatz._log_amp_parts_jnp(params, s2)
     np.testing.assert_allclose(np.asarray(lp2_re), np.asarray(w_re), atol=1e-4)
     np.testing.assert_allclose(np.asarray(lp2_im), np.asarray(w_im), atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [9, 11])
+def test_crnn_u1_odd_n_semantics(n):
+    """Odd chain lengths under the U(1) mask: the reference baseline
+    N//2 - 1 (``ComplexRNNwavefunction.py:85-93``) makes zero magnetization
+    impossible, so nearly every configuration is out of sector — the jnp
+    reference path reports -inf amplitudes there while the fused kernel holds the finite
+    LOG_ZERO stand-in (the documented divergence out of support,
+    ``fused_crnn.make_log_amp_parts_fn``).  The samplers still emit one
+    fixed sector.  Without the U(1) mask, odd chains are ordinary and the
+    two paths agree exactly."""
+    from rnnwavefunctions_tpu.ops.fused_crnn import LOG_ZERO
+
+    a_j = CRNNU1(num_sites=n, units=(10,), impl="jnp")
+    a_p = CRNNU1(num_sites=n, units=(10,), impl="pallas")
+    params = a_j.init(jax.random.PRNGKey(41))
+    samples = a_j.sample(params, jax.random.PRNGKey(42), 25)
+    ups = np.asarray(samples).sum(axis=1)
+    assert len(set(ups.tolist())) == 1  # one fixed magnetization sector
+
+    want_re, _ = a_j._log_amp_parts_jnp(params, samples)
+    with pltpu.force_tpu_interpret_mode():
+        got_re, _ = a_p.log_amp_parts(params, samples)
+        s2, _ = a_p.sample_with_log_prob(params, jax.random.PRNGKey(43), 16)
+    want = np.asarray(want_re)
+    got = np.asarray(got_re)
+    finite = np.isfinite(want)
+    assert np.isneginf(want[~finite]).all() and (~finite).sum() > 0
+    np.testing.assert_allclose(got[finite], want[finite], atol=1e-4)
+    assert np.all(got[~finite] <= 0.25 * LOG_ZERO)
+    assert len(set(np.asarray(s2).sum(axis=1).tolist())) == 1
+
+
+@pytest.mark.parametrize("n", [9, 11])
+def test_crnn_odd_n_no_u1_jnp_vs_fused(n):
+    """Odd chains WITHOUT the U(1) constraint: jnp and fused paths agree on
+    amplitudes and exchange energies."""
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    from rnnwavefunctions_tpu.ops.j1j2_exchange_kernel import (
+        j1j2_exchange_offdiag,
+    )
+    from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+    a_j = CRNNU1(num_sites=n, units=(10,), u1=False, impl="jnp")
+    a_p = CRNNU1(num_sites=n, units=(10,), u1=False, impl="pallas")
+    params = a_j.init(jax.random.PRNGKey(41))
+    samples = a_j.sample(params, jax.random.PRNGKey(42), 25)
+
+    want_re, want_im = a_j._log_amp_parts_jnp(params, samples)
+    with pltpu.force_tpu_interpret_mode():
+        got_re, got_im = a_p.log_amp_parts(params, samples)
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(want_re),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(want_im),
+                               atol=1e-4)
+
+    ham = J1J2(num_sites=n, j2=0.2)
+    le = make_local_energy_fn(a_j, ham)
+    e_re, e_im, _ = le(params, samples, a_j.log_amp_parts(params, samples))
+    info = ham.exchange_kernel_info
+    with pltpu.force_tpu_interpret_mode():
+        k_re, k_im, _, _ = j1j2_exchange_offdiag(
+            params, samples, u1=False, el_nn=info["el_nn"],
+            el_nnn=info["el_nnn"], has_nnn=info["has_nnn"],
+        )
+    diag = jax.vmap(ham.diagonal)(samples)
+    np.testing.assert_allclose(np.asarray(diag + k_re), np.asarray(e_re),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(k_im), np.asarray(e_im),
+                               rtol=2e-4, atol=1e-4)

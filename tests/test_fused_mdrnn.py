@@ -109,3 +109,34 @@ def test_mdrnn_sample_and_flip_consistent():
     np.testing.assert_allclose(np.asarray(ratio), np.asarray(ratio2),
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
+
+
+def test_mdrnn_spill_flip_kernel_matches_resident(monkeypatch):
+    """The row-window HBM-spilled 2D history variant (large lattices) must
+    reproduce the VMEM-resident kernel exactly; forced here by shrinking
+    the budget so a small lattice takes the spill path.  5x4 exercises
+    groups crossing lattice-row boundaries and a partial last group."""
+    from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+
+    nx, ny = 5, 4
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=9, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(31))
+    samples = ansatz.sample(params, jax.random.PRNGKey(32), 21)
+
+    with pltpu.force_tpu_interpret_mode():
+        r0, lp0 = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+    tile0, spill0 = mk._pick_tile(nx, ny, 9, 21)
+    assert not spill0
+
+    monkeypatch.setattr(mk, "_VMEM_BUDGET", 0)
+    tile, spill = mk._pick_tile(nx, ny, 9, 21)
+    assert spill, "budget override must force the spill path"
+    with pltpu.force_tpu_interpret_mode():
+        r1, lp1 = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+        s2, lp2, ratio2 = mk.mdrnn_sample_and_flip_sum(
+            params, jnp.int32(3), 16, nx, ny
+        )
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp0), atol=1e-5)
+    want_lp = np.asarray(ansatz._log_prob_jnp(params, s2))
+    np.testing.assert_allclose(np.asarray(lp2), want_lp, atol=1e-4)

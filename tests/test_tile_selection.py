@@ -45,5 +45,9 @@ def test_supports_monotone_in_n():
         assert tk.supports(n, (50,))
         assert xk.supports(n, (50,))
     assert mk.supports(4, 4, 50) and mk.supports(18, 18, 50)
-    assert not mk.supports(20, 20, 50)  # beyond VMEM reach -> generic
+    # beyond resident VMEM reach the history spills through the row window
+    assert mk._pick_tile(18, 18, 50)[1] is False
+    for nx, ny in ((20, 20), (24, 24), (32, 32)):
+        tile, spill = mk._pick_tile(nx, ny, 50)
+        assert mk.supports(nx, ny, 50) and spill
     assert not mk.supports(1, 36, 50)   # degenerate single-column lattice
