@@ -69,11 +69,98 @@ def run_j1j2(n, j2, steps, num_samples=512):
     return energy_estimate(means, varis, num_samples)
 
 
+def _all_configs(n):
+    """(2^N, N) int32 matrix of every spin configuration."""
+    idx = np.arange(2**n, dtype=np.int64)
+    return ((idx[:, None] >> np.arange(n)[None, :]) & 1).astype(np.int32)
+
+
+def _chisq_pvalue(stat, dof):
+    from scipy.stats import chi2
+
+    return float(chi2.sf(stat, dof))
+
+
+def sampler_gof(draws_per_round=4096, rounds=32, seed=7):
+    """On-hardware goodness-of-fit for the Pallas samplers: empirical
+    frequencies of ALL 2^N configurations against the ansatz's exact
+    autoregressive probabilities (chi-square).  Converts the hardware-gated
+    sampler-statistics tests' coverage hole (``pltpu.prng_random_bits``
+    returns zeros in interpret mode) into a measured on-chip guarantee.
+    Reference sampling semantics: ``tf.multinomial`` draws,
+    ``/root/reference/1DTFIM/RNNwavefunction.py:68``.
+
+    Covers the GRU sampler (N=8), the U(1)-masked cRNN (N=8 — includes the
+    zero-magnetization sector check), and the 3x3 MDRNN."""
+    from rnnwavefunctions_tpu import CRNNU1, MDRNN2D, PRNN1D
+
+    results = []
+    total = draws_per_round * rounds
+    cases = [
+        ("gru_n8", PRNN1D(num_sites=8, units=(16,)), 8, None),
+        ("crnn_u1_n8", CRNNU1(num_sites=8, units=(16,)), 8, "u1"),
+        ("mdrnn_3x3", MDRNN2D(nx=3, ny=3, units=12), 9, "grid"),
+    ]
+    for name, ansatz, n, kind in cases:
+        params = ansatz.init(jax.random.PRNGKey(seed))
+        counts = np.zeros(2**n, dtype=np.int64)
+        key = jax.random.PRNGKey(seed + 1)
+        for r in range(rounds):
+            key, sub = jax.random.split(key)
+            draws = np.asarray(ansatz.sample(params, sub, draws_per_round))
+            flat = draws.reshape(draws_per_round, n)
+            code = (flat.astype(np.int64) << np.arange(n)[None, :]).sum(1)
+            counts += np.bincount(code, minlength=2**n)
+
+        configs = _all_configs(n)
+        if kind == "grid":
+            lat = configs.reshape(-1, ansatz.nx, ansatz.ny)
+            logp = np.asarray(ansatz.log_prob(params, lat))
+        else:
+            logp = np.asarray(ansatz.log_prob(params, configs))
+        probs = np.exp(np.float64(logp))
+        if kind == "u1":
+            sector = configs.sum(1) == n // 2
+            # sector check: every on-chip draw obeys the U(1) constraint
+            assert counts[~sector].sum() == 0, "off-sector draws!"
+            probs = np.where(sector, probs, 0.0)
+        # normalization sanity: exact autoregressive probs sum to 1
+        assert abs(probs.sum() - 1.0) < 1e-3, probs.sum()
+        probs = probs / probs.sum()
+
+        # chi-square over cells with adequate expectation; pool the rest
+        exp = probs * total
+        big = exp >= 5.0
+        obs_pool = counts[~big].sum()
+        exp_pool = exp[~big].sum()
+        stat = float(((counts[big] - exp[big]) ** 2 / exp[big]).sum())
+        dof = int(big.sum()) - 1
+        if exp_pool > 0:
+            stat += (obs_pool - exp_pool) ** 2 / exp_pool
+            dof += 1
+        pval = _chisq_pvalue(stat, dof)
+        results.append({
+            "sampler": name,
+            "draws": int(total),
+            "chi2": round(stat, 1),
+            "dof": dof,
+            "p_value": round(pval, 4),
+        })
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="fewer steps / fewer anchors")
+    p.add_argument("--gof", action="store_true",
+                   help="sampler goodness-of-fit only (chi-square of the "
+                        "on-chip Pallas samplers vs exact probabilities)")
     args = p.parse_args(argv)
+
+    if args.gof:
+        return sampler_gof()
 
     anchors = []
     tfim_ns = [20, 100] if args.quick else [20, 40, 100]

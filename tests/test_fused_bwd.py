@@ -30,6 +30,7 @@ def test_bwd_kernel_matches_jnp_grad(units):
         )
 
 
+@pytest.mark.slow
 def test_bwd_kernel_multiple_tiles(monkeypatch):
     """Batch larger than one tile: programs must accumulate, not overwrite."""
     from rnnwavefunctions_tpu.ops import fused_gru_bwd as m
@@ -82,6 +83,7 @@ def test_bwd_kernel_spill_matches_jnp_grad(n, units, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_crnn_bwd_kernel_spill_matches_jnp_grad(monkeypatch):
     """The cRNN backward rides the same chunk-streaming skeleton."""
     from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
@@ -129,6 +131,7 @@ def test_trainer_grad_equivalence_via_custom_vjp():
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(3, 4), (4, 3), (4, 4)])
 def test_mdrnn_bwd_kernel_matches_jnp_grad(shape):
     from rnnwavefunctions_tpu.models.mdrnn2d import MDRNN2D
@@ -152,6 +155,7 @@ def test_mdrnn_bwd_kernel_matches_jnp_grad(shape):
         )
 
 
+@pytest.mark.slow
 def test_mdrnn_bwd_multiple_tiles(monkeypatch):
     from rnnwavefunctions_tpu.models.mdrnn2d import MDRNN2D
     from rnnwavefunctions_tpu.ops import fused_mdrnn_bwd as m

@@ -131,6 +131,7 @@ def test_j1j2_sample_and_exchange_consistent():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_j1j2_periodic_exchange_matches_generic():
     """Periodic chains: the wrap-bond wavefront block must reproduce the
     generic connected-configs estimator (all 2N padded exchanges)."""
@@ -168,6 +169,7 @@ def test_j1j2_periodic_exchange_matches_generic():
         )
 
 
+@pytest.mark.slow
 def test_stacked_crnn_kernels_match_jnp():
     """2-layer cRNN trunk through all fused kernels: log-amp parts, sampler
     density, and the exchange estimator vs the generic path."""
@@ -221,6 +223,7 @@ def test_stacked_crnn_kernels_match_jnp():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_spill_exchange_kernel_matches_resident(monkeypatch):
     """The HBM-spilled-history exchange variant (long chains) must reproduce
     the VMEM-resident kernel exactly; forced here by shrinking the VMEM

@@ -145,6 +145,7 @@ def test_sample_and_flip_kernel_consistent(setup):
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tfim_flip_kernel_stacked_matches_explicit():
     """2-layer stacked wavefront flip kernel vs explicit flip recompute."""
     from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (
@@ -174,6 +175,7 @@ def test_tfim_flip_kernel_stacked_matches_explicit():
     )
 
 
+@pytest.mark.slow
 def test_sample_and_flip_kernel_stacked_consistent():
     """Fused sample+flip with a 2-layer stack agrees with recomputation."""
     from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (
@@ -207,6 +209,7 @@ def test_sample_and_flip_kernel_per_flip_consistent():
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_parity_fused_local_energy_matches_generic():
     """Per-flip kernel + logaddexp combination == generic parity estimator."""
     from rnnwavefunctions_tpu.hamiltonians.tfim1d import TFIM1D
@@ -234,6 +237,7 @@ def test_parity_fused_local_energy_matches_generic():
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_spill_flip_kernels_match_resident(setup, monkeypatch):
     """The HBM-spilled-history variant (long chains, N=1000 class) must
     reproduce the VMEM-resident kernels exactly; forced here by shrinking

@@ -30,6 +30,7 @@ def test_mdrnn_kernel_matches_jnp(setup):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mdrnn_kernel_grad_matches_jnp(setup):
     ansatz, params, samples = setup
     fn = fused_mdrnn.make_mdrnn_log_prob_fn(
@@ -61,6 +62,7 @@ def test_mdrnn_sampler_shape_and_consistency(setup):
     np.testing.assert_allclose(np.asarray(lp), want, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mdrnn_flip_kernel_matches_explicit_flips(setup):
     """Wavefront 2D flip estimator vs explicit single-site flips."""
     from rnnwavefunctions_tpu.ops.mdrnn_flip_kernel import mdrnn_flip_ratio_sum
@@ -87,6 +89,7 @@ def test_mdrnn_flip_kernel_matches_explicit_flips(setup):
     np.testing.assert_allclose(np.asarray(ratio_sum), total, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_mdrnn_sample_and_flip_consistent():
     """Fused sample+flip sweep: drawn samples' log-probs and ratio sums
     match independent recomputation (PRNG is zero in interpret mode — the
@@ -111,6 +114,7 @@ def test_mdrnn_sample_and_flip_consistent():
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mdrnn_spill_flip_kernel_matches_resident(monkeypatch):
     """The row-window HBM-spilled 2D history variant (large lattices) must
     reproduce the VMEM-resident kernel exactly; forced here by shrinking

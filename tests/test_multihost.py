@@ -10,6 +10,9 @@ single-process in test_cli_io; here the primary-only gating of the CLI
 metrics writers is verified directly by faking a non-primary host.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import os
 import socket
 import subprocess
