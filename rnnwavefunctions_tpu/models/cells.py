@@ -123,15 +123,64 @@ def lstm_apply(p: Params, x: jax.Array, state) -> Tuple[jax.Array, Any]:
 
 
 # ---------------------------------------------------------------------------
+# Custom-cell protocol — the analogue of the reference constructor accepting
+# any TF RNNCell class (``/root/reference/1DTFIM/RNNwavefunction.py:13``
+# takes ``cell=tf.contrib.cudnn_rnn.CudnnCompatibleGRUCell`` by default and
+# any compatible class as an argument).  Here a custom cell is any object
+# with three pure methods:
+#
+#   init(key, input_dim, units, dtype) -> params           (one layer)
+#   apply(params, x, state)            -> (out, new_state)
+#   zero_state(batch, units, dtype)    -> state
+#
+# Pass the instance as ``PRNN1D(cell=MyCell())`` (or to ``PRNNSnake2D``).
+# Custom cells run the jnp ``lax.scan`` path; the fused Pallas kernels stay
+# reserved for the built-in uniform GRU stacks (``_kernelizable`` dispatch).
+# ---------------------------------------------------------------------------
+
+
+class ElmanCell:
+    """Minimal example of the custom-cell protocol: a vanilla tanh RNN
+    (also serves as the test fixture for cell injection)."""
+
+    def init(self, key: jax.Array, input_dim: int, units: int, dtype=jnp.float32) -> Params:
+        k1, k2 = jax.random.split(key)
+        return {
+            "wx": _glorot(k1, (input_dim, units), dtype),
+            "wh": _glorot(k2, (units, units), dtype),
+            "b": jnp.zeros((units,), dtype),
+        }
+
+    def apply(self, p: Params, x: jax.Array, state: jax.Array):
+        h = jnp.tanh(
+            jnp.dot(x, p["wx"], preferred_element_type=state.dtype)
+            + jnp.dot(state, p["wh"], preferred_element_type=state.dtype)
+            + p["b"]
+        )
+        return h, h
+
+    def zero_state(self, batch: int, units: int, dtype=jnp.float32):
+        return jnp.zeros((batch, units), dtype)
+
+
+def cell_name(cell) -> str:
+    """Display name for a cell spec (string kind or custom-cell object)."""
+    return cell if isinstance(cell, str) else type(cell).__name__
+
+
+# ---------------------------------------------------------------------------
 # Stacked (multi-layer) recurrent trunk, the MultiRNNCell analogue —
-# cell kind selectable ("gru" | "lstm")
+# cell selectable: "gru" | "lstm" | a custom-cell protocol object
 # ---------------------------------------------------------------------------
 
 def stacked_rnn_init(
     key: jax.Array, input_dim: int, units: Sequence[int],
-    dtype=jnp.float32, cell: str = "gru",
+    dtype=jnp.float32, cell="gru",
 ) -> List[Params]:
-    init = {"gru": gru_init, "lstm": lstm_init}[cell]
+    if isinstance(cell, str):
+        init = {"gru": gru_init, "lstm": lstm_init}[cell]
+    else:
+        init = cell.init
     params = []
     in_dim = input_dim
     for u in units:
@@ -141,9 +190,7 @@ def stacked_rnn_init(
     return params
 
 
-def stacked_rnn_apply(
-    params: List[Params], x: jax.Array, states, cell: str = "gru"
-):
+def stacked_rnn_apply(params: List[Params], x: jax.Array, states, cell="gru"):
     """Apply the stack; returns (top output, new per-layer states tuple)."""
     new_states = []
     inp = x
@@ -151,22 +198,26 @@ def stacked_rnn_apply(
         if cell == "gru":
             out = gru_apply(p, inp, st)
             new_states.append(out)
-        else:
+        elif cell == "lstm":
             out, st_new = lstm_apply(p, inp, st)
+            new_states.append(st_new)
+        else:
+            out, st_new = cell.apply(p, inp, st)
             new_states.append(st_new)
         inp = out
     return inp, tuple(new_states)
 
 
-def stacked_rnn_zero_state(
-    batch: int, units: Sequence[int], dtype=jnp.float32, cell: str = "gru"
-):
+def stacked_rnn_zero_state(batch: int, units: Sequence[int], dtype=jnp.float32,
+                           cell="gru"):
     if cell == "gru":
         return tuple(jnp.zeros((batch, u), dtype) for u in units)
-    return tuple(
-        (jnp.zeros((batch, u), dtype), jnp.zeros((batch, u), dtype))
-        for u in units
-    )
+    if cell == "lstm":
+        return tuple(
+            (jnp.zeros((batch, u), dtype), jnp.zeros((batch, u), dtype))
+            for u in units
+        )
+    return tuple(cell.zero_state(batch, u, dtype) for u in units)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,12 @@ class CRNNU1:
     units: Tuple[int, ...] = (10,)
     local_dim: int = 2
     u1: bool = True  # enforce zero magnetization
+    # recurrent trunk: "gru" (the reference's cudnn-GRU trunk), "lstm", or a
+    # custom-cell protocol object (models/cells.py ``ElmanCell`` docs) — the
+    # reference constructor takes any TF RNNCell
+    # (``J1J2/ComplexRNNwavefunction.py:16``); non-GRU trunks run the jnp
+    # scan path.
+    cell: Any = "gru"
     dtype: Any = jnp.float32
     accum_dtype: Any = jnp.float32
     # "auto": fused Pallas kernels on TPU when supported; "jnp": scan path.
@@ -62,6 +68,7 @@ class CRNNU1:
         return (
             len(set(self.units)) == 1  # uniform-width stacks
             and self.local_dim == 2
+            and self.cell == "gru"  # custom/lstm trunks: jnp scan path only
             and self.dtype == jnp.float32
             and self.accum_dtype == jnp.float32
         )
@@ -98,7 +105,7 @@ class CRNNU1:
     def init(self, key: jax.Array) -> Any:
         k_rnn, k_a, k_p = jax.random.split(key, 3)
         return {
-            "rnn": cells.stacked_gru_init(k_rnn, self.local_dim, self.units, self.dtype),
+            "rnn": cells.stacked_rnn_init(k_rnn, self.local_dim, self.units, self.dtype, self.cell),
             "head_ampl": cells.dense_init(k_a, self.units[-1], self.local_dim, self.dtype),
             "head_phase": cells.dense_init(k_p, self.units[-1], self.local_dim, self.dtype),
         }
@@ -123,7 +130,7 @@ class CRNNU1:
 
     def _site_ampl(self, params, x, hs, n, num_up):
         """One trunk step; returns (masked amplitude vector, trunk out, hs)."""
-        out, hs = cells.stacked_gru_apply(params["rnn"], x, hs)
+        out, hs = cells.stacked_rnn_apply(params["rnn"], x, hs, self.cell)
         logits = cells.dense_apply(params["head_ampl"], out)
         ampl = jnp.sqrt(jax.nn.softmax(logits, axis=-1))  # sqsoftmax
         ampl = self._masked_ampl(ampl, n, num_up)
@@ -160,7 +167,7 @@ class CRNNU1:
             )
 
         x0 = jnp.zeros((num_samples, d), self.dtype)
-        hs0 = cells.stacked_gru_zero_state(num_samples, self.units, self.dtype)
+        hs0 = cells.stacked_rnn_zero_state(num_samples, self.units, self.dtype, self.cell)
         up0 = jnp.zeros((num_samples,), jnp.int32)
         ns = jnp.arange(self.num_sites)
         keys = jax.random.split(key, self.num_sites)
@@ -210,7 +217,7 @@ class CRNNU1:
                 ph.astype(self.accum_dtype),
             )
 
-        hs0 = cells.stacked_gru_zero_state(s, self.units, self.dtype)
+        hs0 = cells.stacked_rnn_zero_state(s, self.units, self.dtype, self.cell)
         ns = jnp.arange(self.num_sites)
         _, (log_ampls, phases) = jax.lax.scan(
             step, hs0, (inputs, targets, ns, cum_up)

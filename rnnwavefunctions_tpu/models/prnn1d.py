@@ -65,10 +65,14 @@ class PRNN1D:
     parity: bool = False
     dtype: Any = jnp.float32
     accum_dtype: Any = jnp.float32
-    # recurrent cell kind: "gru" (every reference runner) or "lstm" (the
-    # snake-2D ansatz signature's default argument,
-    # ``2DTFIM_1DRNN/RNNwavefunction.py:9``); lstm runs the jnp scan path.
-    cell: str = "gru"
+    # recurrent cell: "gru" (every reference runner), "lstm" (the snake-2D
+    # ansatz signature's default argument,
+    # ``2DTFIM_1DRNN/RNNwavefunction.py:9``), or any custom-cell protocol
+    # object (init/apply/zero_state — see ``models/cells.py``), mirroring
+    # the reference constructor's acceptance of arbitrary TF RNNCell
+    # classes (``1DTFIM/RNNwavefunction.py:13``).  Non-GRU cells run the
+    # jnp scan path.
+    cell: Any = "gru"
     # "auto": fused Pallas kernels on TPU when supported (uniform-width GRU,
     # local_dim 2, float32); "pallas": force; "jnp": pure lax.scan path.
     impl: str = "auto"

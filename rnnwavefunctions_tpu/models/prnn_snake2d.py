@@ -27,14 +27,16 @@ def PRNNSnake2D(
     local_dim: int = 2,
     dtype: Any = jnp.float32,
     accum_dtype: Any = jnp.float32,
-    cell: str = "gru",
+    cell: Any = "gru",
     impl: str = "auto",
 ) -> PRNN1D:
     """A PRNN1D over the flattened (y-major) Nx x Ny lattice.
 
     ``cell`` mirrors the reference signature's cell argument (default LSTM
     there, ``2DTFIM_1DRNN/RNNwavefunction.py:9``, though every shipped
-    runner passes GRU — GRU stays our default for kernel coverage)."""
+    runner passes GRU — GRU stays our default for kernel coverage); like
+    the reference it also accepts any custom-cell protocol object
+    (``models/cells.py``)."""
     ansatz = PRNN1D(
         num_sites=nx * ny,
         units=units,

@@ -8,8 +8,19 @@ overrides the JAX_PLATFORMS env var, so the platform must be forced through
 jax.config *before* any backend is initialized.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: the suite is compile-dominated (every test
+# jits its own trainer/kernel closures), so warm re-runs of unchanged tests
+# skip XLA compilation entirely.  Keyed on program HLO — code changes
+# invalidate affected entries automatically.  Wipe with
+# `rm -rf tests/.jax_cache` if it ever misbehaves.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -58,6 +58,7 @@ def test_lstm_snake2d_surface():
     np.testing.assert_allclose(float(jnp.sum(jnp.exp(lp))), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_lstm_vmc_converges_vs_ed():
     """Short LSTM VMC on N=6 TFIM reaches the dense-ED energy."""
     n = 6

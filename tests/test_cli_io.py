@@ -79,6 +79,7 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt.close()
 
 
+@pytest.mark.slow
 def test_cli_evaluate_restores_and_measures(tmp_path):
     """Train briefly via the CLI, then measure the checkpoint with the
     evaluate entry point (restore plumbing + JSON output)."""
@@ -100,6 +101,7 @@ def test_cli_evaluate_restores_and_measures(tmp_path):
     assert result["num_samples_total"] == 96
 
 
+@pytest.mark.slow
 def test_profile_trace_capture(tmp_path):
     """--profile-dir captures exactly one traced block and always closes the
     trace (ADVICE r1: a short run used to leak an open profiler session)."""
@@ -128,6 +130,7 @@ def test_profile_trace_capture(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ckpt_cadence_saves_exact_step(tmp_path):
     """With ckpt_every not a multiple of log_every, the saved checkpoint
     must carry exactly the ckpt_every-step state (blocks stop at checkpoint

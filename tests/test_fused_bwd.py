@@ -10,7 +10,11 @@ from rnnwavefunctions_tpu.models.prnn1d import PRNN1D
 from rnnwavefunctions_tpu.ops.fused_gru_bwd import gru_log_prob_bwd
 
 
-@pytest.mark.parametrize("units", [(10,), (10, 10), (8, 8, 8)])
+@pytest.mark.parametrize("units", [
+    pytest.param((10,), marks=pytest.mark.slow),
+    (10, 10),
+    pytest.param((8, 8, 8), marks=pytest.mark.slow),
+])
 def test_bwd_kernel_matches_jnp_grad(units):
     n = 9
     ansatz = PRNN1D(num_sites=n, units=units, impl="jnp")
@@ -56,8 +60,13 @@ def test_bwd_kernel_multiple_tiles(monkeypatch):
         )
 
 
-@pytest.mark.parametrize("n,units", [(8, (10,)), (16, (10,)), (21, (10,)),
-                                     (33, (10,)), (21, (8, 8))])
+@pytest.mark.parametrize("n,units", [
+    (8, (10,)),
+    (16, (10,)),
+    pytest.param(21, (10,), marks=pytest.mark.slow),
+    pytest.param(33, (10,), marks=pytest.mark.slow),
+    pytest.param(21, (8, 8), marks=pytest.mark.slow),
+])
 def test_bwd_kernel_spill_matches_jnp_grad(n, units, monkeypatch):
     """Chunk-streamed (HBM-spilled history) BPTT == jnp grad.  chunk=8
     exercises nchunks = 1, 2, 3 and 5 including partial last chunks, the

@@ -294,7 +294,7 @@ def test_crnn_u1_odd_n_semantics(n):
     assert len(set(np.asarray(s2).sum(axis=1).tolist())) == 1
 
 
-@pytest.mark.parametrize("n", [9, 11])
+@pytest.mark.parametrize("n", [9, pytest.param(11, marks=pytest.mark.slow)])
 def test_crnn_odd_n_no_u1_jnp_vs_fused(n):
     """Odd chains WITHOUT the U(1) constraint: jnp and fused paths agree on
     amplitudes and exchange energies."""

@@ -85,6 +85,7 @@ def test_auto_impl_selects_jnp_on_cpu():
         ansatz2._use_pallas()
 
 
+@pytest.mark.slow
 def test_pallas_stacked_log_prob_and_sampler_match_jnp():
     """Multi-layer (uniform-width) GRU stacks through the fused kernels."""
     ansatz = PRNN1D(num_sites=10, units=(12, 12), impl="jnp")

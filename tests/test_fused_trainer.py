@@ -12,6 +12,7 @@ invocation count; kernels run in interpret mode on the CPU mesh.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from rnnwavefunctions_tpu import (
@@ -63,6 +64,7 @@ def test_tfim_fused_sample_energy_single_log_amp_trace():
     assert counts["log_amp"] == 1  # the loss pass only
 
 
+@pytest.mark.slow
 def test_parity_fused_estimator_single_log_amp_trace():
     n = 8
     ansatz = _CountingPRNN(num_sites=n, units=(8,), parity=True, impl="pallas")
@@ -102,6 +104,7 @@ def test_mdrnn_fused_sample_energy_step():
     _trace_one_step(trainer)
 
 
+@pytest.mark.slow
 def test_fused_estimator_by_product_matches_log_amp():
     """The third return of a fused estimator is the base log psi."""
     n = 8

@@ -10,6 +10,7 @@ and a full tp-sharded VMC step must train.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from rnnwavefunctions_tpu import PRNN1D, TFIM1D
@@ -73,6 +74,7 @@ def test_tp_sampler_matches_unsharded():
     np.testing.assert_allclose(np.asarray(lp), np.asarray(want_lp), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_gradient_matches_unsharded():
     """d mean(log p)/d params through the sharded trunk == unsharded grad
     (shard_map + dynamic_slice transpose reassembles the full cotangent)."""
@@ -189,6 +191,7 @@ def test_trainer_tp_validation():
         )
 
 
+@pytest.mark.slow
 def test_tp_vmc_step_trains():
     """Full dp x tp VMC step: sample, TFIM local energies, surrogate grad,
     SGD — energy decreases."""
