@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from . import cells
+from ..ops.compsum import accum_sum
 from .prnn1d import inverse_cdf_sample
 
 
@@ -172,7 +173,7 @@ class CRNNU1:
         ns = jnp.arange(self.num_sites)
         keys = jax.random.split(key, self.num_sites)
         _, (draws, site_logps) = jax.lax.scan(step, (x0, hs0, up0), (ns, keys))
-        return draws.T, jnp.sum(site_logps, axis=0)
+        return draws.T, accum_sum(site_logps, self.accum_dtype)
 
     def sample(self, params: Any, key: jax.Array, num_samples: int) -> jax.Array:
         return self.sample_with_log_prob(params, key, num_samples)[0]
@@ -222,7 +223,10 @@ class CRNNU1:
         _, (log_ampls, phases) = jax.lax.scan(
             step, hs0, (inputs, targets, ns, cum_up)
         )
-        return jnp.sum(log_ampls, axis=0), jnp.sum(phases, axis=0)
+        return (
+            accum_sum(log_ampls, self.accum_dtype),
+            accum_sum(phases, self.accum_dtype),
+        )
 
     def log_amp(self, params: Any, samples: jax.Array) -> jax.Array:
         """Complex log psi, (S,) complex64.  Convenience view over

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from . import cells
+from ..ops.compsum import accum_sum
 from .prnn1d import inverse_cdf_sample
 
 
@@ -203,7 +204,9 @@ class MDRNN2D:
 
         draws, logps = self._sweep(params, num_samples, site_ids, site_fn)
         samples = jnp.transpose(draws, (2, 1, 0))  # (Ny, Nx, S) -> (S, Nx, Ny)
-        return samples.astype(jnp.int32), jnp.sum(logps, axis=(0, 1))
+        return samples.astype(jnp.int32), accum_sum(
+            logps.reshape(-1, logps.shape[-1]), self.accum_dtype
+        )
 
     def sample(self, params: Any, key: jax.Array, num_samples: int) -> jax.Array:
         return self.sample_with_log_prob(params, key, num_samples)[0]
@@ -225,7 +228,9 @@ class MDRNN2D:
             return target, site_logp.astype(self.accum_dtype)
 
         _, logps = self._sweep(params, batch, targets, site_fn)
-        return jnp.sum(logps, axis=(0, 1))
+        return accum_sum(
+            logps.reshape(-1, logps.shape[-1]), self.accum_dtype
+        )
 
     def log_amp(self, params: Any, samples: jax.Array) -> jax.Array:
         return 0.5 * self.log_prob(params, samples)

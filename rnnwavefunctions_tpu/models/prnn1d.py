@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from . import cells
+from ..ops.compsum import accum_sum
 
 
 def inverse_cdf_sample(key: jax.Array, probs: jax.Array) -> jax.Array:
@@ -176,7 +177,7 @@ class PRNN1D:
         keys = jax.random.split(key, self.num_sites)
         _, (draws, site_logps) = jax.lax.scan(step, (x0, hs0), keys)
         samples = draws.T  # (N, S) -> (S, N)
-        return samples, jnp.sum(site_logps, axis=0)
+        return samples, accum_sum(site_logps, self.accum_dtype)
 
     def sample(self, params: Any, key: jax.Array, num_samples: int) -> jax.Array:
         return self.sample_with_log_prob(params, key, num_samples)[0]
@@ -209,7 +210,7 @@ class PRNN1D:
 
         hs0 = cells.stacked_rnn_zero_state(s, self.units, self.dtype, self.cell)
         _, site_logps = jax.lax.scan(step, hs0, (inputs, targets))
-        return jnp.sum(site_logps, axis=0)
+        return accum_sum(site_logps, self.accum_dtype)
 
     def log_prob(self, params: Any, samples: jax.Array) -> jax.Array:
         """log p(sigma); parity-symmetrized when ``parity=True``."""

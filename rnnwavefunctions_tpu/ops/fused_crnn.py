@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compsum import kadd, kfinal
 from .fused_gru import _cap_tile, _round_up
 from .seeding import TILE_SEED_STRIDE
 
@@ -136,24 +137,24 @@ def _make_log_amp_kernel(n_sites: int, u1: bool, num_layers: int):
         u = w[1].shape[1]  # awT (2, U)
 
         def body(n, carry):
-            h, x, num_up, re, im = carry
+            h, x, num_up, re, rec, im, imc = carry
             s = samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             nf = n.astype(jnp.float32)
             h_new, lp0, lp1, ph0, ph1 = _crnn_site_rows(
                 x, x_scale, h, w, nf, num_up, n_sites, u1
             )
-            re = re + 0.5 * jnp.where(s > 0.5, lp1, lp0)
-            im = im + jnp.where(s > 0.5, ph1, ph0)
-            return h_new, s, num_up + s, re, im
+            re, rec = kadd(re, rec, 0.5 * jnp.where(s > 0.5, lp1, lp0))
+            im, imc = kadd(im, imc, jnp.where(s > 0.5, ph1, ph0))
+            return h_new, s, num_up + s, re, rec, im, imc
 
         h0 = jnp.zeros((num_layers * u, t), jnp.float32)
         z = jnp.zeros((1, t), jnp.float32)
-        _, _, _, re, im = jax.lax.fori_loop(
-            0, n_sites, body, (h0, z, z, z, z)
+        _, _, _, re, rec, im, imc = jax.lax.fori_loop(
+            0, n_sites, body, (h0, z, z, z, z, z, z)
         )
-        re_ref[:] = re
-        im_ref[:] = im
+        re_ref[:] = kfinal(re, rec)
+        im_ref[:] = kfinal(im, imc)
 
     return kernel
 
@@ -198,7 +199,7 @@ def _make_sample_kernel(n_sites: int, u1: bool, num_layers: int):
         u = w[1].shape[1]
 
         def body(n, carry):
-            h, x, num_up, acc = carry
+            h, x, num_up, acc, cmp = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             nf = n.astype(jnp.float32)
             h_new, lp0, lp1, _, _ = _crnn_site_rows(
@@ -216,14 +217,16 @@ def _make_sample_kernel(n_sites: int, u1: bool, num_layers: int):
             # a forbidden draw poisons every downstream gradient.
             s = jnp.where(lp1 < 0.5 * LOG_ZERO, 0.0, s)
             s = jnp.where(lp0 < 0.5 * LOG_ZERO, 1.0, s)
-            acc = acc + jnp.where(s > 0.5, lp1, lp0)
+            acc, cmp = kadd(acc, cmp, jnp.where(s > 0.5, lp1, lp0))
             samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
-            return h_new, s, num_up + s, acc
+            return h_new, s, num_up + s, acc, cmp
 
         h0 = jnp.zeros((num_layers * u, t), jnp.float32)
         z = jnp.zeros((1, t), jnp.float32)
-        _, _, _, acc = jax.lax.fori_loop(0, n_sites, body, (h0, z, z, z))
-        lp_ref[:] = acc
+        _, _, _, acc, cmp = jax.lax.fori_loop(
+            0, n_sites, body, (h0, z, z, z, z)
+        )
+        lp_ref[:] = kfinal(acc, cmp)
 
     return kernel
 

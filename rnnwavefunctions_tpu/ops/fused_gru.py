@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compsum import kadd, kfinal
 from .seeding import TILE_SEED_STRIDE
 
 TILE = 512  # max batch rows per grid program
@@ -159,20 +160,21 @@ def _make_log_prob_kernel(num_layers: int):
         u = hwT.shape[1]
 
         def body(n, carry):
-            hs, x, acc = carry
+            hs, x, acc, cmp = carry
             s = samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             hs, l0, l1 = _stacked_site_step_rows(
                 x, x_scale, hs, cells, hwT, hbT
             )
-            return hs, s, acc + _logp_rows(l0, l1, s)
+            acc, cmp = kadd(acc, cmp, _logp_rows(l0, l1, s))
+            return hs, s, acc, cmp
 
         hs0 = tuple(
             jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
         )
         z = jnp.zeros((1, t), jnp.float32)
-        _, _, acc = jax.lax.fori_loop(0, n_sites, body, (hs0, z, z))
-        out_ref[:] = acc
+        _, _, acc, cmp = jax.lax.fori_loop(0, n_sites, body, (hs0, z, z, z))
+        out_ref[:] = kfinal(acc, cmp)
 
     return kernel
 
@@ -212,7 +214,7 @@ def _make_sample_kernel(num_layers: int):
         u = hwT.shape[1]
 
         def body(n, carry):
-            hs, x, acc = carry
+            hs, x, acc, cmp = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             hs, l0, l1 = _stacked_site_step_rows(
                 x, x_scale, hs, cells, hwT, hbT
@@ -227,16 +229,16 @@ def _make_sample_kernel(num_layers: int):
             )
             uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
             s = jnp.where(uni >= p0, 1.0, 0.0)
-            acc = acc + _logp_rows(l0, l1, s)
+            acc, cmp = kadd(acc, cmp, _logp_rows(l0, l1, s))
             samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
-            return hs, s, acc
+            return hs, s, acc, cmp
 
         hs0 = tuple(
             jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
         )
         z = jnp.zeros((1, t), jnp.float32)
-        _, _, acc = jax.lax.fori_loop(0, n_sites, body, (hs0, z, z))
-        logp_ref[:] = acc
+        _, _, acc, cmp = jax.lax.fori_loop(0, n_sites, body, (hs0, z, z, z))
+        logp_ref[:] = kfinal(acc, cmp)
 
     return kernel
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compsum import kadd, kfinal
 from .fused_gru import _logp_rows, _round_up
 from .seeding import TILE_SEED_STRIDE
 
@@ -68,12 +69,12 @@ def _make_sweep_kernel(nx: int, ny: int, sample_mode: bool):
         u = whT.shape[0]
         w = (uhT[:], uvT[:], whT[:], wvT[:], bT[:], hwT[:], hbT[:])
 
-        def row_body(yy, acc):
+        def row_body(yy, acc_cmp):
             sv_scale = jnp.where(yy > 0, 1.0, 0.0)
             even = yy % 2 == 0
 
             def col_body(k, carry):
-                h_h, x_h, acc = carry
+                h_h, x_h, acc, cmp = carry
                 xx = jnp.where(even, k, nx - 1 - k)
                 flat = yy * nx + xx
                 sh_scale = jnp.where(k > 0, 1.0, 0.0)
@@ -95,18 +96,22 @@ def _make_sweep_kernel(nx: int, ny: int, sample_mode: bool):
                     samples_ref[pl.ds(flat, 1), :] = s.astype(jnp.int32)
                 else:
                     s = samples_ref[pl.ds(flat, 1), :].astype(jnp.float32)
-                acc = acc + _logp_rows(l0, l1, s)
+                acc, cmp = kadd(acc, cmp, _logp_rows(l0, l1, s))
                 vh[pl.ds(xx, 1)] = h_new[None]
                 vx[pl.ds(xx, 1), :] = s
-                return h_new, s, acc
+                return h_new, s, acc, cmp
 
             h0 = jnp.zeros((u, t), jnp.float32)
             x0 = jnp.zeros((1, t), jnp.float32)
-            _, _, acc = jax.lax.fori_loop(0, nx, col_body, (h0, x0, acc))
-            return acc
+            acc, cmp = acc_cmp
+            _, _, acc, cmp = jax.lax.fori_loop(
+                0, nx, col_body, (h0, x0, acc, cmp)
+            )
+            return acc, cmp
 
-        lp_ref[:] = jax.lax.fori_loop(
-            0, ny, row_body, jnp.zeros((1, t), jnp.float32)
+        z = jnp.zeros((1, t), jnp.float32)
+        lp_ref[:] = kfinal(
+            *jax.lax.fori_loop(0, ny, row_body, (z, z))
         )
 
     return kernel

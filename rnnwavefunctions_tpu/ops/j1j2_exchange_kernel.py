@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compsum import kadd, kfinal
 from .fused_gru import _round_up
 from .tfim_flip_kernel import (
     _MIN_TILE, _VMEM_BUDGET, _batch_cap, _hist_bytes, _norm_units, _round8,
@@ -68,7 +69,7 @@ def _resident_bytes(n: int, units, tile: int, group: int) -> int:
     blocks; sized with the group the kernel will actually run."""
     lu = _round8(sum(_norm_units(units)))
     rows = 4 * n  # samples (int32) + pfx_re + pfx_im + cup
-    wf = lu * group + 5 * group
+    wf = lu * group + 7 * group  # + x, xv, up, re, im, rec, imc rows
     return (rows + wf) * tile * 4
 
 
@@ -150,7 +151,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
         if spill:
             (eoff_re_ref, eoff_im_ref, lp_re_ref, lp_im_ref,
              h_hist, pfx_re, pfx_im, cup,
-             wf_h, wf_x, wf_xv, wf_up, wf_re, wf_im,
+             wf_h, wf_x, wf_xv, wf_up, wf_re, wf_im, wf_rec, wf_imc,
              ring, staging, sem_wr, sem_rd) = rest
         else:
             (eoff_re_ref, eoff_im_ref,         # (1, T) f32
@@ -162,6 +163,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
              wf_x, wf_xv,                      # scratch (1, GROUP*T)
              wf_up,                            # scratch (1, GROUP*T)
              wf_re, wf_im,                     # scratch (1, GROUP*T)
+             wf_rec, wf_imc,                   # scratch: Kahan pairs
              ) = rest
         t = eoff_re_ref.shape[1]
         w = _split_w(wrefs, num_layers)
@@ -185,7 +187,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
 
         # ---- base pass
         def base_body(n, carry):
-            h, x, num_up, re, im = carry
+            h, x, num_up, re, rec, im, imc = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             nf = n.astype(jnp.float32)
             h_new, lp0, lp1, ph0, ph1 = _crnn_site_rows(
@@ -209,18 +211,22 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
             else:
                 s = read_s(n)
-            re = re + 0.5 * jnp.where(s > 0.5, lp1, lp0)
-            im = im + jnp.where(s > 0.5, ph1, ph0)
+            re, rec = kadd(re, rec, 0.5 * jnp.where(s > 0.5, lp1, lp0))
+            im, imc = kadd(im, imc, jnp.where(s > 0.5, ph1, ph0))
             hist_write(n, h_new)
-            pfx_re[pl.ds(n, 1), :] = re
-            pfx_im[pl.ds(n, 1), :] = im
+            # corrected running prefixes: wavefront accumulators re-base here
+            pfx_re[pl.ds(n, 1), :] = kfinal(re, rec)
+            pfx_im[pl.ds(n, 1), :] = kfinal(im, imc)
             cup[pl.ds(n, 1), :] = num_up
-            return h_new, s, num_up + s, re, im
+            return h_new, s, num_up + s, re, rec, im, imc
 
         h0 = jnp.zeros((lu, t), jnp.float32)
-        _, _, _, base_re, base_im = jax.lax.fori_loop(
-            0, n_sites, base_body, (h0, zero_row, zero_row, zero_row, zero_row)
+        _, _, _, bre, brec, bim, bimc = jax.lax.fori_loop(
+            0, n_sites, base_body,
+            (h0, zero_row, zero_row, zero_row, zero_row, zero_row, zero_row),
         )
+        base_re = kfinal(bre, brec)
+        base_im = kfinal(bim, bimc)
         hist_drain()
         lp_re_ref[:] = base_re
         lp_im_ref[:] = base_im
@@ -273,6 +279,8 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 bset(wf_im, jnp.where(
                     i > 0, pfx_im[pl.ds(jnp.maximum(i - 1, 0), 1), :], zero_row
                 ))
+                bset(wf_rec, zero_row)
+                bset(wf_imc, zero_row)
 
             def group_body(g, _):
                 g0 = g * fpg
@@ -316,8 +324,17 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                     wf_x[:] = tgt
                     wf_xv[:] = jnp.ones_like(wf_xv)
                     wf_up[:] = wf_up[:] + tgt
-                    wf_re[:] = wf_re[:] + 0.5 * jnp.where(tgt > 0.5, lp1, lp0)
-                    wf_im[:] = wf_im[:] + jnp.where(tgt > 0.5, ph1, ph0)
+                    re2, rec2 = kadd(
+                        wf_re[:], wf_rec[:],
+                        0.5 * jnp.where(tgt > 0.5, lp1, lp0),
+                    )
+                    im2, imc2 = kadd(
+                        wf_im[:], wf_imc[:], jnp.where(tgt > 0.5, ph1, ph0)
+                    )
+                    wf_re[:] = re2
+                    wf_rec[:] = rec2
+                    wf_im[:] = im2
+                    wf_imc[:] = imc2
                     return 0
 
                 jax.lax.fori_loop(g0, n_sites, site_body, 0)
@@ -346,10 +363,14 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                             # clamp the dead half before exp/cos (its acc is
                             # uninitialized garbage; 0 * inf/NaN stays NaN)
                             d_re = jnp.where(
-                                live > 0, wf_re[:, sl] - base_re, 0.0
+                                live > 0,
+                                kfinal(wf_re[:, sl], wf_rec[:, sl]) - base_re,
+                                0.0,
                             )
                             d_im = jnp.where(
-                                live > 0, wf_im[:, sl] - base_im, 0.0
+                                live > 0,
+                                kfinal(wf_im[:, sl], wf_imc[:, sl]) - base_im,
+                                0.0,
                             )
                             mag = anti * live * jnp.exp(d_re)
                             eoff_re_ref[:] = (
@@ -367,8 +388,8 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                             anti = jnp.where(
                                 read_s(i) != read_s(i + gap), 1.0, 0.0
                             )
-                            d_re = wf_re[:, sl] - base_re
-                            d_im = wf_im[:, sl] - base_im
+                            d_re = kfinal(wf_re[:, sl], wf_rec[:, sl]) - base_re
+                            d_im = kfinal(wf_im[:, sl], wf_imc[:, sl]) - base_im
                             mag = anti * jnp.exp(d_re)
                             eoff_re_ref[:] = (
                                 eoff_re_ref[:] + el * mag * jnp.cos(d_im)
@@ -405,6 +426,8 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 wf_im[:, sl] = (
                     pfx_im[pl.ds(max(i - 1, 0), 1), :] if i > 0 else zero_row
                 )
+                wf_rec[:, sl] = zero_row
+                wf_imc[:, sl] = zero_row
 
             for k, (a, _, _) in enumerate(bonds):
                 if a == 0:
@@ -436,8 +459,16 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                 wf_x[:] = tgt
                 wf_xv[:] = jnp.ones_like(wf_xv)
                 wf_up[:] = wf_up[:] + tgt
-                wf_re[:] = wf_re[:] + 0.5 * jnp.where(tgt > 0.5, lp1, lp0)
-                wf_im[:] = wf_im[:] + jnp.where(tgt > 0.5, ph1, ph0)
+                re2, rec2 = kadd(
+                    wf_re[:], wf_rec[:], 0.5 * jnp.where(tgt > 0.5, lp1, lp0)
+                )
+                im2, imc2 = kadd(
+                    wf_im[:], wf_imc[:], jnp.where(tgt > 0.5, ph1, ph0)
+                )
+                wf_re[:] = re2
+                wf_rec[:] = rec2
+                wf_im[:] = im2
+                wf_imc[:] = imc2
                 return 0
 
             jax.lax.fori_loop(0, n_sites, site_body, 0)
@@ -445,8 +476,8 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
             for k, (a, bsite, el) in enumerate(bonds):
                 sl = pl.ds(k * t, t)
                 anti = jnp.where(read_s(a) != read_s(bsite), 1.0, 0.0)
-                d_re = wf_re[:, sl] - base_re
-                d_im = wf_im[:, sl] - base_im
+                d_re = kfinal(wf_re[:, sl], wf_rec[:, sl]) - base_re
+                d_im = kfinal(wf_im[:, sl], wf_imc[:, sl]) - base_im
                 mag = anti * jnp.exp(d_re)
                 if pack:
                     # wrap blocks stay full-width (duplicated halves); count
@@ -543,6 +574,8 @@ def _scratch(n, lu, tile, spill=False, group=GROUP, pack=False):
         pltpu.VMEM((1, group * tile), jnp.float32),
         pltpu.VMEM((1, group * tile), jnp.float32),
         pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),  # wf_rec (Kahan pair)
+        pltpu.VMEM((1, group * tile), jnp.float32),  # wf_imc (Kahan pair)
     ]
     if spill:
         out += spill_scratch(lu, tile, (2 if pack else 1) * group, n)

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compsum import kadd, kfinal
 from .fused_gru import _logp_rows, _round_up
 from .fused_mdrnn import _mdrnn_site_rows, _mdrnn_weightsT, _mdrnn_weightT_specs
 from .seeding import TILE_SEED_STRIDE
@@ -69,7 +70,7 @@ def _base_bytes(nx: int, ny: int, u: int, tile: int) -> int:
     up = _round8(u)
     rows = 2 * ns * tile * 4                      # samples (int32) + pfx
     rowbuf = nx * up * GROUP * tile * 4
-    wf = (up + 2) * GROUP * tile * 4
+    wf = (up + 3) * GROUP * tile * 4              # + wf_x, wf_acc, wf_cmp
     return rows + rowbuf + wf
 
 
@@ -150,11 +151,11 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
             rest = refs[8:]
         if spill:
             (eoff_ref, lp_ref, h_hist,
-             pfx, rowwin, rowbuf, wf_h, wf_x, wf_acc,
+             pfx, rowwin, rowbuf, wf_h, wf_x, wf_acc, wf_cmp,
              sem_wr, sem_rd) = rest
         else:
             (eoff_ref, lp_ref,
-             cell_hist, pfx, rowbuf, wf_h, wf_x, wf_acc) = rest
+             cell_hist, pfx, rowbuf, wf_h, wf_x, wf_acc, wf_cmp) = rest
         t = eoff_ref.shape[1]
         u = whT.shape[0]
         w = (uhT[:], uvT[:], whT[:], wvT[:], bT[:], hwT[:], hbT[:])
@@ -219,7 +220,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
 
         # ---- base pass (visit order) ------------------------------------
         def base_body(m, carry):
-            h_h, x_h, acc = carry
+            h_h, x_h, acc, cmp = carry
             yy, k, xx, vis_up = coords(m)
             sh = jnp.where(k > 0, 1.0, 0.0)
             sv = jnp.where(yy > 0, 1.0, 0.0)
@@ -241,15 +242,17 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
                 samples_ref[pl.ds(m, 1), :] = s.astype(jnp.int32)
             else:
                 s = read_s(m)
-            acc = acc + _logp_rows(l0, l1, s)
+            acc, cmp = kadd(acc, cmp, _logp_rows(l0, l1, s))
             hist_write(m, yy, k, h_new)
-            pfx[pl.ds(m, 1), :] = acc
-            return h_new, s, acc
+            # corrected running prefix: wavefront accumulators re-base here
+            pfx[pl.ds(m, 1), :] = kfinal(acc, cmp)
+            return h_new, s, acc, cmp
 
         h0 = jnp.zeros((u, t), jnp.float32)
-        _, _, lp_base = jax.lax.fori_loop(
-            0, ns, base_body, (h0, zero_row, zero_row)
+        _, _, lp_acc, lp_cmp = jax.lax.fori_loop(
+            0, ns, base_body, (h0, zero_row, zero_row, zero_row)
         )
+        lp_base = kfinal(lp_acc, lp_cmp)
         base_drain()
         lp_ref[:] = lp_base
 
@@ -270,6 +273,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
             wf_acc[:, sl] = jnp.where(
                 f > 0, pfx[pl.ds(jnp.maximum(f - 1, 0), 1), :], zero_row
             )
+            wf_cmp[:, sl] = zero_row
 
         def group_body(g, _):
             g0 = g * GROUP
@@ -349,7 +353,11 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
                 )
                 wf_h[:] = h_new
                 wf_x[:] = tgt
-                wf_acc[:] = wf_acc[:] + _logp_rows(l0, l1, tgt)
+                acc, cmp = kadd(
+                    wf_acc[:], wf_cmp[:], _logp_rows(l0, l1, tgt)
+                )
+                wf_acc[:] = acc
+                wf_cmp[:] = cmp
                 rowbuf[pl.ds(xx, 1)] = h_new[None]
                 return 0
 
@@ -360,7 +368,10 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
 
                 @pl.when(f < ns)
                 def _():
-                    acc = wf_acc[:, pl.ds(kk_ * t, t)]
+                    acc = kfinal(
+                        wf_acc[:, pl.ds(kk_ * t, t)],
+                        wf_cmp[:, pl.ds(kk_ * t, t)],
+                    )
                     eoff_ref[:] = eoff_ref[:] + jnp.exp(
                         0.5 * (acc - lp_base)
                     )
@@ -384,6 +395,7 @@ def _scratch(nx, ny, u, tile, spill=False):
             pltpu.VMEM((u, GROUP * tile), jnp.float32),          # wf_h
             pltpu.VMEM((1, GROUP * tile), jnp.float32),          # wf_x
             pltpu.VMEM((1, GROUP * tile), jnp.float32),          # wf_acc
+            pltpu.VMEM((1, GROUP * tile), jnp.float32),          # wf_cmp
             pltpu.SemaphoreType.DMA((_WIN,)),
             pltpu.SemaphoreType.DMA((_WIN,)),
         ]
@@ -394,6 +406,7 @@ def _scratch(nx, ny, u, tile, spill=False):
         pltpu.VMEM((u, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
         pltpu.VMEM((1, GROUP * tile), jnp.float32),
+        pltpu.VMEM((1, GROUP * tile), jnp.float32),  # wf_cmp (Kahan pair)
     ]
 
 

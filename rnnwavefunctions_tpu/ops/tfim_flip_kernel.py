@@ -52,6 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .compsum import kadd, kfinal
 from .fused_gru import (
     _round_up,
     _split_cells,
@@ -97,7 +98,7 @@ def _resident_bytes(n: int, units, tile: int, group: int = GROUP) -> int:
     samples + pfx + fl rows and the wavefront blocks."""
     lu = _round8(sum(_norm_units(units)))
     rows = 3 * n  # samples (int32) + pfx + fl
-    wf = lu * group + 2 * group
+    wf = lu * group + 3 * group  # wf_h + (wf_x, wf_acc, wf_cmp) rows
     return (rows + wf) * tile * 4
 
 
@@ -225,11 +226,11 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
             samples_ref = rest[0]
             rest = rest[1:]
         if spill:
-            (eoff_ref, lp_ref, h_hist, pfx, fl, wf_h, wf_x, wf_acc,
+            (eoff_ref, lp_ref, h_hist, pfx, fl, wf_h, wf_x, wf_acc, wf_cmp,
              ring, staging, sem_wr, sem_rd) = rest
         else:
             (eoff_ref, lp_ref, h_hist, pfx, fl,
-             wf_h, wf_x, wf_acc) = rest
+             wf_h, wf_x, wf_acc, wf_cmp) = rest
         n_sites = samples_ref.shape[0]
         t = eoff_ref.shape[1]
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
@@ -256,7 +257,7 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
         # ---- base pass: (draw and) store hidden history, prefix sums,
         # flipped-site logps
         def base_body(n, carry):
-            h, x, acc = carry
+            h, x, acc, cmp = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             h_new, l0, l1 = step(x, x_scale, h)
             if sample_mode:
@@ -274,22 +275,25 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
                 samples_ref[pl.ds(n, 1), :] = s.astype(jnp.int32)
             else:
                 s = read_s(n)
-            acc = acc + _logp_rows(l0, l1, s)
+            acc, cmp = kadd(acc, cmp, _logp_rows(l0, l1, s))
             hist_write(n, h_new)
-            pfx[pl.ds(n, 1), :] = acc
+            # store the corrected running prefix: the wavefront re-bases
+            # flip accumulators on these rows
+            pfx[pl.ds(n, 1), :] = kfinal(acc, cmp)
             fl[pl.ds(n, 1), :] = _logp_rows(l0, l1, 1.0 - s)
-            return h_new, s, acc
+            return h_new, s, acc, cmp
 
         h0 = jnp.zeros((lu, t), jnp.float32)
-        _, _, lp_base = jax.lax.fori_loop(
-            0, n_sites, base_body, (h0, zero_row, zero_row)
+        _, _, lp_acc, lp_cmp = jax.lax.fori_loop(
+            0, n_sites, base_body, (h0, zero_row, zero_row, zero_row)
         )
+        lp_base = kfinal(lp_acc, lp_cmp)
         hist_drain()
         lp_ref[:] = lp_base
         _flip_wavefront(
             step, eoff_ref, lp_base, stage, read_col, pfx, fl,
-            wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip,
-            group, spill, pack,
+            wf_h, wf_x, wf_acc, wf_cmp, n_sites, t, read_s, zero_row,
+            per_flip, group, spill, pack,
         )
 
     return kernel
@@ -297,7 +301,7 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
 
 def _flip_wavefront(
     step, eoff_ref, lp_base, stage, read_col, pfx, fl,
-    wf_h, wf_x, wf_acc, n_sites, t, read_s, zero_row, per_flip,
+    wf_h, wf_x, wf_acc, wf_cmp, n_sites, t, read_s, zero_row, per_flip,
     group, spill, pack=False,
 ):
 
@@ -332,9 +336,11 @@ def _flip_wavefront(
         if pack:
             wf_x[:, sl] = jnp.where(mask, x_new, wf_x[:, sl])
             wf_acc[:, sl] = jnp.where(mask, acc_new, wf_acc[:, sl])
+            wf_cmp[:, sl] = jnp.where(mask, 0.0, wf_cmp[:, sl])
         else:
             wf_x[:, sl] = x_new
             wf_acc[:, sl] = acc_new
+            wf_cmp[:, sl] = jnp.zeros_like(acc_new)
 
     def wavefront_step(n):
         """Advance all GROUP trajectory blocks one site with fat matmuls."""
@@ -343,7 +349,9 @@ def _flip_wavefront(
         h_new, l0, l1 = step(wf_x[:], 1.0, wf_h[:])
         wf_h[:] = h_new
         wf_x[:] = tgt
-        wf_acc[:] = wf_acc[:] + _logp_rows(l0, l1, tgt)
+        acc, cmp = kadd(wf_acc[:], wf_cmp[:], _logp_rows(l0, l1, tgt))
+        wf_acc[:] = acc
+        wf_cmp[:] = cmp
 
     def group_body(g, _):
         g0 = g * fpg
@@ -360,6 +368,7 @@ def _flip_wavefront(
         wf_h[:] = jnp.zeros_like(wf_h)
         wf_x[:] = jnp.zeros_like(wf_x)
         wf_acc[:] = jnp.zeros_like(wf_acc)
+        wf_cmp[:] = jnp.zeros_like(wf_cmp)
         init_col(g0, slot, start)  # flip g0 diverges first, at site g0+1
 
         def site_body(n, _):
@@ -385,7 +394,7 @@ def _flip_wavefront(
 
                 @pl.when(a < n_sites)
                 def _(k=k, sl=sl, a=a):
-                    acc = wf_acc[:, sl]
+                    acc = kfinal(wf_acc[:, sl], wf_cmp[:, sl])
                     if per_flip:
                         eoff_ref[pl.ds(a, 1), :] = acc
 
@@ -406,7 +415,7 @@ def _flip_wavefront(
 
                 @pl.when(i < n_sites)
                 def _(i=i, sl=sl):
-                    acc = wf_acc[:, sl]
+                    acc = kfinal(wf_acc[:, sl], wf_cmp[:, sl])
                     if per_flip:
                         eoff_ref[pl.ds(i, 1), :] = acc
                     else:
@@ -581,6 +590,7 @@ def _flip_scratch(n, units, tile, spill=False, group=GROUP, pack=False):
         pltpu.VMEM((lu, group * tile), jnp.float32),
         pltpu.VMEM((1, group * tile), jnp.float32),
         pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),  # wf_cmp (Kahan pair)
     ]
     if spill:
         out += spill_scratch(lu, tile, (2 if pack else 1) * group, n)

@@ -67,6 +67,15 @@ class TrainConfig:
     # scaling path.  Requires a plain positive GRU PRNN1D ansatz with
     # tp-divisible hidden widths and a flat-encoded Hamiltonian.
     tp: int = 1
+    # MXU matmul precision for the whole jitted step (including inside the
+    # Pallas kernels; the jax.default_matmul_precision context is read at
+    # trace time).  On this hardware "default" f32 matmuls execute single
+    # bf16-input passes (measured 115 vs 126 TFLOP/s bf16 on an 8k dot);
+    # "highest" runs the multi-pass f32 path: ~5x lower N=1000 joint-logp
+    # error vs a float64 oracle (2.1e-3 vs 1.1e-2) at ~1.8x step cost
+    # (scripts/exp_kahan_onchip.py, scripts/exp_precision_cost.py).  The
+    # published accuracy anchors are met at "default"; see BENCHMARKS.md.
+    matmul_precision: str = "default"
     seed: int = 111
 
 
@@ -138,12 +147,26 @@ class VMCTrainer:
             None if self.tp > 1
             else make_fused_sample_energy_fn(ansatz, hamiltonian)
         )
-        self._device_step_impl = (
+        self._device_step_impl = self._with_matmul_precision(
             self._device_step_tp if self.tp > 1 else self._device_step
         )
         self._step_fn = self._build_step()
         self._multi_step_cache = {}
         self._eval_fn = None
+
+    def _with_matmul_precision(self, fn):
+        """Pin the ambient matmul precision while the step traces — every
+        dot in the program (jnp paths and Pallas kernel bodies alike)
+        resolves Precision.DEFAULT against this context at trace time."""
+        prec = self.config.matmul_precision
+        if prec == "default":
+            return fn
+
+        def wrapped(*args, **kwargs):
+            with jax.default_matmul_precision(prec):
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     def _validate_tp(self):
         """The tensor-parallel trunk (parallel/tensor.py) covers the plain
