@@ -24,6 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numsamples", type=int, default=500)
     p.add_argument("--learningrate", type=float, default=5e-3)
     p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--matmul-precision", type=str, default="default",
+                   choices=["default", "high", "highest"],
+                   help="MXU matmul precision for the whole jitted step "
+                        "('highest' = multi-pass f32: ~5x lower long-chain "
+                        "log-prob error at ~1.8x step cost)")
     p.add_argument("--parity", action="store_true",
                    help="parity-symmetrized density (RNNwavefunction_paritysym)")
     p.add_argument("--num-devices", type=int, default=None,
@@ -55,6 +60,7 @@ def main(argv=None):
         chunk_size=args.chunk_size,
         tp=args.tp,
         seed=args.seed,
+        matmul_precision=args.matmul_precision,
     )
     if args.tp > 1:
         import jax

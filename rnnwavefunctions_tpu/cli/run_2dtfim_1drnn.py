@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decay-scale", type=float, default=10.0,
                    help="1/((1/lr)+(step/scale)) harmonic schedule scale")
     p.add_argument("--seed", type=int, default=333)
+    p.add_argument("--matmul-precision", type=str, default="default",
+                   choices=["default", "high", "highest"],
+                   help="MXU matmul precision for the whole jitted step "
+                        "('highest' = multi-pass f32: ~5x lower long-chain "
+                        "log-prob error at ~1.8x step cost)")
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--workdir", type=str, default="Check_Points/2DTFIM")
@@ -52,6 +57,7 @@ def main(argv=None):
         decay_scale=args.decay_scale,
         chunk_size=args.chunk_size,
         seed=args.seed,
+        matmul_precision=args.matmul_precision,
     )
     trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
     tag = (

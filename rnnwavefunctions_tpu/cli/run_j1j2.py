@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numsamples", type=int, default=200)
     p.add_argument("--learningrate", type=float, default=5e-4)
     p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--matmul-precision", type=str, default="default",
+                   choices=["default", "high", "highest"],
+                   help="MXU matmul precision for the whole jitted step "
+                        "('highest' = multi-pass f32: ~5x lower long-chain "
+                        "log-prob error at ~1.8x step cost)")
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--workdir", type=str, default="Check_Points/J1J2")
@@ -57,6 +62,7 @@ def main(argv=None):
         schedule="constant",
         chunk_size=args.chunk_size,
         seed=args.seed,
+        matmul_precision=args.matmul_precision,
     )
     trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
     tag = (

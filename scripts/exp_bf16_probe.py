@@ -1,11 +1,22 @@
 """Probe: does a bf16 MXU path speed up the fused GRU rollout shape?
 
 Times a standalone Pallas kernel that mimics the fused rollout inner loop
-(``ops/fused_gru._gru_layer_rows`` at U=50, T=512, N sites) with the matmul
+(``ops/fused_gru._gru_layer_rows`` at U=50, T=4096, N sites) with the matmul
 operands in f32 vs bf16 (f32 accumulation either way).  The v5e MXU runs
 bf16 at 4x the f32 pass rate; this measures how much of that shows up at the
 framework's actual (3U x U) @ (U x T) shape, where K = U = 50 underfills the
 128-deep systolic array.
+
+N must be large enough that one launch's compute dominates the ~16 ms
+relay dispatch latency (N=400 is ~1.6 ms of compute — pure noise; N=20000
+is ~60 ms).  Synchronize by fetching a scalar, per CLAUDE.md.
+
+MEASURED (one v5e chip, 2026-08-17): f32 21.43 TFLOP/s, bf16 21.37 TFLOP/s
+— speedup 1.00x.  At K = U = 50 the systolic array is depth-starved and the
+rollout sits at its shape roof either way; casting the fused kernels'
+operands to bf16 buys nothing (and would cost hidden-state precision), so
+the framework keeps f32 operands everywhere.  This is the negative result
+behind not shipping a bf16 hidden path.
 
 Run on the real chip: ``timeout 580 python scripts/exp_bf16_probe.py``.
 """
@@ -19,8 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 U = 50
 T = 4096
-N = 400  # site steps per kernel launch
-REPS = 30
+N = 20000  # site steps per kernel launch: compute >> dispatch latency
+REPS = 3
 
 
 def make_kernel(dtype):

@@ -153,3 +153,16 @@ def test_ckpt_cadence_saves_exact_step(tmp_path):
     # (pre-fix the block ran through index 30's boundary and saved 28+ only)
     assert 26 in steps, steps
     assert int(ckpt.restore(trainer.init()).step) == 28  # final save, idx 27
+
+
+def test_cli_matmul_precision_flag(tmp_path):
+    """--matmul-precision highest threads through TrainConfig into the
+    jitted step (the ambient context is read at trace time) and still
+    trains; equality with default is not expected — only finiteness and
+    artifact parity."""
+    mean_e, _ = run_1dtfim.main([
+        "--numsteps", "4", "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--workdir", str(tmp_path),
+        "--num-devices", "1", "--matmul-precision", "highest",
+    ])
+    assert len(mean_e) == 5 and np.isfinite(np.asarray(mean_e)).all()
