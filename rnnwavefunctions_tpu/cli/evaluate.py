@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-batches", type=int, default=10)
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--observables", nargs="*", default=[],
+                   choices=["sigma_x", "structure_factor"],
+                   help="extra estimators: per-site <sigma^x_i> via "
+                        "single-flip amplitude ratios, and/or the static "
+                        "structure factor S(k) at commensurate momenta")
     return p
 
 
@@ -78,15 +83,21 @@ def main(argv=None):
     state = ckpt.restore(trainer.init())
 
     key = jax.random.PRNGKey(args.seed)
+    extra = tuple(args.observables)
     means, varis, mags = [], [], []
-    e_ims = []
+    e_ims, sxs, sks = [], [], []
     for b in range(args.num_batches):
-        out = trainer.evaluate(state, jax.random.fold_in(key, b))
+        out = trainer.evaluate(state, jax.random.fold_in(key, b),
+                               observables=extra)
         means.append(float(out["mean_energy"]))
         varis.append(float(out["var_energy"]))
         mags.append(float(out["magnetization"]))
         if "mean_energy_im" in out:
             e_ims.append(float(out["mean_energy_im"]))
+        if "sigma_x" in out:
+            sxs.append(np.asarray(out["sigma_x"]))
+        if "structure_factor" in out:
+            sks.append(np.asarray(out["structure_factor"]))
     est, err = energy_estimate(means, varis, args.numsamples,
                                window=args.num_batches)
     result = {
@@ -100,6 +111,14 @@ def main(argv=None):
     }
     if e_ims:
         result["energy_im"] = float(np.mean(e_ims))
+    if sxs:
+        sx = np.mean(sxs, axis=0)
+        result["sigma_x"] = [float(v) for v in sx]
+        result["sigma_x_total"] = float(np.sum(sx))
+    if sks:
+        result["structure_factor"] = [
+            float(v) for v in np.mean(sks, axis=0)
+        ]
     print(json.dumps(result))
     return result
 

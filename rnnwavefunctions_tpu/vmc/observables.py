@@ -6,13 +6,19 @@ and the notebook estimator convention
 ``mean(E[-w:]) +- sqrt(max(varE[-w:]) / (numsamples * w))``
 (``Tutorials/1DTFIM/Tutorial_1DTFIM.ipynb`` cell 18).  This module provides
 those as first-class, jit-friendly functions, plus sigma^z correlation
-functions.
+functions and *off-diagonal* estimators (``sigma_x``,
+``spin_spin_correlations``) built on the same amplitude-ratio machinery as
+the local energies: for an operator with matrix elements <s|O|s'>, the VMC
+estimator is ``mean_s sum_s' <s|O|s'> psi(s')/psi(s)`` with s drawn from
+|psi|^2.  Ratios are evaluated through the ansatz's ``log_amp`` /
+``log_amp_parts`` (real (Re, Im) pairs throughout — the TPU backend has no
+complex64), chunked via the shared ``_chunked_apply`` lax.map helper.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +38,151 @@ def zz_correlations(samples: jax.Array) -> jax.Array:
     z = 2.0 * samples.reshape(samples.shape[0], -1).astype(jnp.float32) - 1.0
     mean_z = jnp.mean(z, axis=0)
     return z.T @ z / z.shape[0] - jnp.outer(mean_z, mean_z)
+
+
+def structure_factor(
+    samples: jax.Array,
+    k: Optional[jax.Array] = None,
+    connected: bool = False,
+) -> jax.Array:
+    """Static spin structure factor ``S(k) = (1/N) sum_ij cos(k (i-j))
+    <z_i z_j>`` over a flat (S, N) {0,1} sample batch (z = 2s-1; sites on a
+    unit-spaced chain; the sine part cancels by ij symmetry, so the whole
+    computation stays real — the TPU backend has no complex64).
+
+    ``k`` defaults to the N commensurate momenta ``2 pi m / N``.  With
+    ``connected=True`` the disconnected ``<z_i><z_j>`` piece is subtracted
+    (removes the Bragg peak from a net magnetization).
+    """
+    z = 2.0 * samples.reshape(samples.shape[0], -1).astype(jnp.float32) - 1.0
+    n = z.shape[1]
+    corr = z.T @ z / z.shape[0]
+    if connected:
+        mean_z = jnp.mean(z, axis=0)
+        corr = corr - jnp.outer(mean_z, mean_z)
+    if k is None:
+        k = 2.0 * jnp.pi * jnp.arange(n, dtype=jnp.float32) / n
+    k = jnp.asarray(k, jnp.float32)
+    dist = jnp.arange(n, dtype=jnp.float32)
+    dist = dist[:, None] - dist[None, :]
+    phases = jnp.cos(k[:, None, None] * dist[None])
+    return jnp.sum(phases * corr[None], axis=(1, 2)) / n
+
+
+def _log_amp_of(ansatz: Any, params: Any, samples: jax.Array):
+    """(Re, Im) log-amplitude pair for any ansatz head (Im None if real)."""
+    if getattr(ansatz, "is_complex", False):
+        return ansatz.log_amp_parts(params, samples)
+    return ansatz.log_amp(params, samples), None
+
+
+def _ratio_re(la_f, la_s, im_f, im_s):
+    """Re[psi(s')/psi(s)] from log-amplitude (Re, Im) pairs."""
+    if im_f is None:
+        return jnp.exp(la_f - la_s)
+    return jnp.exp(la_f - la_s) * jnp.cos(im_f - im_s)
+
+
+def sigma_x(
+    ansatz: Any,
+    params: Any,
+    samples: jax.Array,
+    log_amp_samples=None,
+    chunk_size: Optional[int] = None,
+) -> jax.Array:
+    """Per-site transverse magnetization ``<sigma^x_i>`` (off-diagonal).
+
+    ``<s|sigma^x_i|s'> = 1`` for s' = s with site i flipped, so the
+    estimator is ``mean_s Re[psi(s^i)/psi(s)]`` — the same single-flip
+    ratios the TFIM local energy uses (the reference only ever prints
+    energies; this extends the measurement surface).  Returns an (N,) array
+    over flattened lattice sites.  For a U(1)-projected complex ansatz every
+    single flip leaves the magnetization sector, psi(s^i) = 0, and the
+    estimator is identically ~0 — physically correct.
+
+    ``log_amp_samples`` is log psi of the drawn batch (pass it when already
+    available to skip one forward); for complex heads pass the (Re, Im)
+    tuple from ``log_amp_parts``.
+    """
+    from .local_energy import _chunked_apply
+
+    s = samples.shape[0]
+    lat = samples.shape[1:]
+    n = int(np.prod(lat))
+    flat = samples.reshape(s, n)
+    flips = flat[:, None, :] ^ jnp.eye(n, dtype=flat.dtype)[None]
+    flips = flips.reshape((s * n,) + lat)
+    if log_amp_samples is None:
+        log_amp_samples = _log_amp_of(ansatz, params, samples)
+    elif not isinstance(log_amp_samples, tuple):
+        log_amp_samples = (log_amp_samples, None)
+    la_s, im_s = log_amp_samples
+    la_f, im_f = _chunked_apply(
+        lambda c: _log_amp_of(ansatz, params, c), flips, chunk_size
+    )
+    la_f = la_f.reshape(s, n)
+    im_f = None if im_f is None else im_f.reshape(s, n)
+    ratios = _ratio_re(
+        la_f, la_s[:, None], im_f, None if im_s is None else im_s[:, None]
+    )
+    return jnp.mean(ratios, axis=0)
+
+
+def spin_spin_correlations(
+    ansatz: Any,
+    params: Any,
+    samples: jax.Array,
+    pairs: jax.Array,
+    log_amp_samples=None,
+    chunk_size: Optional[int] = None,
+) -> jax.Array:
+    """Spin-1/2 correlator ``<S_i . S_j>`` for the given (P, 2) site pairs
+    (flat indices), including the off-diagonal exchange part:
+
+    ``S_i.S_j = S^z_i S^z_j + (S^+_i S^-_j + S^-_i S^+_j)/2`` with estimator
+    ``z_i z_j / 4 + (1/2) 1{s_i != s_j} Re[psi(s^{ij})/psi(s)]`` where
+    s^{ij} has both sites flipped — the same exchange configurations the
+    J1-J2 local energy evaluates (``hamiltonians/j1j2.py``;
+    reference matrix elements ``/root/reference/J1J2/TrainingRNN_J1J2.py`` /
+    ``MatrixElements``).  U(1)-safe: the exchange keeps the sector.
+    Returns a (P,) array.
+    """
+    from .local_energy import _chunked_apply
+
+    s = samples.shape[0]
+    lat = samples.shape[1:]
+    n = int(np.prod(lat))
+    flat = samples.reshape(s, n)
+    pairs = jnp.asarray(pairs, jnp.int32)
+    p = pairs.shape[0]
+    si = flat[:, pairs[:, 0]]
+    sj = flat[:, pairs[:, 1]]
+    z = lambda b: 2.0 * b.astype(jnp.float32) - 1.0
+    diag = z(si) * z(sj) / 4.0
+    differ = (si != sj).astype(jnp.float32)
+    flip_mask = (
+        jax.nn.one_hot(pairs[:, 0], n, dtype=flat.dtype)
+        + jax.nn.one_hot(pairs[:, 1], n, dtype=flat.dtype)
+    )
+    swapped = (flat[:, None, :] ^ flip_mask[None]).reshape((s * p,) + lat)
+    if log_amp_samples is None:
+        log_amp_samples = _log_amp_of(ansatz, params, samples)
+    elif not isinstance(log_amp_samples, tuple):
+        log_amp_samples = (log_amp_samples, None)
+    la_s, im_s = log_amp_samples
+    la_f, im_f = _chunked_apply(
+        lambda c: _log_amp_of(ansatz, params, c), swapped, chunk_size
+    )
+    la_f = la_f.reshape(s, p)
+    im_f = None if im_f is None else im_f.reshape(s, p)
+    ratios = _ratio_re(
+        la_f, la_s[:, None], im_f, None if im_s is None else im_s[:, None]
+    )
+    # where, not multiply: a masked pair's double-flip config can be
+    # arbitrarily improbable (or exactly off-sector under U(1)) and its
+    # ratio must never reach the sum, even as inf/NaN
+    ratios = jnp.where(differ > 0, ratios, 0.0)
+    return jnp.mean(diag + 0.5 * ratios, axis=0)
 
 
 def energy_estimate(

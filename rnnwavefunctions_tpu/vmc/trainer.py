@@ -22,6 +22,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from ..parallel import mesh as mesh_lib
+from . import observables as observables_mod
 from .local_energy import make_fused_sample_energy_fn, make_local_energy_fn
 from .loss import surrogate_loss
 
@@ -152,7 +153,7 @@ class VMCTrainer:
         )
         self._step_fn = self._build_step()
         self._multi_step_cache = {}
-        self._eval_fn = None
+        self._eval_fns = {}
 
     def _with_matmul_precision(self, fn):
         """Pin the ambient matmul precision while the step traces — every
@@ -429,7 +430,7 @@ class VMCTrainer:
 
     # -- evaluation (no parameter update) ------------------------------------
 
-    def _build_evaluate(self):
+    def _build_evaluate(self, extra: tuple = ()):
         def device_eval_tp(params, key):
             key = mesh_lib.device_key(key)
             samples, _, e_re = self._tp_sample_and_energy(params, key)
@@ -465,6 +466,16 @@ class VMCTrainer:
                    "magnetization": mag}
             if e_im is not None:
                 out["mean_energy_im"] = mesh_lib.pmean(jnp.mean(e_im))
+            if "sigma_x" in extra:
+                la_s = log_amp_s
+                if la_s is None and getattr(ansatz, "plain_positive", False):
+                    la_s = 0.5 * logp_sampling
+                out["sigma_x"] = mesh_lib.pmean(observables_mod.sigma_x(
+                    ansatz, params, samples, log_amp_samples=la_s,
+                    chunk_size=self.config.chunk_size))
+            if "structure_factor" in extra:
+                out["structure_factor"] = mesh_lib.pmean(
+                    observables_mod.structure_factor(samples))
             return out
 
         sharded = jax.shard_map(
@@ -474,12 +485,30 @@ class VMCTrainer:
         )
         return jax.jit(lambda params, key: sharded(params, key))
 
-    def evaluate(self, state: TrainState, key: jax.Array):
+    def evaluate(self, state: TrainState, key: jax.Array,
+                 observables: tuple = ()):
         """Measure energy statistics and magnetization on a fresh sample
-        batch without updating parameters (post-training measurement)."""
-        if self._eval_fn is None:
-            self._eval_fn = self._build_evaluate()
-        return self._eval_fn(state.params, key)
+        batch without updating parameters (post-training measurement).
+
+        ``observables`` optionally adds off-diagonal / correlation
+        estimators to the jitted measurement: ``"sigma_x"`` (per-site
+        transverse magnetization via single-flip amplitude ratios) and
+        ``"structure_factor"`` (S(k) at the commensurate momenta).  See
+        ``vmc/observables.py``; ``spin_spin_correlations`` takes explicit
+        site pairs and stays a standalone function.
+        """
+        extra = tuple(sorted(observables))
+        unknown = set(extra) - {"sigma_x", "structure_factor"}
+        if unknown:
+            raise ValueError(f"unknown observables: {sorted(unknown)}")
+        if extra and self.tp > 1:
+            raise ValueError(
+                "extra observables are evaluated through the plain ansatz "
+                "log_amp and are not available on a tensor-parallel mesh; "
+                "evaluate with tp=1 (dp-only) instead")
+        if extra not in self._eval_fns:
+            self._eval_fns[extra] = self._build_evaluate(extra)
+        return self._eval_fns[extra](state.params, key)
 
     # -- training loop (the run_X equivalent) -------------------------------
 

@@ -94,11 +94,16 @@ def test_cli_evaluate_restores_and_measures(tmp_path):
         str(tmp_path / ckpt_dir), "--workload", "1dtfim",
         "--systemsize", "6", "--num-units", "8",
         "--numsamples", "32", "--num-batches", "3", "--num-devices", "1",
+        "--observables", "sigma_x", "structure_factor",
     ])
     assert result["step"] == 11
     assert np.isfinite(result["energy"]) and result["energy"] < 0.0
     assert result["err_bar"] > 0.0
     assert result["num_samples_total"] == 96
+    assert len(result["sigma_x"]) == 6
+    assert np.isfinite(result["sigma_x_total"])
+    sk = np.asarray(result["structure_factor"])
+    assert sk.shape == (6,) and np.all(np.isfinite(sk))
 
 
 @pytest.mark.slow

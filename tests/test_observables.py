@@ -5,10 +5,12 @@ import itertools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rnnwavefunctions_tpu import (
     CRNNU1, J1J2, PRNN1D, TFIM1D, TrainConfig, VMCTrainer,
 )
+from rnnwavefunctions_tpu.ed import exact
 from rnnwavefunctions_tpu.vmc import observables
 
 
@@ -73,3 +75,121 @@ def test_schedules():
                                   staircase=True))
     np.testing.assert_allclose(float(s(jnp.int32(199))), 5e-3)
     np.testing.assert_allclose(float(s(jnp.int32(200))), 2.5e-3)
+
+
+# -- off-diagonal estimators ------------------------------------------------
+
+
+def _all_configs(n):
+    return jnp.asarray(list(itertools.product([0, 1], repeat=n)), jnp.int32)
+
+
+def test_structure_factor_neel_and_uniform():
+    n = 6
+    neel = jnp.asarray([[0, 1] * (n // 2)], jnp.int32)
+    sk = np.asarray(observables.structure_factor(neel))
+    # Neel: <z_i z_j> = (-1)^(i-j) -> S(pi) = N, S(0) = 0
+    k = 2 * np.pi * np.arange(n) / n
+    np.testing.assert_allclose(sk[np.argmin(np.abs(k - np.pi))], n, atol=1e-4)
+    np.testing.assert_allclose(sk[0], 0.0, atol=1e-4)
+    up = jnp.ones((3, n), jnp.int32)
+    sk = np.asarray(observables.structure_factor(up))
+    np.testing.assert_allclose(sk[0], n, atol=1e-4)  # Bragg peak at k=0
+    sk_c = np.asarray(observables.structure_factor(up, connected=True))
+    np.testing.assert_allclose(sk_c, 0.0, atol=1e-4)  # subtracted
+
+
+def test_sigma_x_matches_hand_ratios_real():
+    n = 5
+    ansatz = PRNN1D(num_sites=n, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(1))
+    batch = _all_configs(n)[7:23]
+    la = np.asarray(ansatz.log_amp(params, batch), np.float64)
+    want = np.zeros(n)
+    for i in range(n):
+        flipped = np.asarray(batch).copy()
+        flipped[:, i] ^= 1
+        laf = np.asarray(ansatz.log_amp(params, jnp.asarray(flipped)),
+                         np.float64)
+        want[i] = np.mean(np.exp(laf - la))
+    got = np.asarray(observables.sigma_x(ansatz, params, batch, chunk_size=8))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    # passing the precomputed log-amps gives the same answer
+    got2 = np.asarray(observables.sigma_x(
+        ansatz, params, batch, log_amp_samples=ansatz.log_amp(params, batch)))
+    np.testing.assert_allclose(got2, got, rtol=1e-6)
+
+
+def test_sigma_x_u1_sector_is_zero():
+    ansatz = CRNNU1(num_sites=6, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(2), 32)
+    sx = np.asarray(observables.sigma_x(ansatz, params, samples))
+    # every single flip leaves the U(1) sector -> psi(s^i) = 0
+    assert np.max(np.abs(sx)) < 1e-6, sx
+
+
+def test_spin_spin_matches_hand_ratios_complex():
+    n = 6
+    ansatz = CRNNU1(num_sites=n, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(3))
+    samples = ansatz.sample(params, jax.random.PRNGKey(4), 24)
+    pairs = np.asarray([[0, 1], [1, 3], [2, 5], [0, 5]], np.int32)
+    re_s, im_s = ansatz.log_amp_parts(params, samples)
+    re_s, im_s = np.asarray(re_s, np.float64), np.asarray(im_s, np.float64)
+    flat = np.asarray(samples)
+    want = np.zeros(len(pairs))
+    for pi, (i, j) in enumerate(pairs):
+        sw = flat.copy()
+        sw[:, [i, j]] ^= 1
+        re_f, im_f = ansatz.log_amp_parts(params, jnp.asarray(sw))
+        ratio = np.exp(np.asarray(re_f, np.float64) - re_s) * np.cos(
+            np.asarray(im_f, np.float64) - im_s)
+        differ = (flat[:, i] != flat[:, j]).astype(np.float64)
+        zz = (2.0 * flat[:, i] - 1) * (2.0 * flat[:, j] - 1) / 4.0
+        want[pi] = np.mean(zz + 0.5 * differ * ratio)
+    got = np.asarray(observables.spin_spin_correlations(
+        ansatz, params, samples, pairs, chunk_size=16))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sigma_x_converges_to_ed():
+    """Train tiny TFIM, then the off-diagonal <sum_i sigma^x_i> estimator
+    must match the dense-ED ground-state value (the same flip machinery the
+    energy uses, so this anchors the estimator end-to-end)."""
+    n, bx = 6, 1.0
+    h = exact.tfim1d_dense(n, bx)
+    _, gs = np.linalg.eigh(h)
+    psi0 = gs[:, 0]
+    # total sigma^x via the ED bit convention (exact._bits): flip bit i
+    sx_ed = 0.0
+    for s in range(1 << n):
+        for i in range(n):
+            sx_ed += psi0[s ^ (1 << i)] * psi0[s]
+    ansatz = PRNN1D(num_sites=n, units=(16,))
+    trainer = VMCTrainer(ansatz, TFIM1D(num_sites=n, bx=bx),
+                         TrainConfig(num_samples=256, learning_rate=5e-3))
+    state, mean_e, _ = trainer.fit(400, key=jax.random.PRNGKey(0))
+    samples = ansatz.sample(state.params, jax.random.PRNGKey(9), 4096)
+    sx = float(np.sum(np.asarray(
+        observables.sigma_x(ansatz, state.params, samples))))
+    assert abs(sx - sx_ed) < 0.05 * abs(sx_ed), (sx, sx_ed)
+
+
+def test_trainer_evaluate_extra_observables():
+    trainer = VMCTrainer(
+        PRNN1D(num_sites=6, units=(8,)), TFIM1D(num_sites=6),
+        TrainConfig(num_samples=64),
+    )
+    state = trainer.init()
+    out = trainer.evaluate(state, jax.random.PRNGKey(0),
+                           observables=("sigma_x", "structure_factor"))
+    sx = np.asarray(out["sigma_x"])
+    sk = np.asarray(out["structure_factor"])
+    assert sx.shape == (6,) and np.all(np.isfinite(sx))
+    assert sk.shape == (6,) and np.all(sk >= -1e-5)
+    # matches the standalone estimator on the same draw (the eval fn and
+    # the library function must be the same computation)
+    with pytest.raises(ValueError):
+        trainer.evaluate(state, jax.random.PRNGKey(0), observables=("nope",))
