@@ -56,7 +56,7 @@ _FORFEIT_WARNED = set()
 def warn_fused_forfeit(ansatz: Any) -> None:
     """One-time warning when an ``impl="auto"`` configuration silently
     forfeits every fused Pallas path on an accelerator backend (float64,
-    lstm cells, non-uniform stacks): the jnp scan fallback is correct but
+    custom cells, non-uniform stacks): the jnp scan fallback is correct but
     ~an order of magnitude slower, and the reference's own workloads all
     stay inside kernel coverage — a user should opt in knowingly."""
     import warnings

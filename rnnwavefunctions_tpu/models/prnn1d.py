@@ -71,11 +71,12 @@ class PRNN1D:
     # ``2DTFIM_1DRNN/RNNwavefunction.py:9``), or any custom-cell protocol
     # object (init/apply/zero_state — see ``models/cells.py``), mirroring
     # the reference constructor's acceptance of arbitrary TF RNNCell
-    # classes (``1DTFIM/RNNwavefunction.py:13``).  Non-GRU cells run the
-    # jnp scan path.
+    # classes (``1DTFIM/RNNwavefunction.py:13``).  GRU and LSTM ride the
+    # fused rollout kernels; custom cells run the jnp scan path.
     cell: Any = "gru"
-    # "auto": fused Pallas kernels on TPU when supported (uniform-width GRU,
-    # local_dim 2, float32); "pallas": force; "jnp": pure lax.scan path.
+    # "auto": fused Pallas kernels on TPU when supported (uniform-width
+    # GRU/LSTM, local_dim 2, float32); "pallas": force; "jnp": pure
+    # lax.scan path.
     impl: str = "auto"
 
     is_complex: bool = dataclasses.field(default=False, init=False, repr=False)
@@ -89,13 +90,20 @@ class PRNN1D:
     # -- kernel dispatch ----------------------------------------------------
 
     def _kernelizable(self) -> bool:
+        """Rollout (sample / teacher-forced log-prob) kernel coverage."""
         return (
             len(set(self.units)) == 1  # uniform-width stacks
             and self.local_dim == 2
-            and self.cell == "gru"  # lstm: jnp scan path only
+            and self.cell in ("gru", "lstm")
             and self.dtype == jnp.float32
             and self.accum_dtype == jnp.float32
         )
+
+    def _flip_kernelizable(self) -> bool:
+        """Wavefront flip-estimator kernel coverage (GRU gate math only;
+        LSTM estimators run the generic connected-configs path over the
+        fused log-prob rollout)."""
+        return self._kernelizable() and self.cell == "gru"
 
     def _use_pallas(self) -> bool:
         if self.impl == "jnp":

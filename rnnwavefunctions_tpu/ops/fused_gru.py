@@ -43,6 +43,21 @@ from .seeding import TILE_SEED_STRIDE
 TILE = 512  # max batch rows per grid program
 _MIN_TILE = 128
 
+# Cell kinds sharing the same fused-kernel skeleton.  Per layer the kernels
+# carry a (STATE_ROWS*U, T) feature-major state block ([h] for GRU,
+# [h; c] for LSTM) and a (GATE_ROWS*U, ...) packed gate pre-activation.
+# LSTM weights reuse the 4-tensor-per-layer wire format by carrying the
+# single TF bias as ``bx`` and an all-zero ``bh`` (the gate math adds both).
+STATE_ROWS = {"gru": 1, "lstm": 2}
+GATE_ROWS = {"gru": 3, "lstm": 4}
+
+
+def _cell_kind(params) -> str:
+    """Infer the cell kind from the parameter pytree (LSTM layers carry the
+    fused TF bias ``b``; GRU layers split ``bx``/``bh`` —
+    ``models/cells.py:lstm_init/gru_init``)."""
+    return "lstm" if "b" in params["rnn"][0] else "gru"
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -68,6 +83,21 @@ def _gru_layer_rows(gx, h, whT, bhT):
     return z * h + (1.0 - z) * c
 
 
+def _lstm_layer_rows(gx, hc, whT, bhT):
+    """One LSTM layer, row layout: ``hc`` is the (2U, T) [h; c] state block,
+    ``gx`` the (4U, T) input pre-activation (bias included).  TF LSTMCell
+    semantics with forget_bias = 1.0, gates packed [i | j | f | o]
+    (``models/cells.py:lstm_apply``).  Returns the new (2U, T) block."""
+    u = whT.shape[1]
+    h, c = hc[:u], hc[u:]
+    g = gx + jnp.dot(whT, h, preferred_element_type=jnp.float32) + bhT
+    i, j = g[:u], g[u : 2 * u]
+    f, o = g[2 * u : 3 * u], g[3 * u :]
+    c_new = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+    h_new = jnp.tanh(c_new) * jax.nn.sigmoid(o)
+    return jnp.concatenate([h_new, c_new], axis=0)
+
+
 def _gru_site_step_rows(x, x_scale, h, wxT, whT, bxT, bhT, hwT, hbT):
     """Row-layout (feature-major) GRU + head step, single layer.
 
@@ -83,11 +113,11 @@ def _gru_site_step_rows(x, x_scale, h, wxT, whT, bxT, bhT, hwT, hbT):
     return h_new, logits[0:1, :], logits[1:2, :]
 
 
-def _stacked_site_step_rows(x, x_scale, hs, cells, hwT, hbT):
-    """Stacked GRU + head step: ``hs`` is a tuple of L (U, T) states;
-    ``cells`` a list of (wxT, whT, bxT, bhT) per layer (layer 0 has the
-    2-column one-hot projection, deeper layers a (3U, U) input matrix).
-    Returns (new states tuple, l0, l1)."""
+def _stacked_site_step_rows(x, x_scale, hs, cells, hwT, hbT, kind="gru"):
+    """Stacked RNN + head step: ``hs`` is a tuple of L (STATE_ROWS*U, T)
+    state blocks; ``cells`` a list of (wxT, whT, bxT, bhT) per layer (layer 0
+    has the 2-column one-hot projection, deeper layers a (GATE_ROWS*U, U)
+    input matrix).  Returns (new states tuple, l0, l1)."""
     new_hs = []
     inp = None
     for l, (wxT, whT, bxT, bhT) in enumerate(cells):
@@ -95,9 +125,13 @@ def _stacked_site_step_rows(x, x_scale, hs, cells, hwT, hbT):
             gx = x_scale * ((1.0 - x) * wxT[:, 0:1] + x * wxT[:, 1:2]) + bxT
         else:
             gx = jnp.dot(wxT, inp, preferred_element_type=jnp.float32) + bxT
-        h_new = _gru_layer_rows(gx, hs[l], whT, bhT)
-        new_hs.append(h_new)
-        inp = h_new
+        if kind == "gru":
+            st_new = _gru_layer_rows(gx, hs[l], whT, bhT)
+            inp = st_new
+        else:
+            st_new = _lstm_layer_rows(gx, hs[l], whT, bhT)
+            inp = st_new[: whT.shape[1]]
+        new_hs.append(st_new)
     logits = jnp.dot(hwT, inp, preferred_element_type=jnp.float32) + hbT
     return tuple(new_hs), logits[0:1, :], logits[1:2, :]
 
@@ -113,26 +147,32 @@ def _logp_rows(l0, l1, s):
 
 def _weightsT(params):
     """Flat tuple of pre-transposed weights: per-layer (wxT, whT, bxT, bhT)
-    then the head (hwT, hbT).  Layer 0's wxT is the (3U, 2) one-hot
-    projection; deeper layers carry a (3U, U) input matrix."""
+    then the head (hwT, hbT).  Layer 0's wxT is the (GATE_ROWS*U, 2) one-hot
+    projection; deeper layers carry a (GATE_ROWS*U, U) input matrix.  LSTM
+    layers map their single fused bias to ``bxT`` and an all-zero ``bhT``."""
     out = []
     for cell in params["rnn"]:
-        out += [cell["wx"].T, cell["wh"].T,
-                cell["bx"][:, None], cell["bh"][:, None]]
+        if "b" in cell:  # lstm packing (models/cells.py:lstm_init)
+            out += [cell["wx"].T, cell["wh"].T, cell["b"][:, None],
+                    jnp.zeros((cell["b"].shape[0], 1), cell["b"].dtype)]
+        else:
+            out += [cell["wx"].T, cell["wh"].T,
+                    cell["bx"][:, None], cell["bh"][:, None]]
     head = params["head"]
     out += [head["w"].T, head["b"][:, None]]
     return tuple(out)
 
 
-def _weightT_specs(u, num_layers):
+def _weightT_specs(u, num_layers, kind="gru"):
     full = lambda a, b: pl.BlockSpec(
         (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    gr = GATE_ROWS[kind]
     specs = []
     for l in range(num_layers):
         in_dim = 2 if l == 0 else u
-        specs += [full(3 * u, in_dim), full(3 * u, u),
-                  full(3 * u, 1), full(3 * u, 1)]
+        specs += [full(gr * u, in_dim), full(gr * u, u),
+                  full(gr * u, 1), full(gr * u, 1)]
     specs += [full(2, u), full(2, 1)]
     return specs
 
@@ -151,26 +191,27 @@ def _split_cells(wrefs, num_layers):
 # Teacher-forced log-probability kernel
 # ---------------------------------------------------------------------------
 
-def _make_log_prob_kernel(num_layers: int):
+def _make_log_prob_kernel(num_layers: int, kind: str = "gru"):
     def kernel(samples_ref, *rest):
         wrefs, out_ref = rest[:-1], rest[-1]
         n_sites = samples_ref.shape[0]
         t = samples_ref.shape[1]
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
         u = hwT.shape[1]
+        sr = STATE_ROWS[kind]
 
         def body(n, carry):
             hs, x, acc, cmp = carry
             s = samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             hs, l0, l1 = _stacked_site_step_rows(
-                x, x_scale, hs, cells, hwT, hbT
+                x, x_scale, hs, cells, hwT, hbT, kind
             )
             acc, cmp = kadd(acc, cmp, _logp_rows(l0, l1, s))
             return hs, s, acc, cmp
 
         hs0 = tuple(
-            jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
+            jnp.zeros((sr * u, t), jnp.float32) for _ in range(num_layers)
         )
         z = jnp.zeros((1, t), jnp.float32)
         _, _, acc, cmp = jax.lax.fori_loop(0, n_sites, body, (hs0, z, z, z))
@@ -180,8 +221,9 @@ def _make_log_prob_kernel(num_layers: int):
 
 
 def _log_prob_pallas(params, samples: jax.Array) -> jax.Array:
-    """(B, N) int -> (B,) f32 joint log-prob (uniform-width GRU stack)."""
+    """(B, N) int -> (B,) f32 joint log-prob (uniform-width GRU/LSTM stack)."""
     num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
     b, n = samples.shape
     u = params["rnn"][0]["wh"].shape[0]
     tile = _cap_tile(b)
@@ -189,11 +231,11 @@ def _log_prob_pallas(params, samples: jax.Array) -> jax.Array:
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
 
     out = pl.pallas_call(
-        _make_log_prob_kernel(num_layers),
+        _make_log_prob_kernel(num_layers, kind),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _weightT_specs(u, num_layers),
+        ] + _weightT_specs(u, num_layers, kind),
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
     )(seq, *_weightsT(params))
@@ -204,7 +246,7 @@ def _log_prob_pallas(params, samples: jax.Array) -> jax.Array:
 # Sampling kernel
 # ---------------------------------------------------------------------------
 
-def _make_sample_kernel(num_layers: int):
+def _make_sample_kernel(num_layers: int, kind: str = "gru"):
     def kernel(seed_ref, *rest):
         wrefs, samples_ref, logp_ref = rest[:-2], rest[-2], rest[-1]
         n_sites = samples_ref.shape[0]
@@ -212,12 +254,13 @@ def _make_sample_kernel(num_layers: int):
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE)
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
         u = hwT.shape[1]
+        sr = STATE_ROWS[kind]
 
         def body(n, carry):
             hs, x, acc, cmp = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
             hs, l0, l1 = _stacked_site_step_rows(
-                x, x_scale, hs, cells, hwT, hbT
+                x, x_scale, hs, cells, hwT, hbT, kind
             )
             # inverse-CDF draw over 2 classes: p0 = sigmoid(l0 - l1)
             p0 = jax.nn.sigmoid(l0 - l1)
@@ -234,7 +277,7 @@ def _make_sample_kernel(num_layers: int):
             return hs, s, acc, cmp
 
         hs0 = tuple(
-            jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
+            jnp.zeros((sr * u, t), jnp.float32) for _ in range(num_layers)
         )
         z = jnp.zeros((1, t), jnp.float32)
         _, _, acc, cmp = jax.lax.fori_loop(0, n_sites, body, (hs0, z, z, z))
@@ -248,16 +291,17 @@ def _sample_pallas(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (samples (B, N) int32, logp (B,) f32)."""
     num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
     u = params["rnn"][0]["wh"].shape[0]
     tile = _cap_tile(num_samples)
     b_pad = _round_up(max(num_samples, 8), tile)
 
     samples, logp = pl.pallas_call(
-        _make_sample_kernel(num_layers),
+        _make_sample_kernel(num_layers, kind),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + _weightT_specs(u, num_layers),
+        ] + _weightT_specs(u, num_layers, kind),
         out_specs=(
             pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -294,7 +338,9 @@ def make_log_prob_fn(jnp_log_prob):
         params, samples = res
         units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
         n = samples.shape[1]
-        if fused_gru_bwd.supports(n, units):
+        # the fused BPTT kernel carries GRU gate math; LSTM stacks
+        # differentiate the jnp reference scan instead
+        if _cell_kind(params) == "gru" and fused_gru_bwd.supports(n, units):
             return fused_gru_bwd.gru_log_prob_bwd(params, samples, g), None
         _, vjp_fn = jax.vjp(lambda p: jnp_log_prob(p, samples), params)
         (dparams,) = vjp_fn(g)

@@ -77,6 +77,59 @@ def test_pallas_sampler_distribution():
     np.testing.assert_allclose(freq, probs, atol=0.02)
 
 
+def test_pallas_lstm_log_prob_and_sampler_match_jnp():
+    """LSTM stacks ride the same fused rollout kernels ([h; c] state rows,
+    4-gate packing — TF LSTMCell forget_bias=1.0 semantics)."""
+    ansatz = PRNN1D(num_sites=11, units=(14,), cell="lstm", impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(21))
+    samples = ansatz.sample(params, jax.random.PRNGKey(22), 29)
+    want = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_gru._log_prob_pallas(params, samples))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        s2, lp2 = fused_gru._sample_pallas(params, jnp.int32(17), 16, 11)
+    want2 = np.asarray(ansatz._log_prob_plain_jnp(params, s2))
+    np.testing.assert_allclose(np.asarray(lp2), want2, atol=1e-4)
+
+
+def test_pallas_lstm_grad_falls_back_to_jnp_vjp():
+    """The fused BPTT kernel is GRU-math; LSTM grads take the jnp VJP
+    through the same custom_vjp entry point."""
+    ansatz = PRNN1D(num_sites=8, units=(10,), cell="lstm", impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(23))
+    samples = ansatz.sample(params, jax.random.PRNGKey(24), 13)
+    lp = fused_gru.make_log_prob_fn(ansatz._log_prob_plain_jnp)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(lambda p: jnp.sum(lp(p, samples)))(params)
+    g2 = jax.grad(
+        lambda p: jnp.sum(ansatz._log_prob_plain_jnp(p, samples))
+    )(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pallas_lstm_stacked_matches_jnp():
+    ansatz = PRNN1D(num_sites=9, units=(10, 10), cell="lstm", impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(25))
+    samples = ansatz.sample(params, jax.random.PRNGKey(26), 17)
+    want = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_gru._log_prob_pallas(params, samples))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_lstm_kernel_gates():
+    """LSTM is rollout-kernelizable but not flip-kernelizable (the wavefront
+    estimator kernels carry GRU gate math)."""
+    a = PRNN1D(num_sites=8, units=(10,), cell="lstm")
+    assert a._kernelizable()
+    assert not a._flip_kernelizable()
+    g = PRNN1D(num_sites=8, units=(10,))
+    assert g._flip_kernelizable()
+
+
 def test_auto_impl_selects_jnp_on_cpu():
     ansatz = PRNN1D(num_sites=6, units=(8,))
     assert not ansatz._use_pallas()  # conftest forces the cpu backend
