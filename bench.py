@@ -74,6 +74,18 @@ def flops_tfim_plain(n, u, s, layers=1):
     return s * (base + wf + loss)
 
 
+def flops_tfim_lstm(n, u, s):
+    # LSTM site-column: (4U, U) recurrent matmul (8u^2) + head; the input
+    # projection is a 2-column select like the GRU kernels.  The loss
+    # backward is the jnp VJP (recompute + 2 backward chains ~ 3 rollouts),
+    # same 4x-forward convention as the fused BPTT rows.
+    c = 8 * u * u + 4 * u
+    base = n * c
+    wf = _wavefront_cols(n, n, 1) * c
+    loss = 4 * n * c
+    return s * (base + wf + loss)
+
+
 def flops_tfim_parity(n, u, s):
     c = 6 * u * u + 4 * u
     one_dir = n * c + _wavefront_cols(n, n, 1) * c
@@ -156,6 +168,9 @@ def main():
         ("mdrnn_6x6", MDRNN2D(nx=6, ny=6, units=50),
          TFIM2D(nx=6, ny=6, bx=3.0, encoding="grid"), NUM_SAMPLES,
          4 * STEPS_PER_TRIAL, flops_mdrnn(6, 6, 50, NUM_SAMPLES)),
+        ("1dtfim_lstm_n100", PRNN1D(num_sites=100, units=(50,), cell="lstm"),
+         TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, STEPS_PER_TRIAL,
+         flops_tfim_lstm(100, 50, NUM_SAMPLES)),
         ("1dtfim_2layer_n100", PRNN1D(num_sites=100, units=(50, 50)),
          TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, STEPS_PER_TRIAL,
          flops_tfim_plain(100, 50, NUM_SAMPLES, layers=2)),

@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bx", type=float, default=1.0)
     p.add_argument("--num-units", type=int, default=50)
     p.add_argument("--num-layers", type=int, default=1)
+    p.add_argument("--cell", type=str, default="gru",
+                   choices=["gru", "lstm"],
+                   help="recurrent cell (both ride the fused kernels; "
+                        "LSTM gradients take the jnp VJP)")
     p.add_argument("--numsamples", type=int, default=500)
     p.add_argument("--learningrate", type=float, default=5e-3)
     p.add_argument("--seed", type=int, default=111)
@@ -51,6 +55,7 @@ def main(argv=None):
         num_sites=args.systemsize,
         units=(args.num_units,) * args.num_layers,
         parity=args.parity,
+        cell=args.cell,
     )
     ham = TFIM1D(num_sites=args.systemsize, bx=args.bx)
     config = TrainConfig(

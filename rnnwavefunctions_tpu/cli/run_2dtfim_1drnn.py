@@ -22,6 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bx", type=float, default=3.0)
     p.add_argument("--num-units", type=int, default=50)
     p.add_argument("--num-layers", type=int, default=1)
+    p.add_argument("--cell", type=str, default="gru",
+                   choices=["gru", "lstm"],
+                   help="recurrent cell (the reference signature defaults "
+                        "this family to LSTM; its shipped runner passes "
+                        "GRU — both ride the fused kernels here)")
     p.add_argument("--numsamples", type=int, default=500)
     p.add_argument("--learningrate", type=float, default=1e-3)
     p.add_argument("--decay-scale", type=float, default=10.0,
@@ -46,6 +51,7 @@ def main(argv=None):
         nx=args.systemsize_x,
         ny=args.systemsize_y,
         units=(args.num_units,) * args.num_layers,
+        cell=args.cell,
     )
     ham = TFIM2D(
         nx=args.systemsize_x, ny=args.systemsize_y, bx=args.bx, encoding="flat"

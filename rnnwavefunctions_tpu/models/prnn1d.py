@@ -100,10 +100,10 @@ class PRNN1D:
         )
 
     def _flip_kernelizable(self) -> bool:
-        """Wavefront flip-estimator kernel coverage (GRU gate math only;
-        LSTM estimators run the generic connected-configs path over the
-        fused log-prob rollout)."""
-        return self._kernelizable() and self.cell == "gru"
+        """Wavefront flip-estimator kernel coverage (GRU and LSTM state
+        blocks; custom cells run the generic connected-configs path over
+        the jnp rollout)."""
+        return self._kernelizable()
 
     def _use_pallas(self) -> bool:
         if self.impl == "jnp":

@@ -54,6 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .compsum import kadd, kfinal
 from .fused_gru import (
+    STATE_ROWS,
+    _cell_kind,
     _round_up,
     _split_cells,
     _stacked_site_step_rows,
@@ -88,22 +90,29 @@ def _norm_units(units) -> tuple:
     return (units,) if isinstance(units, int) else tuple(units)
 
 
-def _hist_bytes(n: int, units, tile: int) -> int:
-    units = _norm_units(units)
-    return n * _round8(sum(units)) * tile * 4
+def _state_lu(units, kind: str) -> int:
+    """Rows of the concatenated per-site state block: L*U for GRU, 2*L*U
+    for LSTM ([h; c] per layer — the wavefront must restart both)."""
+    return STATE_ROWS[kind] * sum(_norm_units(units))
 
 
-def _resident_bytes(n: int, units, tile: int, group: int = GROUP) -> int:
+def _hist_bytes(n: int, units, tile: int, kind: str = "gru") -> int:
+    return n * _round8(_state_lu(units, kind)) * tile * 4
+
+
+def _resident_bytes(n: int, units, tile: int, group: int = GROUP,
+                    kind: str = "gru") -> int:
     """VMEM bytes excluding the hidden history and the spill machinery:
     samples + pfx + fl rows and the wavefront blocks."""
-    lu = _round8(sum(_norm_units(units)))
+    lu = _round8(_state_lu(units, kind))
     rows = 3 * n  # samples (int32) + pfx + fl
     wf = lu * group + 3 * group  # wf_h + (wf_x, wf_acc, wf_cmp) rows
     return (rows + wf) * tile * 4
 
 
-def _spill_extra_bytes(n: int, units, tile: int, group: int) -> int:
-    lu = sum(_norm_units(units))
+def _spill_extra_bytes(n: int, units, tile: int, group: int,
+                       kind: str = "gru") -> int:
+    lu = _state_lu(units, kind)
     # worst case window: the flip-pair packed variant stages 2*group rows
     return spill_bytes(lu, tile, 2 * group, n)
 
@@ -121,7 +130,7 @@ def _batch_cap(batch) -> int:
     return cap
 
 
-def _pick_tile(n: int, units, batch=None):
+def _pick_tile(n: int, units, batch=None, kind: str = "gru"):
     """(tile, spill): largest power-of-two tile (<= FLIP_TILE, >= 128,
     <= the batch cap) whose hidden-state history PLUS resident scratch fits
     the VMEM budget; when even the minimum tile cannot hold the history,
@@ -131,34 +140,36 @@ def _pick_tile(n: int, units, batch=None):
     cap = _batch_cap(batch)
     tile = cap
     while tile > _MIN_TILE and (
-        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile, GROUP)
+        _hist_bytes(n, units, tile, kind)
+        + _resident_bytes(n, units, tile, GROUP, kind)
         > _VMEM_BUDGET
     ):
         tile //= 2
     if (
-        _hist_bytes(n, units, tile) + _resident_bytes(n, units, tile, GROUP)
+        _hist_bytes(n, units, tile, kind)
+        + _resident_bytes(n, units, tile, GROUP, kind)
         <= _VMEM_BUDGET
     ):
         return tile, False
     tile = cap
     while tile > _MIN_TILE and (
-        _resident_bytes(n, units, tile, SPILL_GROUP)
-        + _spill_extra_bytes(n, units, tile, SPILL_GROUP)
+        _resident_bytes(n, units, tile, SPILL_GROUP, kind)
+        + _spill_extra_bytes(n, units, tile, SPILL_GROUP, kind)
         > _VMEM_BUDGET
     ):
         tile //= 2
     return tile, True
 
 
-def supports(n: int, units) -> bool:
+def supports(n: int, units, kind: str = "gru") -> bool:
     """True when the wavefront estimator applies.  The spilled variant
     (history in HBM via DMA — covers the reference's largest published
     chains, N=1000) only needs the VMEM-resident pieces + ring/staging to
     fit at the minimum tile; the history-resident case is a strict subset
     of that, so one check suffices."""
     return (
-        _resident_bytes(n, units, _MIN_TILE, SPILL_GROUP)
-        + _spill_extra_bytes(n, units, _MIN_TILE, SPILL_GROUP)
+        _resident_bytes(n, units, _MIN_TILE, SPILL_GROUP, kind)
+        + _spill_extra_bytes(n, units, _MIN_TILE, SPILL_GROUP, kind)
         <= _VMEM_BUDGET
     )
 
@@ -170,17 +181,20 @@ def _logp_rows(l0, l1, s):
     return jnp.where(s > 0.5, l1, l0) - lse
 
 
-def _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u):
-    """Stacked GRU + head step over a concatenated (L*U, T) hidden block."""
-    hs = tuple(h_cat[l * u : (l + 1) * u] for l in range(len(cells)))
-    hs, l0, l1 = _stacked_site_step_rows(x, x_scale, hs, cells, hwT, hbT)
+def _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u, kind="gru"):
+    """Stacked RNN + head step over a concatenated (STATE_ROWS*L*U, T)
+    state block ([h] rows per layer for GRU, [h; c] for LSTM)."""
+    su = STATE_ROWS[kind] * u
+    hs = tuple(h_cat[l * su : (l + 1) * su] for l in range(len(cells)))
+    hs, l0, l1 = _stacked_site_step_rows(x, x_scale, hs, cells, hwT, hbT, kind)
     h_new = hs[0] if len(cells) == 1 else jnp.concatenate(hs, axis=0)
     return h_new, l0, l1
 
 
 def _make_flip_kernel(num_layers: int, sample_mode: bool,
                       per_flip: bool = False, spill: bool = False,
-                      group: int = GROUP, pack: bool = False):
+                      group: int = GROUP, pack: bool = False,
+                      kind: str = "gru"):
     """Kernel factory: teacher-forced (``sample_mode=False``, reads a given
     sample batch) or fully fused sample-and-estimate (``sample_mode=True``,
     draws the batch in-kernel — the base pass doubles as the autoregressive
@@ -235,14 +249,14 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
         t = eoff_ref.shape[1]
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
         u = hwT.shape[1]
-        lu = num_layers * u
+        lu = STATE_ROWS[kind] * num_layers * u
         zero_row = jnp.zeros((1, t), jnp.float32)
 
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
 
         def step(x, x_scale, h_cat):
-            return _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u)
+            return _concat_step(x, x_scale, h_cat, cells, hwT, hbT, u, kind)
 
         window = (2 if pack else 1) * group
         hist_write, hist_drain, stage, read_col, _ = make_hist_io(
@@ -432,8 +446,8 @@ def _flip_wavefront(
     jax.lax.fori_loop(0, num_groups, group_body, 0)
 
 
-def _hist_out(n, units, tile, num_tiles, spill):
-    return _spill_hist_out(sum(_norm_units(units)), n, tile, num_tiles, spill)
+def _hist_out(n, units, tile, num_tiles, spill, kind="gru"):
+    return _spill_hist_out(_state_lu(units, kind), n, tile, num_tiles, spill)
 
 
 def tfim_flip_ratio_sum(params, samples: jax.Array):
@@ -443,24 +457,27 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
     for the (stacked) pRNN (psi = sqrt p).
     """
     num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile, spill = _pick_tile(n, units, b)
+    tile, spill = _pick_tile(n, units, b, kind)
     group = SPILL_GROUP if spill else GROUP
     pack = 2 * max(b, 8) <= tile  # one grid program; halves pack flip pairs
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
     if pack:
         seq = seq.at[:, tile // 2 : tile // 2 + b].set(samples.T)
-    hist_specs, hist_shapes = _hist_out(n, units, tile, b_pad // tile, spill)
+    hist_specs, hist_shapes = _hist_out(
+        n, units, tile, b_pad // tile, spill, kind
+    )
 
     outs = pl.pallas_call(
         _make_flip_kernel(num_layers, sample_mode=False, spill=spill,
-                          group=group, pack=pack),
+                          group=group, pack=pack, kind=kind),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _weightT_specs(units[0], num_layers),
+        ] + _weightT_specs(units[0], num_layers, kind),
         out_specs=(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -471,7 +488,7 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n, units, tile, spill, group, pack),
+        scratch_shapes=_flip_scratch(n, units, tile, spill, group, pack, kind),
     )(seq, *_weightsT(params))
     eoff, lp = outs[0], outs[1]
     if pack:
@@ -491,24 +508,27 @@ def tfim_flip_log_probs(params, samples: jax.Array):
     density sums forward and reversed chains *before* the ratio, so ratio
     sums don't decompose per direction)."""
     num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile, spill = _pick_tile(n, units, b)
+    tile, spill = _pick_tile(n, units, b, kind)
     group = SPILL_GROUP if spill else GROUP
     pack = 2 * max(b, 8) <= tile
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
     if pack:
         seq = seq.at[:, tile // 2 : tile // 2 + b].set(samples.T)
-    hist_specs, hist_shapes = _hist_out(n, units, tile, b_pad // tile, spill)
+    hist_specs, hist_shapes = _hist_out(
+        n, units, tile, b_pad // tile, spill, kind
+    )
 
     outs = pl.pallas_call(
         _make_flip_kernel(num_layers, sample_mode=False, per_flip=True,
-                          spill=spill, group=group, pack=pack),
+                          spill=spill, group=group, pack=pack, kind=kind),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + _weightT_specs(units[0], num_layers),
+        ] + _weightT_specs(units[0], num_layers, kind),
         out_specs=(
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -519,7 +539,7 @@ def tfim_flip_log_probs(params, samples: jax.Array):
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n, units, tile, spill, group, pack),
+        scratch_shapes=_flip_scratch(n, units, tile, spill, group, pack, kind),
     )(seq, *_weightsT(params))
     lpf, lp = outs[0], outs[1]
     return lpf[:, :b].T, lp[0, :b]
@@ -536,23 +556,24 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     per-flip log-probs), (samples, base_log_prob, lp_flips (B, N)).
     """
     num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    tile, spill = _pick_tile(n_sites, units, num_samples)
+    tile, spill = _pick_tile(n_sites, units, num_samples, kind)
     group = SPILL_GROUP if spill else GROUP
     pack = 2 * max(num_samples, 8) <= tile
     b_pad = _round_up(max(num_samples, 8), tile)
     eoff_rows = n_sites if per_flip else 1
     hist_specs, hist_shapes = _hist_out(
-        n_sites, units, tile, b_pad // tile, spill
+        n_sites, units, tile, b_pad // tile, spill, kind
     )
 
     outs = pl.pallas_call(
         _make_flip_kernel(num_layers, sample_mode=True, per_flip=per_flip,
-                          spill=spill, group=group, pack=pack),
+                          spill=spill, group=group, pack=pack, kind=kind),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + _weightT_specs(units[0], num_layers),
+        ] + _weightT_specs(units[0], num_layers, kind),
         out_specs=(
             pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((eoff_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -565,7 +586,9 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             *hist_shapes,
         ),
-        scratch_shapes=_flip_scratch(n_sites, units, tile, spill, group, pack),
+        scratch_shapes=_flip_scratch(
+            n_sites, units, tile, spill, group, pack, kind
+        ),
     )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
     samples, eoff, lp = outs[0], outs[1], outs[2]
     if per_flip:
@@ -580,9 +603,9 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     return samples[:, :num_samples].T, lp[0, :num_samples], out
 
 
-def _flip_scratch(n, units, tile, spill=False, group=GROUP, pack=False):
-    units = _norm_units(units)
-    lu = sum(units)
+def _flip_scratch(n, units, tile, spill=False, group=GROUP, pack=False,
+                  kind="gru"):
+    lu = _state_lu(units, kind)
     hist = [] if spill else [pltpu.VMEM((n, lu, tile), jnp.float32)]
     out = hist + [
         pltpu.VMEM((n, tile), jnp.float32),

@@ -86,7 +86,9 @@ def _flip_kernel_ok(ansatz, hamiltonian, encoding: str) -> bool:
         return False
     from ..ops import tfim_flip_kernel
 
-    return tfim_flip_kernel.supports(ansatz.num_sites, ansatz.units)
+    return tfim_flip_kernel.supports(
+        ansatz.num_sites, ansatz.units, getattr(ansatz, "cell", "gru")
+    )
 
 
 def _select_family(ansatz: Any, hamiltonian: Any) -> Optional[str]:

@@ -121,13 +121,63 @@ def test_pallas_lstm_stacked_matches_jnp():
 
 
 def test_lstm_kernel_gates():
-    """LSTM is rollout-kernelizable but not flip-kernelizable (the wavefront
-    estimator kernels carry GRU gate math)."""
+    """GRU and LSTM stacks are kernelizable end-to-end (rollout + wavefront
+    estimator); custom cells are not."""
     a = PRNN1D(num_sites=8, units=(10,), cell="lstm")
-    assert a._kernelizable()
-    assert not a._flip_kernelizable()
+    assert a._kernelizable() and a._flip_kernelizable()
     g = PRNN1D(num_sites=8, units=(10,))
     assert g._flip_kernelizable()
+
+    class FakeCell:
+        pass
+
+    c = PRNN1D(num_sites=8, units=(10,), cell=FakeCell())
+    assert not c._kernelizable()
+
+
+def test_tfim_flip_kernel_lstm_matches_explicit():
+    """LSTM wavefront flip kernel ([h; c] history rows) vs explicit flips."""
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import tfim_flip_ratio_sum
+
+    ansatz = PRNN1D(num_sites=10, units=(12,), cell="lstm", impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(31))
+    samples = ansatz.sample(params, jax.random.PRNGKey(32), 23)
+    with pltpu.force_tpu_interpret_mode():
+        ratio_sum, lp = tfim_flip_ratio_sum(params, samples)
+    want_lp = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+    la = 0.5 * want_lp
+    sums = []
+    for i in range(ansatz.num_sites):
+        flipped = np.asarray(samples).copy()
+        flipped[:, i] = 1 - flipped[:, i]
+        laf = 0.5 * np.asarray(
+            ansatz._log_prob_plain_jnp(params, jnp.asarray(flipped))
+        )
+        sums.append(np.exp(laf - la))
+    np.testing.assert_allclose(
+        np.asarray(ratio_sum), np.sum(sums, axis=0), rtol=2e-4
+    )
+
+
+@pytest.mark.slow
+def test_sample_and_flip_kernel_lstm_consistent():
+    """Fused sample+flip with an LSTM stack agrees with recomputation."""
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (
+        tfim_flip_ratio_sum, tfim_sample_and_flip_sum,
+    )
+
+    ansatz = PRNN1D(num_sites=9, units=(10,), cell="lstm", impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(33))
+    with pltpu.force_tpu_interpret_mode():
+        samples, lp, ratio = tfim_sample_and_flip_sum(
+            params, jnp.int32(3), 16, 9
+        )
+        ratio2, lp2 = tfim_flip_ratio_sum(params, samples)
+    want_lp = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ratio), np.asarray(ratio2),
+                               rtol=1e-5)
 
 
 def test_auto_impl_selects_jnp_on_cpu():
