@@ -23,8 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-layers", type=int, default=1)
     p.add_argument("--cell", type=str, default="gru",
                    choices=["gru", "lstm"],
-                   help="recurrent cell (both ride the fused kernels; "
-                        "LSTM gradients take the jnp VJP)")
+                   help="recurrent cell (both ride the fused rollout, "
+                        "estimator, and BPTT kernels)")
     p.add_argument("--numsamples", type=int, default=500)
     p.add_argument("--learningrate", type=float, default=5e-3)
     p.add_argument("--seed", type=int, default=111)

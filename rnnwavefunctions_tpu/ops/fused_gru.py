@@ -338,9 +338,8 @@ def make_log_prob_fn(jnp_log_prob):
         params, samples = res
         units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
         n = samples.shape[1]
-        # the fused BPTT kernel carries GRU gate math; LSTM stacks
-        # differentiate the jnp reference scan instead
-        if _cell_kind(params) == "gru" and fused_gru_bwd.supports(n, units):
+        kind = _cell_kind(params)
+        if fused_gru_bwd.supports(n, units, kind=kind):
             return fused_gru_bwd.gru_log_prob_bwd(params, samples, g), None
         _, vjp_fn = jax.vjp(lambda p: jnp_log_prob(p, samples), params)
         (dparams,) = vjp_fn(g)

@@ -60,7 +60,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_gru import TILE, _round_up, _split_cells, _weightsT, _weightT_specs
+from .fused_gru import (
+    GATE_ROWS,
+    STATE_ROWS,
+    TILE,
+    _cell_kind,
+    _round_up,
+    _split_cells,
+    _weightsT,
+    _weightT_specs,
+)
 
 _MIN_TILE = 128
 _VMEM_BUDGET = 13 * 1024 * 1024
@@ -76,40 +85,43 @@ def _round8(x: int) -> int:
 # VMEM accounting (joint: history/ring + every resident piece)
 # ---------------------------------------------------------------------------
 
-def _weight_bytes(units, heads: int = 1) -> int:
+def _weight_bytes(units, heads: int = 1, kind: str = "gru") -> int:
     """Bytes of one transposed weight set (per-layer gate mats + biases,
     plus ``heads`` 2-logit output heads)."""
     u = units[0]
+    gr = GATE_ROWS[kind]
     total = 0
     for l in range(len(units)):
         in_dim = 2 if l == 0 else u
-        total += 3 * u * in_dim + 3 * u * u + 6 * u
+        total += gr * u * in_dim + gr * u * u + 2 * gr * u
     total += heads * (2 * u + 2)
     return total * 4
 
 
-def _base_bytes(n: int, units, tile: int, heads: int = 1) -> int:
+def _base_bytes(n: int, units, tile: int, heads: int = 1,
+                kind: str = "gru") -> int:
     """VMEM-resident pieces excluding the history: the samples block, the
-    cotangent row(s), the double-buffered (L*U, T) recurrent-cotangent
-    carry, and four weight-shaped sets (input refs, output refs, and the
-    two in-flight fori-loop accumulator carries)."""
-    lu_pad = _round8(sum(units))
+    cotangent row(s), the double-buffered state-cotangent carry ((L*U, T)
+    dh for GRU, (2*L*U, T) [dh; dc] for LSTM), and four weight-shaped sets
+    (input refs, output refs, and the two in-flight fori-loop accumulator
+    carries)."""
+    lu_pad = _round8(STATE_ROWS[kind] * sum(units))
     return (
         (n + heads) * tile * 4
         + 2 * lu_pad * tile * 4
-        + 4 * _weight_bytes(units, heads)
+        + 4 * _weight_bytes(units, heads, kind)
     )
 
 
-def _hist_bytes(n: int, units, tile: int) -> int:
-    return n * _round8(sum(units)) * tile * 4
+def _hist_bytes(n: int, units, tile: int, kind: str = "gru") -> int:
+    return n * _round8(STATE_ROWS[kind] * sum(units)) * tile * 4
 
 
-def _ring_bytes(units, tile: int, chunk: int) -> int:
-    return 2 * chunk * _round8(sum(units)) * tile * 4
+def _ring_bytes(units, tile: int, chunk: int, kind: str = "gru") -> int:
+    return 2 * chunk * _round8(STATE_ROWS[kind] * sum(units)) * tile * 4
 
 
-def _pick_tile(n: int, units, batch, heads: int = 1):
+def _pick_tile(n: int, units, batch, heads: int = 1, kind: str = "gru"):
     """(tile, spill): largest power-of-two tile (>= 128, <= the batch cap)
     whose history + resident pieces fit the VMEM budget; when even the
     minimum tile cannot hold the history, spill it to HBM and size the
@@ -119,26 +131,29 @@ def _pick_tile(n: int, units, batch, heads: int = 1):
         cap *= 2
     tile = cap
     while tile > _MIN_TILE and (
-        _base_bytes(n, units, tile, heads) + _hist_bytes(n, units, tile)
+        _base_bytes(n, units, tile, heads, kind)
+        + _hist_bytes(n, units, tile, kind)
         > _VMEM_BUDGET
     ):
         tile //= 2
     if (
-        _base_bytes(n, units, tile, heads) + _hist_bytes(n, units, tile)
+        _base_bytes(n, units, tile, heads, kind)
+        + _hist_bytes(n, units, tile, kind)
         <= _VMEM_BUDGET
     ):
         return tile, False
     tile = cap
     while tile > _MIN_TILE and (
-        _base_bytes(n, units, tile, heads)
-        + _ring_bytes(units, tile, _MIN_CHUNK)
+        _base_bytes(n, units, tile, heads, kind)
+        + _ring_bytes(units, tile, _MIN_CHUNK, kind)
         > _VMEM_BUDGET
     ):
         tile //= 2
     return tile, True
 
 
-def _pick_chunk(n: int, units, tile: int, heads: int = 1) -> int:
+def _pick_chunk(n: int, units, tile: int, heads: int = 1,
+                kind: str = "gru") -> int:
     """Largest power-of-two chunk whose double-buffered ring still fits the
     budget next to the resident pieces (bigger chunks mean fewer, fatter
     DMAs and longer prefetch windows)."""
@@ -146,21 +161,21 @@ def _pick_chunk(n: int, units, tile: int, heads: int = 1) -> int:
     while (
         2 * c <= _MAX_CHUNK
         and 2 * c < n
-        and _base_bytes(n, units, tile, heads)
-        + _ring_bytes(units, tile, 2 * c)
+        and _base_bytes(n, units, tile, heads, kind)
+        + _ring_bytes(units, tile, 2 * c, kind)
         <= _VMEM_BUDGET
     ):
         c *= 2
     return c
 
 
-def supports(n: int, units, heads: int = 1) -> bool:
+def supports(n: int, units, heads: int = 1, kind: str = "gru") -> bool:
     """True when a fused backward is available: either history-resident or
     the HBM-spilled variant (which only needs the resident pieces plus the
     minimum ring to fit at the minimum tile)."""
     return (
-        _base_bytes(n, units, _MIN_TILE, heads)
-        + _ring_bytes(units, _MIN_TILE, _MIN_CHUNK)
+        _base_bytes(n, units, _MIN_TILE, heads, kind)
+        + _ring_bytes(units, _MIN_TILE, _MIN_CHUNK, kind)
         <= _VMEM_BUDGET
     )
 
@@ -417,6 +432,116 @@ def gru_trunk_bwd_site(cells, u, num_layers, x_row, x_scale,
     return new_dh[0] if num_layers == 1 else jnp.concatenate(new_dh, axis=0)
 
 
+def lstm_gates_recompute(cells, u, l, x_row, inp, x_scale, h_prev):
+    """Recompute (si, tj, sf, so) for LSTM layer l at one site (fused_gru
+    gate order [i | j | f | o], TF forget_bias = 1.0; the single TF bias is
+    carried in the bxT slot, bhT is identically zero)."""
+    wxT, whT, bxT, bhT = cells[l]
+    if l == 0:
+        gx = x_scale * (
+            (1.0 - x_row) * wxT[:, 0:1] + x_row * wxT[:, 1:2]
+        ) + bxT
+    else:
+        gx = jnp.dot(wxT, inp, preferred_element_type=jnp.float32) + bxT
+    g = gx + jnp.dot(whT, h_prev, preferred_element_type=jnp.float32) + bhT
+    si = jax.nn.sigmoid(g[:u])
+    tj = jnp.tanh(g[u : 2 * u])
+    sf = jax.nn.sigmoid(g[2 * u : 3 * u] + 1.0)
+    so = jax.nn.sigmoid(g[3 * u :])
+    return si, tj, sf, so
+
+
+def lstm_trunk_fwd_site(cells, u, num_layers, x_row, x_scale, hcs):
+    """One stacked LSTM forward step from per-layer (h, c) pairs; returns
+    the new pairs tuple."""
+    new = []
+    inp = None
+    for l in range(num_layers):
+        h_prev, c_prev = hcs[l]
+        si, tj, sf, so = lstm_gates_recompute(
+            cells, u, l, x_row, inp, x_scale, h_prev
+        )
+        c_new = c_prev * sf + si * tj
+        h_new = jnp.tanh(c_new) * so
+        new.append((h_new, c_new))
+        inp = h_new
+    return tuple(new)
+
+
+def lstm_trunk_bwd_site(cells, u, num_layers, x_row, x_scale,
+                        hist_n, hist_p, d_top, dhc_carry, accs,
+                        acc_base=0):
+    """Backward through the stacked LSTM trunk at one site.
+
+    ``hist_n``/``hist_p`` are (2*L*U, T) [h; c]-per-layer blocks at this
+    and the previous site; ``dhc_carry`` the (2*L*U, T) [dh; dc] recurrent
+    cotangent.  Gradient math (TF LSTMCell, forget_bias = 1.0):
+
+        c' = c*sf + si*tj,  h' = tanh(c')*so
+        dso = dh*tanh(c');           da_o = dso*so*(1-so)
+        dc  = dh*so*(1-tanh(c')^2) + dc_carry
+        da_f = dc*c * sf*(1-sf);     da_i = dc*tj * si*(1-si)
+        da_j = dc*si * (1-tj^2);     dc_prev = dc*sf
+        dh_prev = wh^T [da_i; da_j; da_f; da_o]
+
+    Updates ``accs`` in place and returns the new (2*L*U, T) cotangent."""
+    def h_rows(block, l):
+        return block[2 * l * u : (2 * l + 1) * u]
+
+    def c_rows(block, l):
+        return block[(2 * l + 1) * u : (2 * l + 2) * u]
+
+    d_inp = None
+    new_dh, new_dc = [], []
+    for l in range(num_layers - 1, -1, -1):
+        wxT, whT, _, _ = cells[l]
+        h_prev = h_rows(hist_p, l)
+        c_prev = c_rows(hist_p, l)
+        c_new = c_rows(hist_n, l)
+        inp = h_rows(hist_n, l - 1) if l > 0 else None
+        si, tj, sf, so = lstm_gates_recompute(
+            cells, u, l, x_row, inp, x_scale, h_prev
+        )
+
+        dh = dhc_carry[2 * l * u : (2 * l + 1) * u]
+        dc = dhc_carry[(2 * l + 1) * u : (2 * l + 2) * u]
+        if l == num_layers - 1:
+            dh = dh + d_top
+        if d_inp is not None:
+            dh = dh + d_inp
+
+        tc = jnp.tanh(c_new)
+        da_o = dh * tc * so * (1.0 - so)
+        dc = dc + dh * so * (1.0 - tc * tc)
+        da_f = dc * c_prev * sf * (1.0 - sf)
+        da_i = dc * tj * si * (1.0 - si)
+        da_j = dc * si * (1.0 - tj * tj)
+        da = jnp.concatenate([da_i, da_j, da_f, da_o], axis=0)  # (4U, T)
+
+        new_dh.append(_dotT_lhs(whT, da))
+        new_dc.append(dc * sf)
+
+        k = acc_base + 4 * l
+        if l == 0:
+            dwx0 = _rowsum(da * (x_scale * (1.0 - x_row)))
+            dwx1 = _rowsum(da * (x_scale * x_row))
+            dwx = jnp.concatenate([dwx0, dwx1], axis=1)     # (4U, 2)
+            d_inp = None
+        else:
+            dwx = _dotT_rhs(da, inp)                        # (4U, U)
+            d_inp = _dotT_lhs(wxT, da)                      # (U, T)
+        accs[k] = accs[k] + dwx
+        accs[k + 1] = accs[k + 1] + _dotT_rhs(da, h_prev)
+        accs[k + 2] = accs[k + 2] + _rowsum(da)
+        # accs[k + 3] is the artificial all-zero bhT slot: leave it zero
+
+    new_dh.reverse()
+    new_dc.reverse()
+    return jnp.concatenate(
+        [r for pair in zip(new_dh, new_dc) for r in pair], axis=0
+    )
+
+
 def accumulate_grad_outputs(grefs, accs):
     """Write per-tile accumulators to the gradient outputs: program 0
     initializes, later programs accumulate."""
@@ -431,8 +556,9 @@ def accumulate_grad_outputs(grefs, accs):
             ref[:] = ref[:] + acc
 
 
-def _make_bwd_kernel(num_layers: int, chunk=None):
+def _make_bwd_kernel(num_layers: int, chunk=None, kind: str = "gru"):
     nw = 4 * num_layers + 2
+    sr = STATE_ROWS[kind]
 
     def kernel(samples_ref, g_ref, *rest):
         wrefs = rest[:nw]
@@ -448,7 +574,7 @@ def _make_bwd_kernel(num_layers: int, chunk=None):
         t = g_ref.shape[1]
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
         u = hwT.shape[1]
-        lu = num_layers * u
+        lu = sr * num_layers * u
 
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
@@ -456,12 +582,19 @@ def _make_bwd_kernel(num_layers: int, chunk=None):
         def fwd_site(n, carry):
             hs, x_row = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
-            new_hs = gru_trunk_fwd_site(
-                cells, u, num_layers, x_row, x_scale, hs
-            )
+            if kind == "gru":
+                new_hs = gru_trunk_fwd_site(
+                    cells, u, num_layers, x_row, x_scale, hs
+                )
+                blocks = new_hs
+            else:
+                new_hs = lstm_trunk_fwd_site(
+                    cells, u, num_layers, x_row, x_scale, hs
+                )
+                blocks = [r for (h, c) in new_hs for r in (h, c)]
             h_cat = (
-                new_hs[0] if num_layers == 1
-                else jnp.concatenate(new_hs, axis=0)
+                blocks[0] if len(blocks) == 1
+                else jnp.concatenate(blocks, axis=0)
             )
             return h_cat, (new_hs, read_s(n))
 
@@ -473,8 +606,13 @@ def _make_bwd_kernel(num_layers: int, chunk=None):
             x_row = jnp.where(n > 0, read_s(jnp.maximum(n - 1, 0)), 0.0)
             x_scale = jnp.where(n > 0, 1.0, 0.0)
 
-            # head: logits from the top-layer state
-            h_top = hist_n[(num_layers - 1) * u :]
+            # head: logits from the top-layer h state
+            if kind == "gru":
+                h_top = hist_n[(num_layers - 1) * u :]
+            else:
+                h_top = hist_n[
+                    2 * (num_layers - 1) * u : (2 * num_layers - 1) * u
+                ]
             logits = jnp.dot(
                 hwT, h_top, preferred_element_type=jnp.float32
             ) + hbT
@@ -487,13 +625,22 @@ def _make_bwd_kernel(num_layers: int, chunk=None):
             new_accs[nw - 2] = accs[nw - 2] + _dotT_rhs(dlogits, h_top)
             new_accs[nw - 1] = accs[nw - 1] + _rowsum(dlogits)
 
-            dh_cat = gru_trunk_bwd_site(
+            trunk_bwd = (
+                gru_trunk_bwd_site if kind == "gru" else lstm_trunk_bwd_site
+            )
+            dh_cat = trunk_bwd(
                 cells, u, num_layers, x_row, x_scale,
                 hist_n, hist_p, d_top, dh_carry, new_accs,
             )
             return dh_cat, tuple(new_accs)
 
-        hs0 = tuple(jnp.zeros((u, t), jnp.float32) for _ in range(num_layers))
+        if kind == "gru":
+            hs0 = tuple(
+                jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
+            )
+        else:
+            z = jnp.zeros((u, t), jnp.float32)
+            hs0 = tuple((z, z) for _ in range(num_layers))
         fwd0 = (hs0, jnp.zeros((1, t), jnp.float32))
         accs0 = tuple(jnp.zeros_like(r[:]) for r in wrefs)
         bwd0 = (jnp.zeros((lu, t), jnp.float32), accs0)
@@ -509,20 +656,21 @@ def gru_log_prob_bwd(params, samples: jax.Array, g: jax.Array):
     """VJP of ``log_prob(params, samples)`` w.r.t. params for cotangent
     ``g`` (B,).  Returns a params-pytree of gradients."""
     num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
     b, n = samples.shape
     u = params["rnn"][0]["wh"].shape[0]
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
-    assert supports(n, units), (
-        f"fused GRU BPTT unsupported for N={n}, units={units} "
+    assert supports(n, units, kind=kind), (
+        f"fused {kind} BPTT unsupported for N={n}, units={units} "
         "(resident pieces exceed the VMEM budget)"
     )
-    tile, spill = _pick_tile(n, units, b)
-    chunk = _pick_chunk(n, units, tile) if spill else None
+    tile, spill = _pick_tile(n, units, b, kind=kind)
+    chunk = _pick_chunk(n, units, tile, kind=kind) if spill else None
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
     g_row = jnp.zeros((1, b_pad), jnp.float32).at[0, :b].set(g)
 
-    wspecs = _weightT_specs(u, num_layers)
+    wspecs = _weightT_specs(u, num_layers, kind)
     wshapes = [
         jax.ShapeDtypeStruct(s.block_shape, jnp.float32) for s in wspecs
     ]
@@ -530,12 +678,11 @@ def gru_log_prob_bwd(params, samples: jax.Array, g: jax.Array):
         pl.BlockSpec(s.block_shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for s in wspecs
     )
-    hist_specs, hist_shapes = bptt_hist_out(
-        n, num_layers * u, tile, b_pad // tile, chunk
-    )
+    lu = STATE_ROWS[kind] * num_layers * u
+    hist_specs, hist_shapes = bptt_hist_out(n, lu, tile, b_pad // tile, chunk)
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(num_layers, chunk),
+        _make_bwd_kernel(num_layers, chunk, kind),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -543,15 +690,21 @@ def gru_log_prob_bwd(params, samples: jax.Array, g: jax.Array):
         ] + wspecs,
         out_specs=out_specs + tuple(hist_specs),
         out_shape=tuple(wshapes) + tuple(hist_shapes),
-        scratch_shapes=bptt_scratch(n, num_layers * u, tile, chunk),
+        scratch_shapes=bptt_scratch(n, lu, tile, chunk),
     )(seq, g_row, *_weightsT(params))
 
     rnn = []
     for l in range(num_layers):
-        dwxT, dwhT, dbxT, dbhT = outs[4 * l : 4 * l + 4]
-        rnn.append({
-            "wx": dwxT.T, "wh": dwhT.T,
-            "bx": dbxT[:, 0], "bh": dbhT[:, 0],
-        })
+        dwxT, dwhT, dbxT, _ = outs[4 * l : 4 * l + 4]
+        if kind == "lstm":
+            # the single TF bias rides the bxT slot (bhT is the artificial
+            # zero weight — its cotangent is dropped, matching _weightsT)
+            rnn.append({"wx": dwxT.T, "wh": dwhT.T, "b": dbxT[:, 0]})
+        else:
+            dbhT = outs[4 * l + 3]
+            rnn.append({
+                "wx": dwxT.T, "wh": dwhT.T,
+                "bx": dbxT[:, 0], "bh": dbhT[:, 0],
+            })
     dhwT, dhbT = outs[4 * num_layers], outs[4 * num_layers + 1]
     return {"rnn": rnn, "head": {"w": dhwT.T, "b": dhbT[:, 0]}}

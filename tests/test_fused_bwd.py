@@ -34,6 +34,57 @@ def test_bwd_kernel_matches_jnp_grad(units):
         )
 
 
+@pytest.mark.parametrize("units", [
+    (10,),
+    pytest.param((8, 8), marks=pytest.mark.slow),
+])
+def test_lstm_bwd_kernel_matches_jnp_grad(units):
+    """Fused LSTM BPTT ([h; c] history, [dh; dc] carry) vs jnp grad."""
+    n = 9
+    ansatz = PRNN1D(num_sites=n, units=units, cell="lstm", impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(40))
+    samples = ansatz.sample(params, jax.random.PRNGKey(41), 21)
+    g = jax.random.normal(jax.random.PRNGKey(42), (21,))
+
+    def loss(p):
+        return jnp.sum(ansatz._log_prob_plain_jnp(p, samples) * g)
+
+    want = jax.grad(loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = gru_log_prob_bwd(params, samples, g)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_lstm_bwd_kernel_spill_matches_jnp_grad(monkeypatch):
+    """Chunk-streamed LSTM BPTT (long-chain spill protocol) == jnp grad."""
+    from rnnwavefunctions_tpu.ops import fused_gru_bwd as m
+
+    monkeypatch.setattr(
+        m, "_pick_tile", lambda n, u, b, heads=1, **kw: (128, True)
+    )
+    monkeypatch.setattr(m, "_pick_chunk", lambda n, u, t, heads=1, **kw: 8)
+    n = 21
+    ansatz = PRNN1D(num_sites=n, units=(10,), cell="lstm", impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(43))
+    samples = ansatz.sample(params, jax.random.PRNGKey(44), 13)
+    g = jax.random.normal(jax.random.PRNGKey(45), (13,))
+
+    def loss(p):
+        return jnp.sum(ansatz._log_prob_plain_jnp(p, samples) * g)
+
+    want = jax.grad(loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = m.gru_log_prob_bwd(params, samples, g)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 @pytest.mark.slow
 def test_bwd_kernel_multiple_tiles(monkeypatch):
     """Batch larger than one tile: programs must accumulate, not overwrite."""
@@ -45,7 +96,7 @@ def test_bwd_kernel_multiple_tiles(monkeypatch):
     samples = ansatz.sample(params, jax.random.PRNGKey(4), 300)
     g = jax.random.normal(jax.random.PRNGKey(5), (300,))
     monkeypatch.setattr(
-        m, "_pick_tile", lambda n, u, b, heads=1: (128, False)
+        m, "_pick_tile", lambda n, u, b, heads=1, **kw: (128, False)
     )  # 3 programs
 
     def loss(p):
@@ -73,8 +124,8 @@ def test_bwd_kernel_spill_matches_jnp_grad(n, units, monkeypatch):
     resident-tail fast path, and the reverse-sweep prefetch protocol."""
     from rnnwavefunctions_tpu.ops import fused_gru_bwd as m
 
-    monkeypatch.setattr(m, "_pick_tile", lambda n, u, b, heads=1: (128, True))
-    monkeypatch.setattr(m, "_pick_chunk", lambda n, u, t, heads=1: 8)
+    monkeypatch.setattr(m, "_pick_tile", lambda n, u, b, heads=1, **kw: (128, True))
+    monkeypatch.setattr(m, "_pick_chunk", lambda n, u, t, heads=1, **kw: 8)
     ansatz = PRNN1D(num_sites=n, units=units, impl="jnp")
     params = ansatz.init(jax.random.PRNGKey(0))
     samples = ansatz.sample(params, jax.random.PRNGKey(1), 13)
@@ -98,8 +149,8 @@ def test_crnn_bwd_kernel_spill_matches_jnp_grad(monkeypatch):
     from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
     from rnnwavefunctions_tpu.ops import fused_crnn_bwd as m
 
-    monkeypatch.setattr(m, "_pick_tile", lambda n, u, b, heads=1: (128, True))
-    monkeypatch.setattr(m, "_pick_chunk", lambda n, u, t, heads=1: 8)
+    monkeypatch.setattr(m, "_pick_tile", lambda n, u, b, heads=1, **kw: (128, True))
+    monkeypatch.setattr(m, "_pick_chunk", lambda n, u, t, heads=1, **kw: 8)
     n = 18
     ansatz = CRNNU1(num_sites=n, units=(10,), u1=True, impl="jnp")
     params = ansatz.init(jax.random.PRNGKey(0))

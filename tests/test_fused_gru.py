@@ -93,9 +93,9 @@ def test_pallas_lstm_log_prob_and_sampler_match_jnp():
     np.testing.assert_allclose(np.asarray(lp2), want2, atol=1e-4)
 
 
-def test_pallas_lstm_grad_falls_back_to_jnp_vjp():
-    """The fused BPTT kernel is GRU-math; LSTM grads take the jnp VJP
-    through the same custom_vjp entry point."""
+def test_pallas_lstm_grad_matches_jnp():
+    """LSTM gradients ride the fused BPTT kernel ([dh; dc] carry) and must
+    match differentiating the jnp reference scan."""
     ansatz = PRNN1D(num_sites=8, units=(10,), cell="lstm", impl="jnp")
     params = ansatz.init(jax.random.PRNGKey(23))
     samples = ansatz.sample(params, jax.random.PRNGKey(24), 13)
