@@ -94,6 +94,15 @@ def test_trainer_and_estimator_agree_on_dispatch():
         # zero transverse field: no single-flip kernel applies
         (PRNN1D(num_sites=6, units=(8,), impl="pallas"),
          TFIM1D(num_sites=6, bx=0.0), None),
+        # LSTM stacks ride the same flip kernels ([h; c] state rows)
+        (PRNN1D(num_sites=6, units=(8,), cell="lstm", impl="pallas"),
+         TFIM1D(num_sites=6, bx=1.0), "plain_flip"),
+        (PRNN1D(num_sites=6, units=(8,), cell="lstm", parity=True,
+                impl="pallas"),
+         TFIM1D(num_sites=6, bx=1.0), "parity_flip"),
+        # custom cells run the generic path
+        (PRNN1D(num_sites=6, units=(8,), cell=object(), impl="jnp"),
+         TFIM1D(num_sites=6, bx=1.0), None),
     ]
     for ansatz, ham, want in cases:
         fam = le._select_family(ansatz, ham)

@@ -91,6 +91,22 @@ def test_j1j2_fused_estimator_single_log_amp_trace():
     assert counts["log_amp_parts"] == 1  # loss only
 
 
+def test_lstm_fused_sample_energy_step():
+    """LSTM stacks take the one-launch fused sample+estimate step and the
+    whole traced step runs end-to-end (fused BPTT backward included)."""
+    n = 8
+    ansatz = _CountingPRNN(num_sites=n, units=(8,), cell="lstm",
+                           impl="pallas")
+    trainer = VMCTrainer(
+        ansatz, TFIM1D(num_sites=n, bx=1.0),
+        TrainConfig(num_samples=16), mesh=make_mesh(1),
+    )
+    assert trainer._fused_sample_energy is not None
+    assert not trainer.local_energy.needs_log_amp
+    counts = _trace_one_step(trainer)
+    assert counts["log_amp"] == 1  # the loss pass only
+
+
 def test_mdrnn_fused_sample_energy_step():
     from rnnwavefunctions_tpu import MDRNN2D, TFIM2D
 
