@@ -8,8 +8,9 @@ and the per-tile hidden state stay resident in VMEM for all N steps, so HBM
 traffic collapses to "read the samples once, write the log-probs once".
 This is the TPU-native replacement for the cuDNN GRU kernel role in the
 reference (``tf.contrib.cudnn_rnn.CudnnCompatibleGRUCell``,
-``/root/reference/1DTFIM/RNNwavefunction.py:8``), covering single-layer GRU +
-softmax-head ansatze with on-site dimension 2.
+``/root/reference/1DTFIM/RNNwavefunction.py:8``), covering uniform-width
+stacked GRU and LSTM trunks + softmax head with on-site dimension 2 (the
+cell kind is inferred from the parameter pytree, ``_cell_kind``).
 
 Layout: everything is **feature-major** — hidden states (U, T) with the
 batch tile on the lane dimension, spins/log-probs as (1, T) rows.  Per-site

@@ -90,14 +90,16 @@ def sampler_gof(draws_per_round=4096, rounds=32, seed=7):
     Reference sampling semantics: ``tf.multinomial`` draws,
     ``/root/reference/1DTFIM/RNNwavefunction.py:68``.
 
-    Covers the GRU sampler (N=8), the U(1)-masked cRNN (N=8 — includes the
-    zero-magnetization sector check), and the 3x3 MDRNN."""
+    Covers the GRU sampler (N=8), the LSTM sampler (N=8), the U(1)-masked
+    cRNN (N=8 — includes the zero-magnetization sector check), and the
+    3x3 MDRNN."""
     from rnnwavefunctions_tpu import CRNNU1, MDRNN2D, PRNN1D
 
     results = []
     total = draws_per_round * rounds
     cases = [
         ("gru_n8", PRNN1D(num_sites=8, units=(16,)), 8, None),
+        ("lstm_n8", PRNN1D(num_sites=8, units=(16,), cell="lstm"), 8, None),
         ("crnn_u1_n8", CRNNU1(num_sites=8, units=(16,)), 8, "u1"),
         ("mdrnn_3x3", MDRNN2D(nx=3, ny=3, units=12), 9, "grid"),
     ]

@@ -161,6 +161,35 @@ def test_tfim_flip_kernel_lstm_matches_explicit():
 
 
 @pytest.mark.slow
+def test_parity_lstm_fused_local_energy_matches_generic():
+    """Per-flip LSTM kernel + logaddexp parity combination == generic."""
+    from rnnwavefunctions_tpu.hamiltonians.tfim1d import TFIM1D
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import tfim_flip_log_probs
+    from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+    n, bx = 8, 1.1
+    ansatz = PRNN1D(num_sites=n, units=(10,), cell="lstm", parity=True,
+                    impl="jnp")
+    ham = TFIM1D(num_sites=n, bx=bx)
+    params = ansatz.init(jax.random.PRNGKey(34))
+    samples = ansatz.sample(params, jax.random.PRNGKey(35), 17)
+
+    le = make_local_energy_fn(ansatz, ham)
+    want, _, _ = le(params, samples, ansatz.log_amp(params, samples))
+
+    with pltpu.force_tpu_interpret_mode():
+        lpf1, lp1 = tfim_flip_log_probs(params, samples)
+        lpf2_rev, lp2 = tfim_flip_log_probs(params, samples[:, ::-1])
+    lpf2 = np.asarray(lpf2_rev)[:, ::-1]
+    num = np.logaddexp(np.asarray(lpf1), lpf2)
+    den = np.logaddexp(np.asarray(lp1), np.asarray(lp2))[:, None]
+    ratio_sum = np.sum(np.exp(0.5 * (num - den)), axis=1)
+    diag = np.asarray(jax.vmap(ham.diagonal)(samples))
+    got = diag - bx * ratio_sum
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4)
+
+
+@pytest.mark.slow
 def test_sample_and_flip_kernel_lstm_consistent():
     """Fused sample+flip with an LSTM stack agrees with recomputation."""
     from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (
