@@ -99,12 +99,6 @@ class PRNN1D:
             and self.accum_dtype == jnp.float32
         )
 
-    def _flip_kernelizable(self) -> bool:
-        """Wavefront flip-estimator kernel coverage (GRU and LSTM state
-        blocks; custom cells run the generic connected-configs path over
-        the jnp rollout)."""
-        return self._kernelizable()
-
     def _use_pallas(self) -> bool:
         if self.impl == "jnp":
             return False

@@ -40,9 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .compsum import kadd, kfinal
 from .seeding import TILE_SEED_STRIDE
+from .tiling import cap_tile
 
 TILE = 512  # max batch rows per grid program
-_MIN_TILE = 128
 
 # Cell kinds sharing the same fused-kernel skeleton.  Per layer the kernels
 # carry a (STATE_ROWS*U, T) feature-major state block ([h] for GRU,
@@ -65,13 +65,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cap_tile(batch: int) -> int:
-    """Smallest power-of-two tile (>= 128) covering the batch — tiles wider
+    """Batch-capped tile (shared policy, ``ops/tiling.py``) — tiles wider
     than the batch only compute padding lanes (an S=64 long-chain batch on
     the fixed 512 tile wastes 8x)."""
-    cap = _MIN_TILE
-    while cap < min(batch, TILE):
-        cap *= 2
-    return cap
+    return cap_tile(batch, TILE)
 
 
 def _gru_layer_rows(gx, h, whT, bhT):

@@ -71,7 +71,9 @@ from .fused_gru import (
     _weightT_specs,
 )
 
-_MIN_TILE = 128
+from .tiling import MIN_TILE as _MIN_TILE
+from .tiling import cap_tile
+
 _VMEM_BUDGET = 13 * 1024 * 1024
 _MIN_CHUNK = 8    # smallest spill-ring chunk (sites per DMA)
 _MAX_CHUNK = 256
@@ -126,10 +128,7 @@ def _pick_tile(n: int, units, batch, heads: int = 1, kind: str = "gru"):
     whose history + resident pieces fit the VMEM budget; when even the
     minimum tile cannot hold the history, spill it to HBM and size the
     tile by the resident pieces + the minimum ring."""
-    cap = _MIN_TILE
-    while cap < min(batch, TILE):
-        cap *= 2
-    tile = cap
+    tile = cap_tile(batch, TILE)
     while tile > _MIN_TILE and (
         _base_bytes(n, units, tile, heads, kind)
         + _hist_bytes(n, units, tile, kind)

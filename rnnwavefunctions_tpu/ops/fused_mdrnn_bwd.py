@@ -36,6 +36,7 @@ from .fused_gru_bwd import (
     _MIN_TILE, _VMEM_BUDGET, _dotT_lhs, _dotT_rhs, _round8, _rowsum,
 )
 from .fused_mdrnn import TILE, _mdrnn_weightsT, _mdrnn_weightT_specs
+from .tiling import cap_tile
 
 
 def _hist_bytes(nx: int, ny: int, u: int, tile: int) -> int:
@@ -44,9 +45,7 @@ def _hist_bytes(nx: int, ny: int, u: int, tile: int) -> int:
 
 
 def _pick_tile(nx: int, ny: int, u: int, batch) -> int:
-    tile = _MIN_TILE
-    while tile < min(batch, TILE):
-        tile *= 2
+    tile = cap_tile(batch, TILE)
     while tile > _MIN_TILE and _hist_bytes(nx, ny, u, tile) > _VMEM_BUDGET:
         tile //= 2
     return tile

@@ -48,9 +48,9 @@ from .compsum import kadd, kfinal
 from .fused_gru import _logp_rows, _round_up
 from .fused_mdrnn import _mdrnn_site_rows, _mdrnn_weightsT, _mdrnn_weightT_specs
 from .seeding import TILE_SEED_STRIDE
+from .tiling import MIN_TILE as _MIN_TILE
 
 GROUP = 8
-_MIN_TILE = 128
 _WIN = 3  # circular lattice-row window slots (spill variant)
 # Joint budget for the cell-output history + per-trajectory row buffer
 # (VMEM ~16 MB/core; the TFIM kernels run at 14 MB accounted).  14 MB

@@ -65,6 +65,8 @@ from .fused_gru import (
 from .seeding import TILE_SEED_STRIDE
 from .spill import hist_out as _spill_hist_out
 from .spill import make_hist_io, spill_bytes, spill_scratch, window_start
+from .tiling import MIN_TILE as _MIN_TILE
+from .tiling import cap_tile
 
 FLIP_TILE = 512  # max sample rows per grid program
 GROUP = 8        # flips advanced together per wavefront iteration (resident)
@@ -72,7 +74,6 @@ GROUP = 8        # flips advanced together per wavefront iteration (resident)
 # serial per-site matmul chain leaves the wavefront latency-bound: doubling
 # the group amortizes it (same trade measured for the cRNN exchange kernel).
 SPILL_GROUP = 16
-_MIN_TILE = 128  # Pallas TPU lane-dim block minimum
 # Joint budget for history + resident scratch (VMEM is ~16 MB/core; the
 # remainder covers Mosaic's input/output buffers — the N=100 flagship
 # compiles and runs at 13.4 MB accounted).  Wider tiles amortize the serial
@@ -118,16 +119,11 @@ def _spill_extra_bytes(n: int, units, tile: int, group: int,
 
 
 def _batch_cap(batch) -> int:
-    """Smallest power-of-two tile (>= 128) covering the actual batch: tiles
-    wider than the batch only compute padding columns (at small-sample
-    spill configs, e.g. N=1000 S=64, an uncapped 512-tile wastes 8x the
-    lanes — measured 1.8x slower than the capped kernel)."""
-    if batch is None:
-        return FLIP_TILE
-    cap = _MIN_TILE
-    while cap < min(batch, FLIP_TILE):
-        cap *= 2
-    return cap
+    """Batch-capped tile (shared policy, ``ops/tiling.py``): tiles wider
+    than the batch only compute padding columns (at small-sample spill
+    configs, e.g. N=1000 S=64, an uncapped 512-tile wastes 8x the lanes —
+    measured 1.8x slower than the capped kernel)."""
+    return cap_tile(batch, FLIP_TILE)
 
 
 def _pick_tile(n: int, units, batch=None, kind: str = "gru"):

@@ -64,14 +64,6 @@ def _chunked_apply(fn: Callable, flat: jax.Array, chunk_size: Optional[int]):
     )
 
 
-def _estimator_kernelizable(ansatz) -> bool:
-    """Estimator-kernel coverage: ansatze distinguishing rollout vs
-    flip-kernel reach expose ``_flip_kernelizable`` (e.g. LSTM stacks ride
-    the fused rollouts but not the GRU-math wavefront kernels)."""
-    gate = getattr(ansatz, "_flip_kernelizable", ansatz._kernelizable)
-    return gate()
-
-
 def _flip_kernel_ok(ansatz, hamiltonian, encoding: str) -> bool:
     """Static gate for the wavefront single-flip kernels (pRNN family)."""
     flip_element = getattr(hamiltonian, "uniform_flip_element", None)
@@ -80,7 +72,7 @@ def _flip_kernel_ok(ansatz, hamiltonian, encoding: str) -> bool:
         or flip_element == 0.0
         or getattr(hamiltonian, "encoding", "flat") != encoding
         or not hasattr(ansatz, "_use_pallas")
-        or not _estimator_kernelizable(ansatz)
+        or not ansatz._kernelizable()
         or not ansatz._use_pallas()
     ):
         return False
@@ -119,7 +111,7 @@ def _select_family(ansatz: Any, hamiltonian: Any) -> Optional[str]:
         and getattr(hamiltonian, "encoding", None) == "grid"
         and type(ansatz).__name__ == "MDRNN2D"
         and hasattr(ansatz, "_use_pallas")
-        and _estimator_kernelizable(ansatz)
+        and ansatz._kernelizable()
         and ansatz._use_pallas()
     ):
         from ..ops import mdrnn_flip_kernel
@@ -133,7 +125,7 @@ def _select_family(ansatz: Any, hamiltonian: Any) -> Optional[str]:
         exch is not None
         and is_complex
         and hasattr(ansatz, "_use_pallas")
-        and _estimator_kernelizable(ansatz)
+        and ansatz._kernelizable()
         and ansatz._use_pallas()
     ):
         from ..ops import j1j2_exchange_kernel

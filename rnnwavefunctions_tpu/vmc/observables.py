@@ -56,17 +56,21 @@ def structure_factor(
     """
     z = 2.0 * samples.reshape(samples.shape[0], -1).astype(jnp.float32) - 1.0
     n = z.shape[1]
-    corr = z.T @ z / z.shape[0]
-    if connected:
-        mean_z = jnp.mean(z, axis=0)
-        corr = corr - jnp.outer(mean_z, mean_z)
     if k is None:
         k = 2.0 * jnp.pi * jnp.arange(n, dtype=jnp.float32) / n
     k = jnp.asarray(k, jnp.float32)
-    dist = jnp.arange(n, dtype=jnp.float32)
-    dist = dist[:, None] - dist[None, :]
-    phases = jnp.cos(k[:, None, None] * dist[None])
-    return jnp.sum(phases * corr[None], axis=(1, 2)) / n
+    # cos(k(i-j)) = cos(ki)cos(kj) + sin(ki)sin(kj), so S(k) reduces to two
+    # (S, N) @ (N, K) projections — O(SK) memory instead of the (K, N, N)
+    # phase tensor (which is ~4 GB at the N=1000 workloads).
+    sites = jnp.arange(n, dtype=jnp.float32)
+    ck = jnp.cos(sites[:, None] * k[None, :])
+    sk = jnp.sin(sites[:, None] * k[None, :])
+    pc, ps = z @ ck, z @ sk
+    s_k = jnp.mean(pc * pc, axis=0) + jnp.mean(ps * ps, axis=0)
+    if connected:
+        mean_z = jnp.mean(z, axis=0)
+        s_k = s_k - (mean_z @ ck) ** 2 - (mean_z @ sk) ** 2
+    return s_k / n
 
 
 def _log_amp_of(ansatz: Any, params: Any, samples: jax.Array):

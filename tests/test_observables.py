@@ -99,6 +99,29 @@ def test_structure_factor_neel_and_uniform():
     np.testing.assert_allclose(sk_c, 0.0, atol=1e-4)  # subtracted
 
 
+def test_structure_factor_matches_double_sum():
+    """The O(SK) cos/sin projection form == the explicit double sum
+    (1/N) sum_ij cos(k(i-j)) <z_i z_j> on random samples."""
+    rng = np.random.default_rng(3)
+    n, s = 7, 40
+    samples = jnp.asarray(rng.integers(0, 2, (s, n)), jnp.int32)
+    z = 2.0 * np.asarray(samples, np.float64) - 1.0
+    k = 2 * np.pi * np.arange(n) / n
+    for connected in (False, True):
+        corr = z.T @ z / s
+        if connected:
+            mz = z.mean(axis=0)
+            corr = corr - np.outer(mz, mz)
+        dist = np.arange(n)[:, None] - np.arange(n)[None, :]
+        want = np.array(
+            [np.sum(np.cos(kk * dist) * corr) / n for kk in k]
+        )
+        got = np.asarray(
+            observables.structure_factor(samples, connected=connected)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_sigma_x_matches_hand_ratios_real():
     n = 5
     ansatz = PRNN1D(num_sites=n, units=(8,))
