@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 
 from .. import MDRNN2D, TFIM2D, TrainConfig, VMCTrainer, make_mesh
-from .run_loop import run_training
+from .run_loop import resolve_dtype, run_training
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -31,6 +31,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU matmul precision for the whole jitted step "
                         "('highest' = multi-pass f32: ~5x lower long-chain "
                         "log-prob error at ~1.8x step cost)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "float64"],
+                   help="end-to-end compute dtype.  The reference runs this "
+                        "family in float64 (2DTFIM_2DRNN/RNNwavefunction.py:"
+                        "32); float32 + Kahan-compensated accumulation is "
+                        "the TPU-native default and meets the published "
+                        "anchors — float64 runs the jnp paths (no fused "
+                        "kernels) for bit-level reference semantics")
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--workdir", type=str, default="Check_Points/2DTFIM")
@@ -41,8 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    dtype = resolve_dtype(args.dtype)
     ansatz = MDRNN2D(
-        nx=args.systemsize_x, ny=args.systemsize_y, units=args.num_units
+        nx=args.systemsize_x, ny=args.systemsize_y, units=args.num_units,
+        dtype=dtype, accum_dtype=dtype,
     )
     ham = TFIM2D(
         nx=args.systemsize_x, ny=args.systemsize_y, bx=args.bx, encoding="grid"

@@ -30,6 +30,21 @@ from ..utils.metrics import MetricsSeries
 from ..vmc.trainer import VMCTrainer
 
 
+def resolve_dtype(name: str):
+    """CLI ``--dtype`` -> jnp dtype, enabling the x64 mode float64 needs.
+    The reference's 2D families build their whole graph in float64
+    (``2DTFIM_1DRNN/RNNwavefunction.py:38``,
+    ``2DTFIM_2DRNN/RNNwavefunction.py:32``); here float64 runs the jnp
+    scan paths (the fused kernels are f32 + Kahan) so it must be opted
+    into before any tracing."""
+    import jax.numpy as jnp
+
+    if name == "float64":
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
 def _append_block(metrics: MetricsSeries, ms) -> None:
     """Append one ``run_steps`` metrics block (leading axis = steps)."""
     me = jax.device_get(ms["mean_energy"])

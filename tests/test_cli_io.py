@@ -54,6 +54,29 @@ def test_cli_j1j2_runs_complex(tmp_path):
     assert np.iscomplexobj(series)
 
 
+def test_cli_2d_float64_end_to_end(tmp_path):
+    """--dtype float64 on the 2D runners trains in f64 end-to-end (the
+    reference's 2D graph dtype, ``2DTFIM_2DRNN/RNNwavefunction.py:32``)."""
+    from rnnwavefunctions_tpu.cli import run_2dtfim_1drnn, run_2dtfim_2drnn
+
+    base = [
+        "--numsteps", "4", "--systemsize-x", "2", "--systemsize-y", "2",
+        "--num-units", "6", "--numsamples", "16", "--dtype", "float64",
+        "--num-devices", "1",
+    ]
+    try:
+        mean_e, _ = run_2dtfim_2drnn.main(
+            base + ["--workdir", str(tmp_path / "mdrnn")]
+        )
+        assert np.isfinite(mean_e).all()
+        mean_e, _ = run_2dtfim_1drnn.main(
+            base + ["--workdir", str(tmp_path / "snake")]
+        )
+        assert np.isfinite(mean_e).all()
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer = VMCTrainer(
         PRNN1D(num_sites=6, units=(8,)), TFIM1D(num_sites=6),
