@@ -141,7 +141,7 @@ def _pick_tile(n: int, units, batch, heads: int = 1, kind: str = "gru"):
         <= _VMEM_BUDGET
     ):
         return tile, False
-    tile = cap
+    tile = cap_tile(batch, TILE)
     while tile > _MIN_TILE and (
         _base_bytes(n, units, tile, heads, kind)
         + _ring_bytes(units, tile, _MIN_CHUNK, kind)

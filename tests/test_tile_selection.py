@@ -1,6 +1,7 @@
 """Wavefront kernel tile/spill selection: batch caps, VMEM budgets, and
 regime-specific group accounting (pure host logic, no device)."""
 
+from rnnwavefunctions_tpu.ops import fused_gru_bwd as bk
 from rnnwavefunctions_tpu.ops import j1j2_exchange_kernel as xk
 from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
 from rnnwavefunctions_tpu.ops import tfim_flip_kernel as tk
@@ -24,6 +25,21 @@ def test_flagship_configs_select_expected_tiles():
     # 2-layer stack: double history, resident at a narrower tile
     tile, spill = tk._pick_tile(100, (50, 50), 500)
     assert not spill and tile < 512
+
+
+def test_bptt_pick_tile_all_regimes():
+    """The fused-BPTT tile pick across resident, spilled, and wide-hidden
+    configs (the spill branch re-derives the batch cap — regression for a
+    refactor that dropped it)."""
+    assert bk._pick_tile(100, (50,), 500) == (512, False)
+    tile, spill = bk._pick_tile(1000, (50,), 64)
+    assert spill and tile == 128
+    # wide hidden state: history blows the budget at every tile -> spill,
+    # and the tile restarts from the batch cap, not the resident loop's 128
+    tile, spill = bk._pick_tile(100, (256,), 500)
+    assert spill and tile >= 128
+    for u in (50, 128, 256):
+        assert bk.supports(100, (u,))
 
 
 def test_exchange_regime_groups():
