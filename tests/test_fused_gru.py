@@ -109,6 +109,72 @@ def test_pallas_lstm_grad_matches_jnp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_wide_hidden_rollout_and_grad_match_jnp():
+    """Hidden widths at/above the 128-lane dimension (production-scale
+    stacks; the kernels' (U, T) feature-major blocks span multiple
+    sublane tiles)."""
+    ansatz = PRNN1D(num_sites=10, units=(128,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(40))
+    samples = ansatz.sample(params, jax.random.PRNGKey(41), 9)
+    want = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_gru._log_prob_pallas(params, samples))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    lp = fused_gru.make_log_prob_fn(ansatz._log_prob_plain_jnp)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(lambda p: jnp.sum(lp(p, samples)))(params)
+    g2 = jax.grad(
+        lambda p: jnp.sum(ansatz._log_prob_plain_jnp(p, samples))
+    )(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_wide_hidden_spill_grad_matches_jnp():
+    """N=100 at U=256 exceeds the BPTT VMEM budget even at the minimum
+    tile, so the gradient rides the chunk-streamed HBM ring — the
+    wide-hidden x spill combination the u256 bench row runs."""
+    from rnnwavefunctions_tpu.ops import fused_gru_bwd as bk
+
+    n, u = 100, 256
+    assert bk._pick_tile(n, (u,), 4)[1], "config must spill"
+    ansatz = PRNN1D(num_sites=n, units=(u,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(44))
+    samples = ansatz.sample(params, jax.random.PRNGKey(45), 4)
+    lp = fused_gru.make_log_prob_fn(ansatz._log_prob_plain_jnp)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(lambda p: jnp.sum(lp(p, samples)))(params)
+    g2 = jax.grad(
+        lambda p: jnp.sum(ansatz._log_prob_plain_jnp(p, samples))
+    )(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_wide_hidden_flip_estimator_matches_generic():
+    """U=256 wavefront flip estimator (the 1dtfim_n100_u256 bench row's
+    kernel family) == the generic estimator."""
+    from rnnwavefunctions_tpu.hamiltonians.tfim1d import TFIM1D
+    from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+    n = 10
+    fused = PRNN1D(num_sites=n, units=(256,), impl="pallas")
+    ref = PRNN1D(num_sites=n, units=(256,), impl="jnp")
+    ham = TFIM1D(num_sites=n, bx=1.0)
+    params = ref.init(jax.random.PRNGKey(42))
+    samples = ref.sample(params, jax.random.PRNGKey(43), 7)
+    le_ref = make_local_energy_fn(ref, ham)
+    want, _, _ = le_ref(params, samples, ref.log_amp(params, samples))
+    le_fused = make_local_energy_fn(fused, ham)
+    with pltpu.force_tpu_interpret_mode():
+        got, _, _ = le_fused(params, samples, None)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4
+    )
+
+
 @pytest.mark.slow
 def test_pallas_lstm_stacked_matches_jnp():
     ansatz = PRNN1D(num_sites=9, units=(10, 10), cell="lstm", impl="jnp")
