@@ -182,7 +182,7 @@ def test_trainer_tp_validation():
             TrainConfig(num_samples=16, tp=K),
             mesh=_mesh(),
         )
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         VMCTrainer(
             PRNN1D(num_sites=8, units=(10,), impl="jnp"),
             TFIM1D(num_sites=8, bx=1.0),
