@@ -22,6 +22,7 @@ from .. import (
 )
 from ..utils.checkpoints import Checkpointer
 from ..vmc.observables import energy_estimate
+from .run_loop import resolve_dtype
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -36,9 +37,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--j1", type=float, default=1.0)
     p.add_argument("--j2", type=float, default=0.2)
     p.add_argument("--marshall-sign", action="store_true")
+    p.add_argument("--periodic", action="store_true")
     p.add_argument("--num-units", type=int, default=50)
     p.add_argument("--num-layers", type=int, default=1)
     p.add_argument("--parity", action="store_true")
+    p.add_argument("--cell", type=str, default="gru",
+                   choices=["gru", "lstm"],
+                   help="recurrent cell the checkpoint was trained with "
+                        "(must match, or the restore tree mismatches)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "float64"],
+                   help="compute dtype the checkpoint was trained with")
+    p.add_argument("--matmul-precision", type=str, default="default",
+                   choices=["default", "high", "highest"],
+                   help="MXU matmul precision for the measurement step "
+                        "(match the training run's setting)")
     p.add_argument("--numsamples", type=int, default=1024)
     p.add_argument("--num-batches", type=int, default=10)
     p.add_argument("--num-devices", type=int, default=None)
@@ -52,31 +65,43 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def build_problem(args):
+    """Rebuild the (ansatz, hamiltonian) pair the checkpoint was trained
+    with — the flags mirror the training CLIs' model-shaping options
+    (``--cell``/``--dtype``/``--periodic``) so every run configuration the
+    runners can produce restores without a pytree mismatch."""
     units = (args.num_units,) * args.num_layers
+    dtype = resolve_dtype(args.dtype)
     if args.workload == "1dtfim":
         return (PRNN1D(num_sites=args.systemsize, units=units,
-                       parity=args.parity),
+                       parity=args.parity, cell=args.cell,
+                       dtype=dtype, accum_dtype=dtype),
                 TFIM1D(num_sites=args.systemsize, bx=args.bx))
     if args.workload == "2dtfim-1drnn":
         return (PRNNSnake2D(nx=args.systemsize_x, ny=args.systemsize_y,
-                            units=units),
+                            units=units, cell=args.cell,
+                            dtype=dtype, accum_dtype=dtype),
                 TFIM2D(nx=args.systemsize_x, ny=args.systemsize_y,
                        bx=args.bx, encoding="flat"))
     if args.workload == "2dtfim-2drnn":
         return (MDRNN2D(nx=args.systemsize_x, ny=args.systemsize_y,
-                        units=args.num_units),
+                        units=args.num_units,
+                        dtype=dtype, accum_dtype=dtype),
                 TFIM2D(nx=args.systemsize_x, ny=args.systemsize_y,
                        bx=args.bx, encoding="grid"))
-    return (CRNNU1(num_sites=args.systemsize, units=units),
+    return (CRNNU1(num_sites=args.systemsize, units=units,
+                   cell=args.cell, dtype=dtype, accum_dtype=dtype),
             J1J2(num_sites=args.systemsize, j1=args.j1, j2=args.j2,
-                 marshall_sign=args.marshall_sign))
+                 marshall_sign=args.marshall_sign,
+                 periodic=args.periodic))
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     ansatz, ham = build_problem(args)
     trainer = VMCTrainer(
-        ansatz, ham, TrainConfig(num_samples=args.numsamples),
+        ansatz, ham,
+        TrainConfig(num_samples=args.numsamples,
+                    matmul_precision=args.matmul_precision),
         mesh=make_mesh(args.num_devices),
     )
     ckpt = Checkpointer(args.checkpoint)

@@ -85,8 +85,11 @@ def gru_apply(p: Params, x: jax.Array, h: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # LSTM (the reference snake-2D ansatz's default cell argument,
 # ``/root/reference/2DTFIM_1DRNN/RNNwavefunction.py:9`` —
-# ``tf.contrib.rnn.LSTMCell``; every shipped runner passes GRU instead, so
-# this is a capability-surface variant, jnp path only)
+# ``tf.contrib.rnn.LSTMCell``).  ``lstm_apply`` below is the semantics
+# oracle for the fused LSTM kernels: the rollout/flip/BPTT kernels
+# (ops/fused_gru*.py, ops/*_flip_kernel.py) replicate its [i | j | f | o]
+# gate packing and forget_bias=1.0 — keep them in sync (CLAUDE.md
+# architecture invariants)
 # ---------------------------------------------------------------------------
 
 def lstm_init(key: jax.Array, input_dim: int, units: int, dtype=jnp.float32) -> Params:

@@ -19,6 +19,6 @@ def cap_tile(batch, max_tile: int) -> int:
     if batch is None:
         return max_tile
     cap = MIN_TILE
-    while cap < min(batch, max_tile):
+    while cap < min(batch, max_tile) and cap * 2 <= max_tile:
         cap *= 2
     return cap

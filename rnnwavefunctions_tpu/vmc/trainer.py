@@ -186,7 +186,9 @@ class VMCTrainer:
         if not (
             getattr(a, "plain_positive", False)
             and getattr(a, "cell", "gru") == "gru"
-            and type(a).__name__ in ("PRNN1D", "PRNNSnake2D")
+            # the snake-2D factory returns a PRNN1D instance, so this one
+            # name covers both families
+            and type(a).__name__ == "PRNN1D"
         ):
             raise ValueError(
                 "tensor parallelism supports the plain positive GRU pRNN "
@@ -483,7 +485,11 @@ class VMCTrainer:
             mesh=self.mesh, in_specs=(P(), P()),
             out_specs=P(), check_vma=False,
         )
-        return jax.jit(lambda params, key: sharded(params, key))
+        # same ambient matmul precision as the training step, so
+        # post-training measurement agrees with the numerics trained at
+        return jax.jit(
+            self._with_matmul_precision(lambda params, key: sharded(params, key))
+        )
 
     def evaluate(self, state: TrainState, key: jax.Array,
                  observables: tuple = ()):

@@ -130,6 +130,28 @@ def test_cli_evaluate_restores_and_measures(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_evaluate_restores_lstm_checkpoint(tmp_path):
+    """evaluate --cell lstm rebuilds the LSTM-shaped pytree so checkpoints
+    from ``run_1dtfim --cell lstm`` restore (review finding: the evaluate
+    CLI used to hardwire the GRU/f32 ansatz and mismatch on restore)."""
+    from rnnwavefunctions_tpu.cli import evaluate
+
+    run_1dtfim.main([
+        "--numsteps", "6", "--systemsize", "6", "--num-units", "8",
+        "--cell", "lstm", "--numsamples", "32",
+        "--workdir", str(tmp_path), "--num-devices", "1",
+    ])
+    ckpt_dir = [d for d in os.listdir(tmp_path) if d.startswith("ckpt_")][0]
+    result = evaluate.main([
+        str(tmp_path / ckpt_dir), "--workload", "1dtfim",
+        "--systemsize", "6", "--num-units", "8", "--cell", "lstm",
+        "--numsamples", "32", "--num-batches", "2", "--num-devices", "1",
+    ])
+    assert result["step"] == 7
+    assert np.isfinite(result["energy"]) and result["energy"] < 0.0
+
+
+@pytest.mark.slow
 def test_profile_trace_capture(tmp_path):
     """--profile-dir captures exactly one traced block and always closes the
     trace (ADVICE r1: a short run used to leak an open profiler session)."""

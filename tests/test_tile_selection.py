@@ -17,6 +17,18 @@ def test_batch_cap_rounds_to_power_of_two_tiles():
     assert tk._batch_cap(10_000) == tk.FLIP_TILE
 
 
+def test_cap_tile_honors_non_power_of_two_max():
+    # the [MIN_TILE, max_tile] contract must hold even for a 128-multiple
+    # (non power-of-two) cap: never exceed max_tile
+    from rnnwavefunctions_tpu.ops.tiling import cap_tile
+
+    assert cap_tile(300, 384) == 256
+    assert cap_tile(300, 512) == 512
+    assert cap_tile(10_000, 384) == 256
+    assert cap_tile(None, 384) == 384
+    assert cap_tile(1, 384) == 128
+
+
 def test_flagship_configs_select_expected_tiles():
     # N=100 single layer at 50 units: resident, full 512 tile
     assert tk._pick_tile(100, (50,), 500) == (512, False)
