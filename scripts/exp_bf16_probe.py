@@ -21,6 +21,7 @@ behind not shipping a bf16 hidden path.
 Run on the real chip: ``timeout 580 python scripts/exp_bf16_probe.py``.
 """
 
+import argparse
 import time
 
 import jax
@@ -28,9 +29,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-U = 50
-T = 4096
-N = 20000  # site steps per kernel launch: compute >> dispatch latency
+# defaults probe the flagship U=50 shape; pass --units 256 to probe the
+# wide-hidden row where K=256 fills the 128-deep systolic array and the
+# bf16 4x pass rate could actually surface
+_args = argparse.ArgumentParser()
+_args.add_argument("--units", type=int, default=50)
+_args.add_argument("--seqlen", type=int, default=4096)
+_args.add_argument("--sites", type=int, default=None,
+                   help="site steps per launch (default: scaled so one "
+                        "launch is ~50 ms of compute)")
+_a = _args.parse_args()
+
+U = _a.units
+T = _a.seqlen
+# keep compute per launch roughly constant as U grows (flops ~ N*U^2)
+N = _a.sites if _a.sites is not None else max(200, 20000 * 50 * 50 // (U * U))
 REPS = 3
 
 
