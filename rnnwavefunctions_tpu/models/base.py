@@ -67,8 +67,8 @@ def warn_fused_forfeit(ansatz: Any) -> None:
     _FORFEIT_WARNED.add(key)
     warnings.warn(
         f"{type(ansatz).__name__} configuration is outside fused-kernel "
-        "coverage (kernels need uniform-width float32 GRU/MDRNN cells with "
-        "local_dim=2); every sampling/estimator/gradient pass falls back "
+        "coverage (kernels need uniform-width float32 GRU/LSTM/MDRNN cells "
+        "with local_dim=2); every sampling/estimator/gradient pass falls back "
         "to the jnp scan path, which is far slower on TPU.  Pass "
         "impl='jnp' explicitly to acknowledge and silence this warning.",
         stacklevel=3,

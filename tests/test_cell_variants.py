@@ -114,3 +114,27 @@ def test_mdrnn2d_float64_normalization():
         assert lp.dtype == jnp.float64
         np.testing.assert_allclose(float(jnp.sum(jnp.exp(lp))), 1.0,
                                    rtol=1e-10)
+
+
+def test_fused_forfeit_warning_once(monkeypatch):
+    """A config outside kernel coverage warns exactly once per ansatz repr
+    on accelerator backends under impl="auto", and an explicit impl="jnp"
+    acknowledges and silences it (VERDICT r2 ergonomics item)."""
+    import warnings
+
+    from rnnwavefunctions_tpu.models import base as model_base
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(model_base, "_FORFEIT_WARNED", set())
+
+    slow = PRNN1D(num_sites=4, units=(6, 8))  # non-uniform stack: no kernels
+    with pytest.warns(UserWarning, match="outside fused-kernel coverage"):
+        assert slow._use_pallas() is False
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # second call must stay silent
+        assert slow._use_pallas() is False
+
+    acknowledged = PRNN1D(num_sites=4, units=(6, 8), impl="jnp")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert acknowledged._use_pallas() is False
