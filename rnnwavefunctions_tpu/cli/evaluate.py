@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["default", "high", "highest"],
                    help="MXU matmul precision for the measurement step "
                         "(match the training run's setting)")
+    p.add_argument("--fidelity", action="store_true",
+                   help="also report |<psi_theta|psi_0>|^2 against the dense-"
+                        "ED ground state (N <= 16 only)")
     p.add_argument("--numsamples", type=int, default=1024)
     p.add_argument("--num-batches", type=int, default=10)
     p.add_argument("--num-devices", type=int, default=None)
@@ -144,8 +147,40 @@ def main(argv=None):
         result["structure_factor"] = [
             float(v) for v in np.mean(sks, axis=0)
         ]
+    if args.fidelity:
+        result.update(_ed_fidelity(args, ansatz, state.params))
     print(json.dumps(result))
     return result
+
+
+def _ed_fidelity(args, ansatz, params):
+    """Exact-diagonalization fidelity block: |<psi_theta|psi_0>|^2 plus the
+    exact ground energy, for systems small enough to diagonalize densely.
+    A validation surface the reference's tutorials approximate with an
+    energy comparison only (Tutorial_1DTFIM.ipynb cell 18)."""
+    from ..ed import exact
+    from ..ed.fidelity import fidelity
+
+    if args.workload == "1dtfim":
+        n = args.systemsize
+        h = exact.tfim1d_dense(n, args.bx)
+    elif args.workload in ("2dtfim-1drnn", "2dtfim-2drnn"):
+        n = args.systemsize_x * args.systemsize_y
+        h = exact.tfim2d_dense(args.systemsize_x, args.systemsize_y, args.bx)
+    else:
+        n = args.systemsize
+        h = exact.j1j2_dense(n, j1=args.j1, j2=args.j2,
+                             periodic=args.periodic,
+                             marshall_sign=args.marshall_sign)
+    if n > 16:
+        raise SystemExit(
+            f"--fidelity needs a dense 2^N diagonalization; N={n} > 16"
+        )
+    e0, gs = exact.ground_state(h)
+    return {
+        "fidelity": fidelity(ansatz, params, gs),
+        "energy_exact": e0,
+    }
 
 
 if __name__ == "__main__":

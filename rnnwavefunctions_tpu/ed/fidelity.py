@@ -1,0 +1,57 @@
+"""Wavefunction fidelity against dense-ED ground states.
+
+``F = |<psi_theta/||psi_theta||, psi_0>|^2`` over the full 2^N basis — a
+small-N validation diagnostic with no reference counterpart: the reference
+tutorials compare energies only
+(``/root/reference/Tutorials/1DTFIM/Tutorial_1DTFIM.ipynb`` cell 18), but
+fidelity also detects sign and phase errors that an energy estimate can
+hide inside its variance (a state can sit 1e-4 above E0 in energy while
+carrying a wrong phase pattern on low-weight configurations).
+
+Basis convention matches ``ed/exact.py``'s dense builders: configuration
+index ``c`` encodes site ``i`` as bit ``i`` (LSB-first), and 2D lattices
+use the y-major flat order of ``tfim2d_dense`` (``idx = y*nx + x``),
+reshaped here to the MDRNN's ``[x, y]`` grid sample layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def basis_configs(n: int) -> np.ndarray:
+    """All 2^n spin configurations, row ``c`` holding site ``i`` = bit ``i``
+    of ``c`` — the exact row order of the ``ed/exact.py`` dense builders."""
+    idx = np.arange(1 << n, dtype=np.int64)
+    return ((idx[:, None] >> np.arange(n)[None, :]) & 1).astype(np.int32)
+
+
+def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
+    """Overlap-squared of the (explicitly renormalized) ansatz wavefunction
+    with ``state_vector`` (a dense-ED eigenvector from
+    ``ed.exact.ground_state``).  Evaluates ``log_amp`` over the full basis
+    in ``chunk``-row batches; intended for N <= ~16."""
+    import jax.numpy as jnp
+
+    v0 = np.asarray(state_vector)
+    dim = v0.shape[0]
+    n = int(dim).bit_length() - 1
+    if (1 << n) != dim:
+        raise ValueError(f"state vector length {dim} is not a power of two")
+
+    configs = basis_configs(n)
+    if hasattr(ansatz, "nx"):  # grid-encoded 2D ansatz: [x, y] sample layout
+        configs = configs.reshape(dim, ansatz.ny, ansatz.nx).transpose(0, 2, 1)
+
+    parts = []
+    for lo in range(0, dim, chunk):
+        la = ansatz.log_amp(params, jnp.asarray(configs[lo : lo + chunk]))
+        parts.append(np.asarray(la))
+    log_amp = np.concatenate(parts).astype(np.complex128)
+
+    # subtract the max before exponentiating, then renormalize: fidelity is
+    # well-defined for unnormalized amplitude tables too
+    log_amp -= log_amp.real.max()
+    psi = np.exp(log_amp)
+    psi /= np.linalg.norm(psi)
+    return float(np.abs(np.vdot(psi, v0.astype(np.complex128))) ** 2)

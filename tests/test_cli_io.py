@@ -117,7 +117,7 @@ def test_cli_evaluate_restores_and_measures(tmp_path):
         str(tmp_path / ckpt_dir), "--workload", "1dtfim",
         "--systemsize", "6", "--num-units", "8",
         "--numsamples", "32", "--num-batches", "3", "--num-devices", "1",
-        "--observables", "sigma_x", "structure_factor",
+        "--observables", "sigma_x", "structure_factor", "--fidelity",
     ])
     assert result["step"] == 11
     assert np.isfinite(result["energy"]) and result["energy"] < 0.0
@@ -127,6 +127,8 @@ def test_cli_evaluate_restores_and_measures(tmp_path):
     assert np.isfinite(result["sigma_x_total"])
     sk = np.asarray(result["structure_factor"])
     assert sk.shape == (6,) and np.all(np.isfinite(sk))
+    assert 0.0 < result["fidelity"] <= 1.0 + 1e-9
+    assert result["energy_exact"] < 0.0
 
 
 @pytest.mark.slow

@@ -1,0 +1,106 @@
+"""ed.fidelity: overlap-squared diagnostics against dense-ED eigenvectors.
+
+The reference validates only energies (Tutorial_1DTFIM.ipynb cell 18);
+fidelity is the sharper check and must therefore be exactly right about
+the ED basis convention — pinned here three ways: a table-state identity,
+a completeness sum, and an energy projection that cross-checks the 2D
+grid mapping against the (independently dense-validated) local-energy
+estimator.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnnwavefunctions_tpu import PRNN1D, TFIM1D, TFIM2D, TrainConfig, VMCTrainer
+from rnnwavefunctions_tpu.ed import exact
+from rnnwavefunctions_tpu.ed.fidelity import basis_configs, fidelity
+from rnnwavefunctions_tpu.models.mdrnn2d import MDRNN2D
+from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
+
+
+class _TableAnsatz:
+    """Stub whose amplitudes are read from a vector in ED basis order."""
+
+    def __init__(self, vec):
+        self.vec = np.asarray(vec)
+
+    def log_amp(self, params, samples):
+        s = np.asarray(samples)
+        codes = s @ (1 << np.arange(s.shape[1]))
+        return jnp.asarray(np.log(np.abs(self.vec[codes]) + 1e-300))
+
+
+def test_fidelity_identity_and_orthogonality():
+    h = exact.tfim1d_dense(6, 1.0)
+    w, v = np.linalg.eigh(h)
+    gs = v[:, 0]
+    gs = gs * np.sign(gs[np.argmax(np.abs(gs))])
+    assert (gs > -1e-12).all()  # Perron-Frobenius: TFIM GS is non-negative
+
+    table = _TableAnsatz(gs)
+    assert fidelity(table, None, gs) == pytest.approx(1.0, abs=1e-6)
+    assert fidelity(table, None, v[:, 1]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_fidelity_completeness_sum():
+    """Sum of fidelities against a full eigenbasis is exactly 1 for any
+    normalized state, whatever the basis mapping — and each term matches
+    the direct projection."""
+    h = exact.tfim1d_dense(4, 0.7)
+    w, v = np.linalg.eigh(h)
+    rng = np.random.default_rng(0)
+    vec = rng.normal(size=16) + 0.5
+    vec = np.abs(vec)  # positive table state
+    vec /= np.linalg.norm(vec)
+    table = _TableAnsatz(vec)
+    fids = [fidelity(table, None, v[:, k]) for k in range(16)]
+    assert sum(fids) == pytest.approx(1.0, abs=1e-6)
+    # log_amp is evaluated in float32: ~1e-6 on squared overlaps
+    np.testing.assert_allclose(fids, (v.T @ vec) ** 2, atol=1e-5)
+
+
+def test_fidelity_grid_mapping_energy_projection():
+    """Cross-checks the 2D [x, y] grid mapping: sum_k E_k * F_k must equal
+    the exhaustive estimator expectation sum_sigma p(sigma) E_loc(sigma),
+    which is validated against the dense H independently of any basis
+    ordering (tests/test_2d.py)."""
+    nx, ny, bx = 2, 3, 0.9
+    n = nx * ny
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=6, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(3))
+    h = exact.tfim2d_dense(nx, ny, bx)
+    w, v = np.linalg.eigh(h)
+
+    e_proj = sum(w[k] * fidelity(ansatz, params, v[:, k]) for k in range(1 << n))
+
+    ham = TFIM2D(nx=nx, ny=ny, bx=bx, encoding="grid")
+    grids = jnp.transpose(
+        jnp.asarray(basis_configs(n)).reshape(-1, ny, nx), (0, 2, 1)
+    )
+    p = np.exp(np.asarray(ansatz.log_prob(params, grids), np.float64))
+    assert p.sum() == pytest.approx(1.0, rel=1e-6)
+    le = make_local_energy_fn(ansatz, ham)
+    e_loc = np.asarray(le(params, grids, ansatz.log_amp(params, grids))[0])
+    e_exp = float(np.sum(p * np.real(e_loc)))
+
+    assert e_proj == pytest.approx(e_exp, rel=1e-5)
+
+
+@pytest.mark.slow
+def test_trained_prnn_reaches_high_fidelity():
+    n = 8
+    e0, gs = exact.ground_state(exact.tfim1d_dense(n, 1.0))
+    ansatz = PRNN1D(num_sites=n, units=(24,))
+    trainer = VMCTrainer(
+        ansatz, TFIM1D(num_sites=n, bx=1.0), TrainConfig(num_samples=256)
+    )
+    state = trainer.init()
+    f_init = fidelity(ansatz, state.params, gs)
+    key = jax.random.PRNGKey(0)
+    for _ in range(300):
+        state, m = trainer.step(state, key)
+    f_trained = fidelity(ansatz, state.params, gs)
+    assert f_trained > 0.98
+    assert f_trained > f_init
