@@ -104,3 +104,39 @@ def test_trained_prnn_reaches_high_fidelity():
     f_trained = fidelity(ansatz, state.params, gs)
     assert f_trained > 0.98
     assert f_trained > f_init
+
+
+@pytest.mark.slow
+def test_fidelity_complex_u1_energy_projection():
+    """The complex path: CRNNU1 phases must survive the basis mapping.
+    J1-J2 conserves magnetization, so (a) fidelity against any eigenvector
+    outside the Sz=0 sector is exactly 0, (b) completeness sums to 1, and
+    (c) sum_k E_k F_k equals the exhaustive in-sector estimator expectation."""
+    from rnnwavefunctions_tpu import CRNNU1, J1J2
+
+    n = 6
+    ansatz = CRNNU1(num_sites=n, units=(8,))
+    ham = J1J2(num_sites=n, j1=1.0, j2=0.3, marshall_sign=True)
+    params = ansatz.init(jax.random.PRNGKey(11))
+    h = exact.j1j2_dense(n, 1.0, 0.3, marshall_sign=True)
+    w, v = np.linalg.eigh(h)
+
+    fids = np.array([fidelity(ansatz, params, v[:, k]) for k in range(1 << n)])
+    assert fids.sum() == pytest.approx(1.0, abs=1e-5)
+
+    # eigenvectors with no Sz=0-sector weight at all carry zero fidelity
+    # (degenerate eigh vectors may mix sectors, so test only the pure ones)
+    counts = basis_configs(n).sum(axis=1)
+    pure_off = np.abs(v[counts == n // 2]).sum(axis=0) < 1e-12
+    assert pure_off.any()
+    assert np.all(fids[pure_off] < 1e-10)
+
+    e_proj = float(np.sum(w * fids))
+
+    sector = jnp.asarray(basis_configs(n)[counts == n // 2])
+    p = np.exp(np.asarray(ansatz.log_prob(params, sector), np.float64))
+    assert p.sum() == pytest.approx(1.0, rel=1e-5)
+    le = make_local_energy_fn(ansatz, ham)
+    e_re, _, _ = le(params, sector, ansatz.log_amp_parts(params, sector))
+    e_exp = float(np.sum(p * np.asarray(e_re)))
+    assert e_proj == pytest.approx(e_exp, rel=1e-4)
