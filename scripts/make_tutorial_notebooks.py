@@ -242,6 +242,22 @@ ax.set_xlabel("VMC step")
 ax.set_ylabel(r"$\\mathrm{var}(E_{loc})$")
 """),
     md("""\
+### Wavefunction fidelity
+
+An energy match can hide errors on low-weight configurations; the overlap
+with the exact ground state,
+$F = |\\langle \\psi_\\theta | \\psi_0 \\rangle|^2$, checks the **whole**
+wavefunction at once (dense $2^N$ basis, so small $N$ only — the reference
+notebooks stop at the energy comparison):
+"""),
+    code("""\
+from rnnwavefunctions_tpu.ed.fidelity import fidelity
+
+F = fidelity(trainer.ansatz, state.params, gs)
+print(f"fidelity |<psi_theta|psi_0>|^2 = {F:.6f}")
+assert 0.5 < F <= 1.0 + 1e-9
+"""),
+    md("""\
 ## Explorations
 
 - **Parity symmetry.**  The TFIM ground state is reflection-symmetric, but
@@ -450,6 +466,22 @@ variance only grows as the optimizer moves through genuinely quantum
 territory before both collapse toward the ground state.  Watch energy and
 variance **together** — a small variance alone does not certify
 convergence for sign-structured models.
+"""),
+    md("""\
+### Wavefunction fidelity
+
+For a sign-structured model the fidelity
+$F = |\\langle \\psi_\\theta | \\psi_0 \\rangle|^2$ is the decisive check:
+it sees the **phases**, which the energy estimate only samples indirectly.
+(The U(1) constraint means $\\psi_\\theta$ lives entirely in the $S_z=0$
+sector, like the exact ground state.)
+"""),
+    code("""\
+from rnnwavefunctions_tpu.ed.fidelity import fidelity
+
+F = fidelity(trainer.ansatz, state.params, gs)
+print(f"fidelity |<psi_theta|psi_0>|^2 = {F:.6f}")
+assert 0.0 < F <= 1.0 + 1e-9
 """),
     md("""\
 ## Explorations
