@@ -140,3 +140,30 @@ def test_fidelity_complex_u1_energy_projection():
     e_re, _, _ = le(params, sector, ansatz.log_amp_parts(params, sector))
     e_exp = float(np.sum(p * np.asarray(e_re)))
     assert e_proj == pytest.approx(e_exp, rel=1e-4)
+
+
+@pytest.mark.slow
+def test_fidelity_snake2d_flat_mapping():
+    """PRNNSnake2D samples are y-major flat vectors — the exact row order
+    of tfim2d_dense (idx = y*nx + x) — so the 1D flat mapping applies;
+    pinned by the same energy-projection identity as the grid case."""
+    from rnnwavefunctions_tpu.models.prnn_snake2d import PRNNSnake2D
+
+    nx, ny, bx = 3, 2, 1.1
+    n = nx * ny
+    ansatz = PRNNSnake2D(nx=nx, ny=ny, units=(6,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(5))
+    h = exact.tfim2d_dense(nx, ny, bx)
+    w, v = np.linalg.eigh(h)
+
+    e_proj = sum(w[k] * fidelity(ansatz, params, v[:, k]) for k in range(1 << n))
+
+    ham = TFIM2D(nx=nx, ny=ny, bx=bx, encoding="flat")
+    flat = jnp.asarray(basis_configs(n))
+    p = np.exp(np.asarray(ansatz.log_prob(params, flat), np.float64))
+    assert p.sum() == pytest.approx(1.0, rel=1e-6)
+    le = make_local_energy_fn(ansatz, ham)
+    e_loc = np.asarray(le(params, flat, ansatz.log_amp(params, flat))[0])
+    e_exp = float(np.sum(p * np.real(e_loc)))
+
+    assert e_proj == pytest.approx(e_exp, rel=1e-5)
