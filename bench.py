@@ -237,6 +237,9 @@ def main():
         ("1dtfim_n1000_s64", PRNN1D(num_sites=1000, units=(50,)),
          TFIM1D(num_sites=1000, bx=1.0), 64, SLOW_STEPS_PER_TRIAL,
          flops_tfim_plain(1000, 50, 64)),
+        ("parity_n1000_s64", PRNN1D(num_sites=1000, units=(50,), parity=True),
+         TFIM1D(num_sites=1000, bx=1.0), 64, SLOW_STEPS_PER_TRIAL,
+         flops_tfim_parity(1000, 50, 64)),
         ("j1j2_n1000_s64", CRNNU1(num_sites=1000, units=(50,)),
          J1J2(num_sites=1000, j2=0.2), 64, SLOW_STEPS_PER_TRIAL,
          flops_j1j2(1000, 50, 64, group=16)),
