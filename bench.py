@@ -245,25 +245,32 @@ def main():
          flops_j1j2(1000, 50, 64, group=16)),
     ]
 
-    # The dev-environment device tunnel can hang outright (CLAUDE.md); a
-    # SIGALRM watchdog turns a hung row into a recorded error, and if no
-    # row has succeeded yet the device is unreachable — skip the rest
-    # instead of burning one timeout per row.
+    # Best-effort per-row SIGALRM watchdog: it fires on interruptible
+    # stalls (retry loops, slow dispatch queues) but NOT on the tunnel's
+    # worst mode — a block inside a GIL-holding C call — which only the
+    # subprocess probe above and the driver's outer timeout can bound.
+    # After a row times out, skip the remaining rows (a mid-run device
+    # loss would otherwise burn one timeout each); ordinary row failures
+    # (compile error, OOM) never skip anything.
     signal.signal(signal.SIGALRM, _on_alarm)
 
     rows = {}
-    device_seen = False
+    hang_seen = False
     for name, ansatz, ham, num_samples, steps, flops_per_step in workloads:
-        if not device_seen and any("error" in r for r in rows.values()):
-            rows[name] = {"error": "skipped: device unreachable"}
+        if hang_seen:
+            rows[name] = {"error": "skipped: earlier row timed out"}
             continue
         try:
             signal.alarm(ROW_TIMEOUT_S)
             cfg = TrainConfig(num_samples=num_samples, learning_rate=5e-3)
             trainer = VMCTrainer(ansatz, ham, cfg)
             steps_per_sec = measure(trainer, steps=steps)
-            device_seen = True
-        except (Exception, _RowTimeout) as e:  # a broken row must not lose the record
+        except _RowTimeout as e:
+            print(f"{name}: TIMED OUT ({e})", file=sys.stderr)
+            rows[name] = {"error": f"timeout: {e}"[:200]}
+            hang_seen = True
+            continue
+        except Exception as e:  # a broken row must not lose the record
             print(f"{name}: FAILED ({type(e).__name__}: {e})", file=sys.stderr)
             rows[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             continue

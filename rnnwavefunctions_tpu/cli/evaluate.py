@@ -98,8 +98,21 @@ def build_problem(args):
                  periodic=args.periodic))
 
 
+def _num_sites(args) -> int:
+    if args.workload in ("2dtfim-1drnn", "2dtfim-2drnn"):
+        return args.systemsize_x * args.systemsize_y
+    return args.systemsize
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.fidelity and _num_sites(args) > 16:
+        # fail fast, BEFORE the measurement loop and before any dense 2^N
+        # allocation could be attempted
+        raise SystemExit(
+            f"--fidelity needs a dense 2^N diagonalization; "
+            f"N={_num_sites(args)} > 16"
+        )
     ansatz, ham = build_problem(args)
     trainer = VMCTrainer(
         ansatz, ham,
@@ -157,25 +170,20 @@ def _ed_fidelity(args, ansatz, params):
     """Exact-diagonalization fidelity block: |<psi_theta|psi_0>|^2 plus the
     exact ground energy, for systems small enough to diagonalize densely.
     A validation surface the reference's tutorials approximate with an
-    energy comparison only (Tutorial_1DTFIM.ipynb cell 18)."""
+    energy comparison only (Tutorial_1DTFIM.ipynb cell 18).  The N <= 16
+    bound is enforced in ``main`` before anything is measured or
+    allocated."""
     from ..ed import exact
     from ..ed.fidelity import fidelity
 
     if args.workload == "1dtfim":
-        n = args.systemsize
-        h = exact.tfim1d_dense(n, args.bx)
+        h = exact.tfim1d_dense(args.systemsize, args.bx)
     elif args.workload in ("2dtfim-1drnn", "2dtfim-2drnn"):
-        n = args.systemsize_x * args.systemsize_y
         h = exact.tfim2d_dense(args.systemsize_x, args.systemsize_y, args.bx)
     else:
-        n = args.systemsize
-        h = exact.j1j2_dense(n, j1=args.j1, j2=args.j2,
+        h = exact.j1j2_dense(args.systemsize, j1=args.j1, j2=args.j2,
                              periodic=args.periodic,
                              marshall_sign=args.marshall_sign)
-    if n > 16:
-        raise SystemExit(
-            f"--fidelity needs a dense 2^N diagonalization; N={n} > 16"
-        )
     e0, gs = exact.ground_state(h)
     return {
         "fidelity": fidelity(ansatz, params, gs),

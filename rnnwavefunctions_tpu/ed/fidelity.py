@@ -43,10 +43,18 @@ def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
     if hasattr(ansatz, "nx"):  # grid-encoded 2D ansatz: [x, y] sample layout
         configs = configs.reshape(dim, ansatz.ny, ansatz.nx).transpose(0, 2, 1)
 
+    # prefer log_amp_parts: the TPU backend lacks complex64 (CLAUDE.md) and
+    # complex ansaetze expose (Re, Im) real pairs as their device-native form
+    has_parts = hasattr(ansatz, "log_amp_parts")
     parts = []
     for lo in range(0, dim, chunk):
-        la = ansatz.log_amp(params, jnp.asarray(configs[lo : lo + chunk]))
-        parts.append(np.asarray(la))
+        block = jnp.asarray(configs[lo : lo + chunk])
+        if has_parts:
+            re, im = ansatz.log_amp_parts(params, block)
+            parts.append(np.asarray(re).astype(np.complex128)
+                         + 1j * np.asarray(im, np.float64))
+        else:
+            parts.append(np.asarray(ansatz.log_amp(params, block)))
     log_amp = np.concatenate(parts).astype(np.complex128)
 
     # subtract the max before exponentiating, then renormalize: fidelity is

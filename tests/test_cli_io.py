@@ -218,3 +218,15 @@ def test_cli_matmul_precision_flag(tmp_path):
         "--num-devices", "1", "--matmul-precision", "highest",
     ])
     assert len(mean_e) == 5 and np.isfinite(np.asarray(mean_e)).all()
+
+
+def test_cli_evaluate_fidelity_rejects_large_n_fast():
+    """--fidelity with N>16 must exit BEFORE any dense 2^N allocation or
+    measurement work (review finding: the guard used to sit after both)."""
+    from rnnwavefunctions_tpu.cli import evaluate
+
+    with pytest.raises(SystemExit, match="N=20 > 16"):
+        evaluate.main([
+            "/nonexistent-ckpt", "--workload", "1dtfim",
+            "--systemsize", "20", "--fidelity",
+        ])
