@@ -21,6 +21,11 @@
 //   int j1j2_ground_energy(int n, double j1, double j2, double bz,
 //                          int periodic, int marshall, int max_iter,
 //                          double* out_energy);
+//   *_ground_state variants additionally fill a caller-allocated 2^N
+//   eigenvector (two-pass Lanczos: replay the seeded Krylov recurrence,
+//   accumulate x = sum_k y_k q_k) and its residual ||Hx - lambda x||.
+//   For a DEGENERATE ground level the vector is one member of the
+//   degenerate subspace (whichever the seeded start vector selects).
 // Return 0 on success.
 
 #include <cmath>
@@ -69,11 +74,62 @@ double tridiag_min_eig(const std::vector<double>& a,
   return 0.5 * (lo + hi);
 }
 
-// Plain Lanczos for the minimum eigenvalue of a symmetric operator given by
+// Ground eigenvector of a symmetric tridiagonal matrix by inverse
+// iteration: solve (T - shift I) z = y with partial-pivot Gaussian
+// elimination on the tridiagonal band (one superdiagonal of fill), shift
+// a hair off the converged eigenvalue to keep the system nonsingular.
+std::vector<double> tridiag_ground_vec(const std::vector<double>& a,
+                                       const std::vector<double>& b,
+                                       double lambda) {
+  const int m = static_cast<int>(a.size());
+  std::vector<double> y(m, 1.0 / std::sqrt(static_cast<double>(m)));
+  const double shift = lambda - 1e-11 * (1.0 + std::fabs(lambda));
+  for (int pass = 0; pass < 3; ++pass) {
+    // band rows over columns (i, i+1, i+2): [d, e, f]; sub[i] is row i's
+    // entry in column i-1 before elimination
+    std::vector<double> d(m), e(m, 0.0), f(m, 0.0), sub(m, 0.0), r(y);
+    for (int i = 0; i < m; ++i) d[i] = a[i] - shift;
+    for (int i = 0; i + 1 < m; ++i) {
+      e[i] = b[i];
+      sub[i + 1] = b[i];
+    }
+    for (int i = 0; i + 1 < m; ++i) {
+      if (std::fabs(sub[i + 1]) > std::fabs(d[i])) {
+        std::swap(d[i], sub[i + 1]);
+        std::swap(e[i], d[i + 1]);
+        std::swap(f[i], e[i + 1]);
+        std::swap(r[i], r[i + 1]);
+      }
+      const double piv = d[i] != 0.0 ? d[i] : 1e-300;
+      const double factor = sub[i + 1] / piv;
+      d[i + 1] -= factor * e[i];
+      e[i + 1] -= factor * f[i];
+      r[i + 1] -= factor * r[i];
+    }
+    for (int i = m - 1; i >= 0; --i) {
+      double acc = r[i];
+      if (i + 1 < m) acc -= e[i] * y[i + 1];
+      if (i + 2 < m) acc -= f[i] * y[i + 2];
+      y[i] = acc / (d[i] != 0.0 ? d[i] : 1e-300);
+    }
+    double nrm = 0.0;
+    for (int i = 0; i < m; ++i) nrm += y[i] * y[i];
+    nrm = std::sqrt(nrm);
+    for (int i = 0; i < m; ++i) y[i] /= nrm;
+  }
+  return y;
+}
+
+// Plain Lanczos for the minimum eigenpair of a symmetric operator given by
 // `matvec(in, out)`.  No reorthogonalization — ghost eigenvalues duplicate
-// converged extremes but do not move the minimum.
+// converged extremes but do not move the minimum.  When `out_vec` is
+// non-null, a second pass regenerates the (deterministic, seeded) Krylov
+// basis and accumulates the ground eigenvector x = sum_k y_k q_k; the
+// replay reuses the recorded alpha/beta so the basis is bit-identical to
+// pass 1.  `out_resid` (optional) receives ||H x - lambda x||.
 template <typename MatVec>
-int lanczos_min_eig(size_t dim, MatVec matvec, int max_iter, double* out) {
+int lanczos_ground(size_t dim, MatVec matvec, int max_iter, double* out,
+                   double* out_vec = nullptr, double* out_resid = nullptr) {
   std::vector<double> v_prev(dim, 0.0), v(dim), w(dim);
   std::mt19937_64 rng(12345);
   std::uniform_real_distribution<double> u(-1.0, 1.0);
@@ -88,6 +144,7 @@ int lanczos_min_eig(size_t dim, MatVec matvec, int max_iter, double* out) {
   std::vector<double> alpha, beta;
   double prev_min = 1e300;
   const int m = max_iter > 0 ? max_iter : 300;
+  bool exhausted = false;
   for (int k = 0; k < m; ++k) {
     matvec(v.data(), w.data());
     const double bk = beta.empty() ? 0.0 : beta.back();
@@ -107,14 +164,14 @@ int lanczos_min_eig(size_t dim, MatVec matvec, int max_iter, double* out) {
     // v[i] /= bnew below regardless of k, or tiny dimensions (dim <= 10)
     // divide by ~0 and poison the recurrence with inf/NaN.
     if (bnew < 1e-12) {
-      *out = tridiag_min_eig(alpha, beta);
-      return 0;
+      exhausted = true;
+      break;
     }
     if (k >= 9 && k % 5 == 4) {
       const double cur = tridiag_min_eig(alpha, beta);
       if (std::fabs(cur - prev_min) < 1e-11 * (1.0 + std::fabs(cur))) {
-        *out = cur;
-        return 0;
+        exhausted = true;
+        break;
       }
       prev_min = cur;
     }
@@ -123,17 +180,70 @@ int lanczos_min_eig(size_t dim, MatVec matvec, int max_iter, double* out) {
     v.swap(w);
     for (size_t i = 0; i < dim; ++i) v[i] /= bnew;
   }
-  beta.pop_back();
-  *out = tridiag_min_eig(alpha, beta);
+  if (!exhausted && beta.size() == alpha.size()) beta.pop_back();
+  const double lambda = tridiag_min_eig(alpha, beta);
+  *out = lambda;
+  if (out_vec == nullptr) return 0;
+
+  // --- pass 2: replay the recurrence, accumulate x = sum_k y_k q_k ------
+  const std::vector<double> y = tridiag_ground_vec(alpha, beta, lambda);
+  const int steps = static_cast<int>(alpha.size());
+  std::fill(v_prev.begin(), v_prev.end(), 0.0);
+  std::mt19937_64 rng2(12345);
+  nrm = 0.0;
+  for (size_t i = 0; i < dim; ++i) {
+    v[i] = u(rng2);
+    nrm += v[i] * v[i];
+  }
+  nrm = std::sqrt(nrm);
+  for (size_t i = 0; i < dim; ++i) v[i] /= nrm;
+
+  std::vector<double> x(dim, 0.0);
+  for (int k = 0; k < steps; ++k) {
+    const double yk = y[k];
+    for (size_t i = 0; i < dim; ++i) x[i] += yk * v[i];
+    if (k + 1 >= steps) break;
+    matvec(v.data(), w.data());
+    const double bk = k > 0 ? beta[k - 1] : 0.0;
+    for (size_t i = 0; i < dim; ++i) w[i] -= bk * v_prev[i];
+    const double ak = alpha[k];
+    const double bnew = beta[k];
+    for (size_t i = 0; i < dim; ++i) w[i] -= ak * v[i];
+    v_prev.swap(v);
+    v.swap(w);
+    for (size_t i = 0; i < dim; ++i) v[i] /= bnew;
+  }
+  // normalize (lost orthogonality can leave ||x|| slightly off 1)
+  nrm = 0.0;
+  for (size_t i = 0; i < dim; ++i) nrm += x[i] * x[i];
+  nrm = std::sqrt(nrm);
+  if (nrm < 1e-300) return 2;
+  for (size_t i = 0; i < dim; ++i) x[i] /= nrm;
+
+  if (out_resid != nullptr) {
+    matvec(x.data(), w.data());
+    double r2 = 0.0;
+    for (size_t i = 0; i < dim; ++i) {
+      const double ri = w[i] - lambda * x[i];
+      r2 += ri * ri;
+    }
+    *out_resid = std::sqrt(r2);
+  }
+  std::memcpy(out_vec, x.data(), dim * sizeof(double));
   return 0;
+}
+
+template <typename MatVec>
+int lanczos_min_eig(size_t dim, MatVec matvec, int max_iter, double* out) {
+  return lanczos_ground(dim, matvec, max_iter, out);
 }
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-int tfim1d_ground_energy(int n, double bx, const double* jz, int max_iter,
-                         double* out_energy) {
+int tfim1d_impl(int n, double bx, const double* jz, int max_iter,
+                double* out_energy, double* out_vec, double* out_resid) {
   if (n < 2 || n > 28) return 1;
   const size_t dim = size_t{1} << n;
   std::vector<double> diag(dim);
@@ -153,11 +263,30 @@ int tfim1d_ground_energy(int n, double bx, const double* jz, int max_iter,
       out[s] = acc;
     }
   };
-  return lanczos_min_eig(dim, matvec, max_iter, out_energy);
+  return lanczos_ground(dim, matvec, max_iter, out_energy, out_vec,
+                        out_resid);
 }
 
-int tfim2d_ground_energy(int nx, int ny, double bx, double jz, int max_iter,
+}  // namespace
+
+extern "C" {
+
+int tfim1d_ground_energy(int n, double bx, const double* jz, int max_iter,
                          double* out_energy) {
+  return tfim1d_impl(n, bx, jz, max_iter, out_energy, nullptr, nullptr);
+}
+
+// Two-pass Lanczos ground STATE: fills out_vec (caller-allocated, 2^n
+// doubles, ed/exact.py basis order) and out_resid = ||H x - lambda x||.
+int tfim1d_ground_state(int n, double bx, const double* jz, int max_iter,
+                        double* out_energy, double* out_vec,
+                        double* out_resid) {
+  return tfim1d_impl(n, bx, jz, max_iter, out_energy, out_vec, out_resid);
+}
+
+int tfim2d_ground_state_impl(int nx, int ny, double bx, double jz,
+                             int max_iter, double* out_energy,
+                             double* out_vec, double* out_resid) {
   // 2D OBC lattice, flat index i = y*nx + x (matching ed/exact.py and the
   // snake/2DRNN sample layouts); H = -Jz sum_<ij> z_i z_j - Bx sum_i x_i.
   const int n = nx * ny;
@@ -189,11 +318,27 @@ int tfim2d_ground_energy(int nx, int ny, double bx, double jz, int max_iter,
       out[s] = acc;
     }
   };
-  return lanczos_min_eig(dim, matvec, max_iter, out_energy);
+  return lanczos_ground(dim, matvec, max_iter, out_energy, out_vec,
+                        out_resid);
 }
 
-int j1j2_ground_energy(int n, double j1, double j2, double bz, int periodic,
-                       int marshall, int max_iter, double* out_energy) {
+int tfim2d_ground_energy(int nx, int ny, double bx, double jz, int max_iter,
+                         double* out_energy) {
+  return tfim2d_ground_state_impl(nx, ny, bx, jz, max_iter, out_energy,
+                                  nullptr, nullptr);
+}
+
+int tfim2d_ground_state(int nx, int ny, double bx, double jz, int max_iter,
+                        double* out_energy, double* out_vec,
+                        double* out_resid) {
+  return tfim2d_ground_state_impl(nx, ny, bx, jz, max_iter, out_energy,
+                                  out_vec, out_resid);
+}
+
+int j1j2_ground_state_impl(int n, double j1, double j2, double bz,
+                           int periodic, int marshall, int max_iter,
+                           double* out_energy, double* out_vec,
+                           double* out_resid) {
   if (n < 3 || n > 28) return 1;
   const size_t dim = size_t{1} << n;
   const int lim1 = periodic ? n : n - 1;
@@ -239,7 +384,21 @@ int j1j2_ground_energy(int n, double j1, double j2, double bz, int periodic,
       out[s] = acc;
     }
   };
-  return lanczos_min_eig(dim, matvec, max_iter, out_energy);
+  return lanczos_ground(dim, matvec, max_iter, out_energy, out_vec,
+                        out_resid);
+}
+
+int j1j2_ground_energy(int n, double j1, double j2, double bz, int periodic,
+                       int marshall, int max_iter, double* out_energy) {
+  return j1j2_ground_state_impl(n, j1, j2, bz, periodic, marshall, max_iter,
+                                out_energy, nullptr, nullptr);
+}
+
+int j1j2_ground_state(int n, double j1, double j2, double bz, int periodic,
+                      int marshall, int max_iter, double* out_energy,
+                      double* out_vec, double* out_resid) {
+  return j1j2_ground_state_impl(n, j1, j2, bz, periodic, marshall, max_iter,
+                                out_energy, out_vec, out_resid);
 }
 
 }  // extern "C"

@@ -29,8 +29,9 @@ def basis_configs(n: int) -> np.ndarray:
 def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
     """Overlap-squared of the (explicitly renormalized) ansatz wavefunction
     with ``state_vector`` (a dense-ED eigenvector from
-    ``ed.exact.ground_state``).  Evaluates ``log_amp`` over the full basis
-    in ``chunk``-row batches; intended for N <= ~16."""
+    ``ed.exact.ground_state``, or a two-pass-Lanczos vector from
+    ``ed.native.*_ground_state`` which extends the reach to N ~ 24).
+    Evaluates ``log_amp`` over the full basis in ``chunk``-row batches."""
     import jax.numpy as jnp
 
     v0 = np.asarray(state_vector)

@@ -57,6 +57,22 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double),
     ]
+    _vec = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    _dp = ctypes.POINTER(ctypes.c_double)
+    lib.tfim1d_ground_state.restype = ctypes.c_int
+    lib.tfim1d_ground_state.argtypes = [
+        ctypes.c_int, ctypes.c_double, _vec, ctypes.c_int, _dp, _vec, _dp,
+    ]
+    lib.tfim2d_ground_state.restype = ctypes.c_int
+    lib.tfim2d_ground_state.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, _dp, _vec, _dp,
+    ]
+    lib.j1j2_ground_state.restype = ctypes.c_int
+    lib.j1j2_ground_state.argtypes = [
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _dp, _vec, _dp,
+    ]
     _lib = lib
     return lib
 
@@ -109,3 +125,50 @@ def j1j2_ground_energy(
     if rc != 0:
         raise ValueError(f"native ED failed (rc={rc}, n={n})")
     return out.value
+
+
+# -- ground-state VECTORS (two-pass Lanczos) --------------------------------
+# Extends ed.fidelity past the dense-eigh bound (N <= ~16) to N ~ 24:
+# (energy, vector in ed/exact.py basis order, residual ||Hx - Ex||).  For a
+# degenerate ground level the vector is one member of the degenerate
+# subspace, so treat the fidelity against it as a lower bound.
+
+def tfim1d_ground_state(n: int, bx: float, jz=None, max_iter: int = 300):
+    lib = _load()
+    if jz is None:
+        jz = np.ones(max(n - 1, 1))
+    jz = np.ascontiguousarray(jz, np.float64)
+    e, r = ctypes.c_double(), ctypes.c_double()
+    vec = np.zeros(1 << n, np.float64)
+    rc = lib.tfim1d_ground_state(n, float(bx), jz, max_iter,
+                                 ctypes.byref(e), vec, ctypes.byref(r))
+    if rc != 0:
+        raise ValueError(f"native ED failed (rc={rc}, n={n})")
+    return e.value, vec, r.value
+
+
+def tfim2d_ground_state(nx: int, ny: int, bx: float, jz: float = 1.0,
+                        max_iter: int = 300):
+    lib = _load()
+    e, r = ctypes.c_double(), ctypes.c_double()
+    vec = np.zeros(1 << (nx * ny), np.float64)
+    rc = lib.tfim2d_ground_state(nx, ny, float(bx), float(jz), max_iter,
+                                 ctypes.byref(e), vec, ctypes.byref(r))
+    if rc != 0:
+        raise ValueError(f"native ED failed (rc={rc}, {nx}x{ny})")
+    return e.value, vec, r.value
+
+
+def j1j2_ground_state(n: int, j1: float = 1.0, j2: float = 0.0,
+                      bz: float = 0.0, periodic: bool = False,
+                      marshall_sign: bool = False, max_iter: int = 300):
+    lib = _load()
+    e, r = ctypes.c_double(), ctypes.c_double()
+    vec = np.zeros(1 << n, np.float64)
+    rc = lib.j1j2_ground_state(
+        n, float(j1), float(j2), float(bz), int(periodic),
+        int(marshall_sign), max_iter, ctypes.byref(e), vec, ctypes.byref(r),
+    )
+    if rc != 0:
+        raise ValueError(f"native ED failed (rc={rc}, n={n})")
+    return e.value, vec, r.value

@@ -52,3 +52,51 @@ def test_tfim2d_lanczos_matches_dense():
         want = exact.ground_state_energy(exact.tfim2d_dense(nx, ny, bx))
         got = native.tfim2d_ground_energy(nx, ny, bx)
         np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_tfim_lanczos_ground_vector_matches_dense():
+    for n, bx in [(8, 1.0), (10, 0.7)]:
+        e_want, v_want = exact.ground_state(exact.tfim1d_dense(n, bx))
+        e, vec, resid = native.tfim1d_ground_state(n, bx)
+        np.testing.assert_allclose(e, e_want, rtol=1e-9)
+        assert resid < 1e-5
+        assert abs(np.dot(v_want, vec)) > 1.0 - 1e-8  # overlap up to sign
+
+
+def test_tfim2d_lanczos_ground_vector_matches_dense():
+    e_want, v_want = exact.ground_state(exact.tfim2d_dense(3, 3, 3.0))
+    e, vec, resid = native.tfim2d_ground_state(3, 3, 3.0)
+    np.testing.assert_allclose(e, e_want, rtol=1e-9)
+    assert resid < 1e-5 and abs(np.dot(v_want, vec)) > 1.0 - 1e-8
+
+
+def test_j1j2_lanczos_ground_vector_matches_dense():
+    n = 8
+    e_want, v_want = exact.ground_state(
+        exact.j1j2_dense(n, 1.0, 0.3, marshall_sign=True)
+    )
+    e, vec, resid = native.j1j2_ground_state(n, 1.0, 0.3, marshall_sign=True)
+    np.testing.assert_allclose(e, e_want, rtol=1e-9)
+    assert resid < 1e-5 and abs(np.dot(v_want, vec)) > 1.0 - 1e-8
+
+
+@pytest.mark.slow
+def test_fidelity_against_lanczos_vector_beyond_dense():
+    """The Lanczos vector plugs straight into ed.fidelity: a table ansatz
+    holding |gs| reaches F ~= 1 at N=18 — past any dense eigh."""
+    from rnnwavefunctions_tpu.ed.fidelity import fidelity
+
+    n = 18
+    e, vec, resid = native.tfim1d_ground_state(n, 1.0)
+    assert resid < 1e-4
+
+    class _Table:
+        def log_amp(self, params, samples):
+            import jax.numpy as jnp
+            s = np.asarray(samples)
+            codes = s @ (1 << np.arange(n, dtype=np.int64))
+            return jnp.asarray(np.log(np.abs(vec[codes]) + 1e-300))
+
+    # TFIM GS is non-negative (Perron-Frobenius), so |gs| == gs up to sign
+    f = fidelity(_Table(), None, vec, chunk=1 << 15)
+    assert f > 1.0 - 1e-5
