@@ -53,8 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU matmul precision for the measurement step "
                         "(match the training run's setting)")
     p.add_argument("--fidelity", action="store_true",
-                   help="also report |<psi_theta|psi_0>|^2 against the dense-"
-                        "ED ground state (N <= 16 only)")
+                   help="also report |<psi_theta|psi_0>|^2 against the exact "
+                        "ground state (dense eigh to N=16, C++ Lanczos "
+                        "vector to N=24)")
     p.add_argument("--numsamples", type=int, default=1024)
     p.add_argument("--num-batches", type=int, default=10)
     p.add_argument("--num-devices", type=int, default=None)
@@ -106,12 +107,13 @@ def _num_sites(args) -> int:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.fidelity and _num_sites(args) > 16:
-        # fail fast, BEFORE the measurement loop and before any dense 2^N
-        # allocation could be attempted
+    if args.fidelity and _num_sites(args) > 24:
+        # fail fast, BEFORE the measurement loop and before any 2^N
+        # allocation could be attempted (dense eigh to N=16, the C++
+        # two-pass Lanczos beyond)
         raise SystemExit(
-            f"--fidelity needs a dense 2^N diagonalization; "
-            f"N={_num_sites(args)} > 16"
+            f"--fidelity needs an exact 2^N ground vector; "
+            f"N={_num_sites(args)} > 24 (Lanczos bound)"
         )
     ansatz, ham = build_problem(args)
     trainer = VMCTrainer(
@@ -168,23 +170,41 @@ def main(argv=None):
 
 def _ed_fidelity(args, ansatz, params):
     """Exact-diagonalization fidelity block: |<psi_theta|psi_0>|^2 plus the
-    exact ground energy, for systems small enough to diagonalize densely.
-    A validation surface the reference's tutorials approximate with an
-    energy comparison only (Tutorial_1DTFIM.ipynb cell 18).  The N <= 16
-    bound is enforced in ``main`` before anything is measured or
-    allocated."""
+    exact ground energy.  Dense eigh to N=16; 17..24 uses the C++ two-pass
+    Lanczos ground vector (ed/native.py).  A validation surface the
+    reference's tutorials approximate with an energy comparison only
+    (Tutorial_1DTFIM.ipynb cell 18).  The N <= 24 bound is enforced in
+    ``main`` before anything is measured or allocated."""
     from ..ed import exact
     from ..ed.fidelity import fidelity
 
-    if args.workload == "1dtfim":
-        h = exact.tfim1d_dense(args.systemsize, args.bx)
-    elif args.workload in ("2dtfim-1drnn", "2dtfim-2drnn"):
-        h = exact.tfim2d_dense(args.systemsize_x, args.systemsize_y, args.bx)
+    if _num_sites(args) <= 16:
+        if args.workload == "1dtfim":
+            h = exact.tfim1d_dense(args.systemsize, args.bx)
+        elif args.workload in ("2dtfim-1drnn", "2dtfim-2drnn"):
+            h = exact.tfim2d_dense(args.systemsize_x, args.systemsize_y,
+                                   args.bx)
+        else:
+            h = exact.j1j2_dense(args.systemsize, j1=args.j1, j2=args.j2,
+                                 periodic=args.periodic,
+                                 marshall_sign=args.marshall_sign)
+        e0, gs = exact.ground_state(h)
     else:
-        h = exact.j1j2_dense(args.systemsize, j1=args.j1, j2=args.j2,
-                             periodic=args.periodic,
-                             marshall_sign=args.marshall_sign)
-    e0, gs = exact.ground_state(h)
+        try:
+            from ..ed import native
+        except ImportError as e:
+            raise SystemExit(
+                f"--fidelity at N>16 needs the native Lanczos oracle: {e}"
+            )
+        if args.workload == "1dtfim":
+            e0, gs, _ = native.tfim1d_ground_state(args.systemsize, args.bx)
+        elif args.workload in ("2dtfim-1drnn", "2dtfim-2drnn"):
+            e0, gs, _ = native.tfim2d_ground_state(
+                args.systemsize_x, args.systemsize_y, args.bx)
+        else:
+            e0, gs, _ = native.j1j2_ground_state(
+                args.systemsize, j1=args.j1, j2=args.j2,
+                periodic=args.periodic, marshall_sign=args.marshall_sign)
     return {
         "fidelity": fidelity(ansatz, params, gs),
         "energy_exact": e0,

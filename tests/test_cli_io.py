@@ -221,12 +221,13 @@ def test_cli_matmul_precision_flag(tmp_path):
 
 
 def test_cli_evaluate_fidelity_rejects_large_n_fast():
-    """--fidelity with N>16 must exit BEFORE any dense 2^N allocation or
-    measurement work (review finding: the guard used to sit after both)."""
+    """--fidelity with N>24 must exit BEFORE any 2^N allocation or
+    measurement work (review finding: the guard used to sit after both);
+    16 < N <= 24 is served by the native Lanczos vector instead."""
     from rnnwavefunctions_tpu.cli import evaluate
 
-    with pytest.raises(SystemExit, match="N=20 > 16"):
+    with pytest.raises(SystemExit, match="N=26 > 24"):
         evaluate.main([
             "/nonexistent-ckpt", "--workload", "1dtfim",
-            "--systemsize", "20", "--fidelity",
+            "--systemsize", "26", "--fidelity",
         ])
