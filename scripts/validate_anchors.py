@@ -69,6 +69,47 @@ def run_j1j2(n, j2, steps, num_samples=512):
     return energy_estimate(means, varis, num_samples)
 
 
+def fidelity_check(n=20, steps=3000, num_samples=500):
+    """Train the N-site TFIM chain and report |<psi_theta|psi_0>|^2 against
+    the exact ground vector (dense eigh to N=16, the C++ two-pass Lanczos
+    beyond) — the whole-wavefunction counterpart to the energy anchors."""
+    import json as _json
+
+    from rnnwavefunctions_tpu.ed.fidelity import fidelity
+
+    if n <= 16:
+        from rnnwavefunctions_tpu.ed import exact
+        e0, gs = exact.ground_state(exact.tfim1d_dense(n, 1.0))
+    else:
+        from rnnwavefunctions_tpu.ed import native
+        e0, gs, _resid = native.tfim1d_ground_state(n, 1.0)
+
+    ansatz = PRNN1D(num_sites=n, units=(50,))
+    trainer = VMCTrainer(
+        ansatz, TFIM1D(num_sites=n, bx=1.0),
+        TrainConfig(num_samples=num_samples, learning_rate=5e-3),
+    )
+    state = trainer.init()
+    key = jax.random.PRNGKey(0)
+    chunk = 500
+    t0 = time.time()
+    for _ in range(max(steps // chunk, 1)):
+        state, ms = trainer.run_steps(state, key, chunk)
+    est = float(np.asarray(ms["mean_energy"])[-1])
+    f = fidelity(ansatz, state.params, gs, chunk=1 << 14)
+    out = {
+        "check": f"tfim_n{n}_fidelity",
+        "fidelity": f,
+        "energy_exact": e0,
+        "energy_final": est,
+        "rel_error": abs(est - e0) / abs(e0),
+        "steps": steps,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(_json.dumps(out), flush=True)
+    return out
+
+
 def _all_configs(n):
     """(2^N, N) int32 matrix of every spin configuration."""
     idx = np.arange(2**n, dtype=np.int64)
@@ -159,10 +200,16 @@ def main(argv=None):
     p.add_argument("--gof", action="store_true",
                    help="sampler goodness-of-fit only (chi-square of the "
                         "on-chip Pallas samplers vs exact probabilities)")
+    p.add_argument("--fidelity", type=int, metavar="N", default=None,
+                   help="train the N-site TFIM and report the exact-ground-"
+                        "state fidelity (dense to N=16, Lanczos to N=24)")
     args = p.parse_args(argv)
 
     if args.gof:
         return sampler_gof()
+    if args.fidelity is not None:
+        return fidelity_check(n=args.fidelity,
+                              steps=3000 if args.quick else 8000)
 
     anchors = []
     tfim_ns = [20, 100] if args.quick else [20, 40, 100]
