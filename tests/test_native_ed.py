@@ -100,3 +100,17 @@ def test_fidelity_against_lanczos_vector_beyond_dense():
     # TFIM GS is non-negative (Perron-Frobenius), so |gs| == gs up to sign
     f = fidelity(_Table(), None, vec, chunk=1 << 15)
     assert f > 1.0 - 1e-5
+
+
+def test_lanczos_vector_degenerate_ground_level():
+    """With a near-degenerate ground doublet (TFIM at small Bx, gap ~
+    exp(-N)) the returned vector is an arbitrary member of the ground
+    subspace — the contract is the residual and the subspace weight, not
+    a specific eigh column."""
+    n, bx = 8, 0.05
+    e, vec, resid = native.tfim1d_ground_state(n, bx)
+    w, v = np.linalg.eigh(exact.tfim1d_dense(n, bx))
+    np.testing.assert_allclose(e, w[0], rtol=1e-9)
+    assert resid < 1e-6
+    subspace_weight = sum(float(np.dot(v[:, k], vec)) ** 2 for k in range(2))
+    assert subspace_weight > 1.0 - 1e-8
