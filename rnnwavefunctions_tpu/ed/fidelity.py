@@ -40,16 +40,23 @@ def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
     if (1 << n) != dim:
         raise ValueError(f"state vector length {dim} is not a power of two")
 
-    configs = basis_configs(n)
-    if hasattr(ansatz, "nx"):  # grid-encoded 2D ansatz: [x, y] sample layout
-        configs = configs.reshape(dim, ansatz.ny, ansatz.nx).transpose(0, 2, 1)
+    # build the basis block-by-block: the full (2^N, N) table is ~1.6 GB at
+    # N=24, but any one chunk is tiny
+    is_grid = hasattr(ansatz, "nx")  # grid-encoded 2D ansatz: [x, y] layout
+
+    def _block(lo, hi):
+        idx = np.arange(lo, hi, dtype=np.int64)
+        b = ((idx[:, None] >> np.arange(n)[None, :]) & 1).astype(np.int32)
+        if is_grid:
+            b = b.reshape(-1, ansatz.ny, ansatz.nx).transpose(0, 2, 1)
+        return b
 
     # prefer log_amp_parts: the TPU backend lacks complex64 (CLAUDE.md) and
     # complex ansaetze expose (Re, Im) real pairs as their device-native form
     has_parts = hasattr(ansatz, "log_amp_parts")
     parts = []
     for lo in range(0, dim, chunk):
-        block = jnp.asarray(configs[lo : lo + chunk])
+        block = jnp.asarray(_block(lo, min(lo + chunk, dim)))
         if has_parts:
             re, im = ansatz.log_amp_parts(params, block)
             parts.append(np.asarray(re).astype(np.complex128)
