@@ -52,17 +52,27 @@ def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
         return b
 
     # prefer log_amp_parts: the TPU backend lacks complex64 (CLAUDE.md) and
-    # complex ansaetze expose (Re, Im) real pairs as their device-native form
+    # complex ansaetze expose (Re, Im) real pairs as their device-native
+    # form; jit once — every chunk has the same shape, so the trace caches
+    import jax
+
     has_parts = hasattr(ansatz, "log_amp_parts")
+    raw = ansatz.log_amp_parts if has_parts else ansatz.log_amp
+    jitted = jax.jit(lambda p, b: raw(p, b))
+    try:  # host-side table oracles (tests) are not traceable — stay eager
+        jitted(params, jnp.asarray(_block(0, min(chunk, dim))))
+        eval_chunk = jitted
+    except Exception:
+        eval_chunk = raw
     parts = []
     for lo in range(0, dim, chunk):
         block = jnp.asarray(_block(lo, min(lo + chunk, dim)))
         if has_parts:
-            re, im = ansatz.log_amp_parts(params, block)
+            re, im = eval_chunk(params, block)
             parts.append(np.asarray(re).astype(np.complex128)
                          + 1j * np.asarray(im, np.float64))
         else:
-            parts.append(np.asarray(ansatz.log_amp(params, block)))
+            parts.append(np.asarray(eval_chunk(params, block)))
     log_amp = np.concatenate(parts).astype(np.complex128)
 
     # subtract the max before exponentiating, then renormalize: fidelity is
