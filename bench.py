@@ -166,9 +166,43 @@ def measure(trainer, steps=STEPS_PER_TRIAL):
     return sorted(rates)[len(rates) // 2]
 
 
+def _last_good_onchip():
+    """Newest flagship record from the driver's BENCH_r*.json archives whose
+    run actually reached the device (value > 0), plus a pointer to the
+    full per-workload tables.  Returned inside the dead-tunnel record so a
+    tunnel outage at bench time never erases the measured history."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            line = [l for l in rec.get("tail", "").splitlines()
+                    if l.startswith("{")][-1]
+            flag = json.loads(line)
+            if flag.get("value", 0) > 0 and "error" not in flag:
+                return {
+                    "source": os.path.basename(path),
+                    "metric": flag["metric"],
+                    "value": flag["value"],
+                    "unit": flag["unit"],
+                    "vs_baseline": flag["vs_baseline"],
+                    "full_tables": "BENCHMARKS.md (measured on-chip "
+                                   "pre-outage; see Round sections)",
+                }
+        except Exception:
+            continue
+    return None
+
+
 def main():
     if not _device_reachable():
-        # still print the one-line driver contract so the record exists
+        # still print the one-line driver contract so the record exists;
+        # value stays 0.0 (no fresh measurement) but carry the last good
+        # on-chip numbers, clearly marked stale, so the record is usable
         print("device unreachable: tunnel hang on backend init (probed in "
               "a subprocess, 2x150s)", file=sys.stderr)
         print(json.dumps({
@@ -177,6 +211,7 @@ def main():
             "unit": "samples/s",
             "vs_baseline": 0.0,
             "error": "device unreachable (tunnel hang on backend init)",
+            "stale_last_good_onchip": _last_good_onchip(),
         }))
         return
 
