@@ -414,12 +414,16 @@ def _flip_wavefront(
                                 acc, half, axis=1
                             )
                     else:
-                        ratio = jnp.exp(0.5 * (acc - lp_base))
-                        # mask the upper half when its flip is out of range
+                        # mask the upper half when its flip is out of range,
+                        # and clamp it BEFORE the exp (its acc is
+                        # uninitialized garbage that can overflow f32;
+                        # 0 * inf/NaN stays NaN — same idiom as
+                        # j1j2_exchange_kernel's dead-half clamp)
                         live = jnp.where(
                             upper, jnp.where(a + 1 < n_sites, 1.0, 0.0), 1.0
                         )
-                        eoff_ref[:] = eoff_ref[:] + ratio * live
+                        d = jnp.where(live > 0, acc - lp_base, 0.0)
+                        eoff_ref[:] = eoff_ref[:] + jnp.exp(0.5 * d) * live
             else:
                 i = g0 + k
 

@@ -323,6 +323,43 @@ def test_tfim_flip_kernel_matches_generic(setup):
     np.testing.assert_allclose(np.asarray(ratio_sum), want, rtol=2e-4)
 
 
+def test_tfim_flip_pack_dead_lane_no_nan():
+    """Odd-N packed flip-pair path: the pair (N-1, N) leaves the upper
+    lane-half dead, and its uninitialized accumulator must be clamped
+    BEFORE the exp — with strongly biased heads the garbage difference
+    overflows f32 exp to inf and 0 * inf = NaN poisons every sample's
+    ratio sum (regression: the j1j2 kernel clamped, the tfim pack branch
+    did not)."""
+    from rnnwavefunctions_tpu.ops.tfim_flip_kernel import tfim_flip_ratio_sum
+
+    # odd AND > one packed group (2*GROUP flips), so the dead flip lands in
+    # a later group whose accumulator is re-zeroed and never re-based on the
+    # prefix sums — that is what decouples it from lp_base
+    n = 17
+    ansatz = PRNN1D(num_sites=n, units=(8,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(41))
+    # bias the head hard toward spin 0 so all-ones samples carry a very
+    # negative base log-prob (the overflow lever: exp(0.5*(0 - lp_base)))
+    params["head"]["b"] = jnp.array([20.0, -20.0], jnp.float32)
+    samples = jnp.ones((8, n), jnp.int32)  # batch 8 -> pack engages
+    with pltpu.force_tpu_interpret_mode():
+        ratio_sum, lp = tfim_flip_ratio_sum(params, samples)
+    assert np.all(np.isfinite(np.asarray(ratio_sum)))
+    want_lp = np.asarray(ansatz._log_prob_plain_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp), want_lp, atol=1e-4)
+    la = 0.5 * want_lp
+    sums = []
+    for i in range(n):
+        flipped = np.asarray(samples).copy()
+        flipped[:, i] = 1 - flipped[:, i]
+        laf = 0.5 * np.asarray(
+            ansatz._log_prob_plain_jnp(params, jnp.asarray(flipped))
+        )
+        sums.append(np.exp(laf - la))
+    want = np.sum(sums, axis=0)
+    np.testing.assert_allclose(np.asarray(ratio_sum), want, rtol=2e-4)
+
+
 def test_sample_and_flip_kernel_consistent(setup):
     """Fused sample+flip kernel: drawn samples' log-probs and ratio sums
     must match independent recomputation (PRNG is zero in interpret mode —
