@@ -206,7 +206,10 @@ def _ed_fidelity(args, ansatz, params):
                 args.systemsize, j1=args.j1, j2=args.j2,
                 periodic=args.periodic, marshall_sign=args.marshall_sign)
     return {
-        "fidelity": fidelity(ansatz, params, gs),
+        # 16k-row chunks: the 2^N basis sweep is dispatch-bound through the
+        # device relay at the default 2048 (8192 launches at N=24); same
+        # chunk validate_anchors uses
+        "fidelity": fidelity(ansatz, params, gs, chunk=1 << 14),
         "energy_exact": e0,
     }
 

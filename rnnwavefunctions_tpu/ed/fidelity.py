@@ -59,8 +59,12 @@ def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
     has_parts = hasattr(ansatz, "log_amp_parts")
     raw = ansatz.log_amp_parts if has_parts else ansatz.log_amp
     jitted = jax.jit(lambda p, b: raw(p, b))
-    try:  # host-side table oracles (tests) are not traceable — stay eager
-        jitted(params, jnp.asarray(_block(0, min(chunk, dim))))
+    rows = min(chunk, dim)
+    block_shape = (rows, ansatz.nx, ansatz.ny) if is_grid else (rows, n)
+    try:  # host-side table oracles (tests) are not traceable — stay eager;
+        # eval_shape probes traceability without evaluating anything
+        jax.eval_shape(jitted, params,
+                       jax.ShapeDtypeStruct(block_shape, np.int32))
         eval_chunk = jitted
     except Exception:
         eval_chunk = raw

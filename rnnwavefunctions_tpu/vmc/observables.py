@@ -114,15 +114,22 @@ def sigma_x(
     lat = samples.shape[1:]
     n = int(np.prod(lat))
     flat = samples.reshape(s, n)
-    flips = flat[:, None, :] ^ jnp.eye(n, dtype=flat.dtype)[None]
-    flips = flips.reshape((s * n,) + lat)
+    # chunk over (sample, site) indices and materialize each chunk's flipped
+    # configs inside the mapped fn: peak memory O(chunk * N), not the full
+    # (S*N, N) flip matrix (~2 GB at the N=1000, S=500 workload)
+    idx = jnp.arange(s * n, dtype=jnp.int32)
+
+    def _flips_of(ix):
+        cfg = flat[ix // n] ^ jax.nn.one_hot(ix % n, n, dtype=flat.dtype)
+        return cfg.reshape(ix.shape[:1] + lat)
+
     if log_amp_samples is None:
         log_amp_samples = _log_amp_of(ansatz, params, samples)
     elif not isinstance(log_amp_samples, tuple):
         log_amp_samples = (log_amp_samples, None)
     la_s, im_s = log_amp_samples
     la_f, im_f = _chunked_apply(
-        lambda c: _log_amp_of(ansatz, params, c), flips, chunk_size
+        lambda ix: _log_amp_of(ansatz, params, _flips_of(ix)), idx, chunk_size
     )
     la_f = la_f.reshape(s, n)
     im_f = None if im_f is None else im_f.reshape(s, n)
@@ -168,14 +175,21 @@ def spin_spin_correlations(
         jax.nn.one_hot(pairs[:, 0], n, dtype=flat.dtype)
         + jax.nn.one_hot(pairs[:, 1], n, dtype=flat.dtype)
     )
-    swapped = (flat[:, None, :] ^ flip_mask[None]).reshape((s * p,) + lat)
+    # chunk over (sample, pair) indices; each chunk's exchange configs are
+    # built inside the mapped fn (see sigma_x)
+    idx = jnp.arange(s * p, dtype=jnp.int32)
+
+    def _swaps_of(ix):
+        cfg = flat[ix // p] ^ flip_mask[ix % p]
+        return cfg.reshape(ix.shape[:1] + lat)
+
     if log_amp_samples is None:
         log_amp_samples = _log_amp_of(ansatz, params, samples)
     elif not isinstance(log_amp_samples, tuple):
         log_amp_samples = (log_amp_samples, None)
     la_s, im_s = log_amp_samples
     la_f, im_f = _chunked_apply(
-        lambda c: _log_amp_of(ansatz, params, c), swapped, chunk_size
+        lambda ix: _log_amp_of(ansatz, params, _swaps_of(ix)), idx, chunk_size
     )
     la_f = la_f.reshape(s, p)
     im_f = None if im_f is None else im_f.reshape(s, p)
