@@ -58,7 +58,11 @@ def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
 
     has_parts = hasattr(ansatz, "log_amp_parts")
     raw = ansatz.log_amp_parts if has_parts else ansatz.log_amp
-    jitted = jax.jit(lambda p, b: raw(p, b))
+    from ..ops.tiling import tpu_compiler_options
+
+    jitted = jax.jit(
+        lambda p, b: raw(p, b), compiler_options=tpu_compiler_options()
+    )
     rows = min(chunk, dim)
     block_shape = (rows, ansatz.nx, ansatz.ny) if is_grid else (rows, n)
     try:  # host-side table oracles (tests) are not traceable — stay eager;

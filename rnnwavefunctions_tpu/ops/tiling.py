@@ -12,6 +12,34 @@ tiles through it so they can never pick inconsistent caps.
 
 MIN_TILE = 128  # Pallas TPU lane-dim block minimum
 
+# Scoped-VMEM limit (KiB) forwarded to the TPU compiler by every jit in this
+# package that can contain a fused Pallas kernel.  The compiler's scoped-vmem
+# stack counts the kernel's footprint JOINTLY with whatever program-level
+# allocations XLA overlaps with it (VMEM-pinned kernel outputs, prefetched
+# operands of the next op) — measured ~5 MB of co-residency on the training
+# step beyond the kernel's own (accurately accounted) footprint, which
+# overflows the 16 MiB default at wide hidden sizes (U=256: kernel 13.65 MiB
+# standalone, 18.96 MiB in-step).  v5e has 128 MiB of physical VMEM per
+# core; 64 MiB leaves the kernels' 14 MiB-budget tiles far from the cliff
+# while XLA still manages the remainder.
+SCOPED_VMEM_LIMIT_KIB = 64 * 1024
+
+
+def tpu_compiler_options():
+    """``compiler_options`` for kernel-bearing jits: raises the scoped-VMEM
+    limit on TPU backends, ``None`` (no options) elsewhere — the flag is
+    TPU-only and would fail CPU compilation.  Called lazily at jit-build
+    time (never at import) so it cannot initialize the backend before
+    tests force the CPU platform."""
+    import jax
+
+    try:
+        if jax.default_backend() == "tpu":
+            return {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_LIMIT_KIB}
+    except Exception:
+        pass
+    return None
+
 
 def cap_tile(batch, max_tile: int) -> int:
     """Smallest power-of-two tile in [MIN_TILE, max_tile] covering the

@@ -14,6 +14,7 @@ mesh axis and statistics/gradients reduced over ICI.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
@@ -21,6 +22,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
+from ..ops.tiling import tpu_compiler_options
 from ..parallel import mesh as mesh_lib
 from . import observables as observables_mod
 from .local_energy import make_fused_sample_energy_fn, make_local_energy_fn
@@ -377,7 +379,7 @@ class VMCTrainer:
             check_vma=False,
         )
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
         def step_fn(state: TrainState, key: jax.Array):
             params, opt_state, step, metrics = sharded(
                 state.params, state.opt_state, state.step, key
@@ -412,7 +414,7 @@ class VMCTrainer:
             check_vma=False,
         )
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
         def multi_fn(state: TrainState, key: jax.Array):
             params, opt_state, step, ms = sharded(
                 state.params, state.opt_state, state.step, key
@@ -488,7 +490,8 @@ class VMCTrainer:
         # same ambient matmul precision as the training step, so
         # post-training measurement agrees with the numerics trained at
         return jax.jit(
-            self._with_matmul_precision(lambda params, key: sharded(params, key))
+            self._with_matmul_precision(lambda params, key: sharded(params, key)),
+            compiler_options=tpu_compiler_options(),
         )
 
     def evaluate(self, state: TrainState, key: jax.Array,

@@ -79,3 +79,21 @@ def test_supports_monotone_in_n():
         tile, spill = mk._pick_tile(nx, ny, 50)
         assert mk.supports(nx, ny, 50) and spill
     assert not mk.supports(1, 36, 50)   # degenerate single-column lattice
+
+
+def test_tpu_compiler_options_policy(monkeypatch):
+    # On non-TPU backends the helper returns None (the scoped-vmem flag is
+    # TPU-only and would fail CPU compilation); on TPU it forwards the raised
+    # scoped limit that covers the training step's program-level co-residency
+    # (kernel scratch + VMEM-pinned outputs + prefetched operands).
+    import jax
+
+    from rnnwavefunctions_tpu.ops import tiling
+
+    assert tiling.tpu_compiler_options() is None  # conftest forces CPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    opts = tiling.tpu_compiler_options()
+    assert opts == {
+        "xla_tpu_scoped_vmem_limit_kib": tiling.SCOPED_VMEM_LIMIT_KIB
+    }
+    assert tiling.SCOPED_VMEM_LIMIT_KIB * 1024 > 16 * 2**20
