@@ -18,10 +18,16 @@ MFU convention: model FLOPs count matmul FLOPs only (2*M*N*K), summed over
 the passes a step actually executes — base/sampling rollouts, wavefront
 iterations (G columns each), the loss forward, and its BPTT backward counted
 as 3x a forward rollout (vjp forward recompute + ~2x for the two backward
-matmul chains).  Peak is f32 through the v5e MXU, 197/4 = 49.2 TFLOP/s
-(f32 runs the 8-pass path; bf16 peak 197).  The kernels' K dimension is the
-hidden width (50), which underfills the 128-deep systolic array — the
-hardware roof for this model shape is ~50/128 of peak.
+matmul chains).  Peak is the v5e MXU bf16 rate, 197 TFLOP/s: under the
+default matmul precision f32 operands execute as single-pass bf16 with f32
+accumulation — proven on-chip by the U=256 row, whose model rate (108
+TFLOP/s) exceeds the 8-pass f32 rate (49.2) that an earlier revision of
+this file used as the denominator (it reported MFU > 1; corrected in round
+3 — historical rows rescale by 49.2/197 ~ 0.25x).  Each row also reports
+``roof_frac``: the same rate against the *shape* roof peak*min(U,128)/128,
+since a K=U contraction underfills the 128-deep systolic array — at U=50
+the roof is 77 TFLOP/s and the serial per-site latency floor binds well
+below it (scripts/exp_wavefront_pipeline.py).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).  TF1
 1.13 on a Colab-class GPU runs the flagship config at roughly 1-2 s/step
@@ -38,7 +44,7 @@ import time
 import jax
 
 REFERENCE_SAMPLES_PER_SEC_EST = 500.0
-PEAK_F32_FLOPS = 49.2e12  # v5e MXU, f32 (bf16 peak 197 TFLOP/s / 4)
+PEAK_BF16_FLOPS = 197e12  # v5e MXU bf16 (what default-precision f32 runs as)
 
 NUM_SAMPLES = 500
 # Trial length trades compile time against amortizing the dev-link's
@@ -277,7 +283,7 @@ def main():
          flops_tfim_parity(1000, 50, 64)),
         ("j1j2_n1000_s64", CRNNU1(num_sites=1000, units=(50,)),
          J1J2(num_sites=1000, j2=0.2), 64, SLOW_STEPS_PER_TRIAL,
-         flops_j1j2(1000, 50, 64, group=16)),
+         flops_j1j2(1000, 50, 64, group=8)),  # resident regime group
     ]
 
     # Best-effort per-row SIGALRM watchdog: it fires on interruptible
@@ -291,6 +297,11 @@ def main():
 
     rows = {}
     hang_seen = False
+
+    def _row_units(ansatz):
+        u = getattr(ansatz, "units", 50)
+        return max(u) if isinstance(u, (tuple, list)) else u
+
     for name, ansatz, ham, num_samples, steps, flops_per_step in workloads:
         if hang_seen:
             rows[name] = {"error": "skipped: earlier row timed out"}
@@ -312,11 +323,13 @@ def main():
         finally:
             signal.alarm(0)
         tflops = steps_per_sec * flops_per_step / 1e12
+        roof = PEAK_BF16_FLOPS * min(_row_units(ansatz), 128) / 128
         rows[name] = {
             "steps_per_sec": round(steps_per_sec, 1),
             "samples_per_sec": round(steps_per_sec * num_samples, 1),
             "model_tflops_per_sec": round(tflops, 2),
-            "mfu": round(tflops * 1e12 / PEAK_F32_FLOPS, 4),
+            "mfu": round(tflops * 1e12 / PEAK_BF16_FLOPS, 4),
+            "roof_frac": round(tflops * 1e12 / roof, 4),
         }
         print(f"{name}: {rows[name]}", file=sys.stderr)
 

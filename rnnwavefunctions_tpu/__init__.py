@@ -16,6 +16,7 @@ from .hamiltonians.tfim2d import TFIM2D
 from .hamiltonians.j1j2 import J1J2
 from .vmc.trainer import TrainConfig, TrainState, VMCTrainer
 from .parallel.mesh import make_mesh
+from .ops.tiling import tpu_compiler_options
 
 __all__ = [
     "PRNN1D",
@@ -29,4 +30,5 @@ __all__ = [
     "TrainState",
     "VMCTrainer",
     "make_mesh",
+    "tpu_compiler_options",
 ]

@@ -52,11 +52,13 @@ from .tiling import MIN_TILE as _MIN_TILE
 
 GROUP = 8
 _WIN = 3  # circular lattice-row window slots (spill variant)
-# Joint budget for the cell-output history + per-trajectory row buffer
-# (VMEM ~16 MB/core; the TFIM kernels run at 14 MB accounted).  14 MB
-# reaches 18x18 lattices at 50 units with the minimum tile (13.4 MB);
-# beyond that the history spills to HBM through the row window.
-_VMEM_BUDGET = 14 * 1024 * 1024
+# Joint budget for the cell-output history + per-trajectory row buffer.
+# The kernel-bearing jits forward a 64 MiB scoped-VMEM limit
+# (``ops/tiling.py``); 48 MiB (16 MiB co-residency headroom, same margin as
+# the TFIM kernels) keeps the history VMEM-resident through 32x32 at 50
+# units — measured +8% over the row-window spill at 24x24 S=128 (66.9 vs
+# 62.0 steps/s); the spill remains the beyond-budget fallback.
+_VMEM_BUDGET = 48 * 1024 * 1024
 
 
 def _round8(x: int) -> int:

@@ -31,14 +31,14 @@ per-layer hidden states along the sublane (feature) dimension — the history
 and wavefront scratch carry (L*U, T) blocks and the site step peels static
 (U, T) slices per layer.
 
-Long chains (the N=1000 published workload) spill the history to HBM via
-``ops/spill.py``: the base pass streams rows out through a write ring, and
-the wavefront prefetches each group's divergence-row window back through a
-double-buffered staging block — one fat DMA per group, started a full group
-ahead.  Spilled configs also widen the group (SPILL_GROUP): at the minimum
-128-lane tile the serial matmul-chain latency floor dominates, and a wider
-wavefront amortizes it (the same G16 measurement as the cRNN exchange
-kernel, ``ops/j1j2_exchange_kernel.py``).
+Histories beyond the VMEM budget (deep stacks, very long chains) spill to
+HBM via ``ops/spill.py``: the base pass streams rows out through a write
+ring, and the wavefront prefetches each group's divergence-row window back
+through a double-buffered staging block — one fat DMA per group, started a
+full group ahead.  Under the raised scoped-VMEM limit (``ops/tiling.py``)
+the N=1000 published workload stays VMEM-resident; the wavefront group
+scales with tile and state width either way (``_group_for``) because the
+serial matmul-chain latency floor dominates narrow tiles.
 
 Returns  sum_i exp(0.5 * (log p(sigma^(i)) - log p(sigma)))  per sample
 (the pRNN amplitude-ratio sum of ``TrainingRNN_1DTFIM.py:74``) plus the base
@@ -70,17 +70,40 @@ from .tiling import cap_tile
 
 FLIP_TILE = 512  # max sample rows per grid program
 GROUP = 8        # flips advanced together per wavefront iteration (resident)
-# Spilled (long-chain) kernels run the minimum 128-lane tile, where the
-# serial per-site matmul chain leaves the wavefront latency-bound: doubling
-# the group amortizes it (same trade measured for the cRNN exchange kernel).
-SPILL_GROUP = 16
-# Joint budget for history + resident scratch (VMEM is ~16 MB/core; the
-# remainder covers Mosaic's input/output buffers — the N=100 flagship
-# compiles and runs at 13.4 MB accounted).  Wider tiles amortize the serial
-# matmul-chain latency floor (~1 us fixed per dependent (3U, U) x (U, G*T)
-# site-advance, measured in scripts/exp_wavefront_pipeline.py): the 512-row
-# flagship tile measures +4.5% over 256 back-to-back on-chip.
-_VMEM_BUDGET = 14 * 1024 * 1024
+SPILL_GROUP = 16  # spilled-history floor (staging window sizing)
+# The serial per-site advance is a fixed-latency dependent matmul
+# ((3U, U) x (U, G*T), ~1 us floor measured in
+# scripts/exp_wavefront_pipeline.py).  When BOTH the state block and the
+# tile are narrow the chain is latency-bound, so the group widens to keep
+# each advance serving >= ~4k lanes (6k spilled, hiding the staging DMA):
+# measured on-chip at N=1000 S=64 t128, g16 -> g32/g48 is +5-7% (spill and
+# resident alike), while at U=256 t256 the matmul is already MXU-bound and
+# g8 beats g16 by 3%.  Wider tiles amortize the same floor (512-row
+# flagship tile: +4.5% over 256 back-to-back on-chip).
+_WAVEFRONT_LANES = 4 * 1024
+_SPILL_WAVEFRONT_LANES = 6 * 1024
+# Joint budget for history + resident scratch.  The kernel-bearing jits
+# forward a 64 MiB scoped-VMEM limit (``ops/tiling.py``: v5e has 128 MiB
+# physical VMEM; the 16 MiB compiler default is what the *accounting noise*
+# margin used to be sized for); 48 MiB keeps ~16 MiB of headroom for the
+# program-level co-residency the scoped stack also counts (VMEM-pinned
+# outputs, prefetched operands — measured ~5 MiB on the training step).
+# Raising it keeps wide-hidden and long-chain histories VMEM-resident:
+# U=256 S=500 rides a (256, resident) tile (+12% over t128), N=1000 S=64
+# stays resident at t128/g32 (on par with the spilled g48 variant, 38.2 vs
+# 38.7 steps/s, both +6% over the old g16 spill).
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _group_for(tile: int, units, kind: str, spill: bool) -> int:
+    """Wavefront group for a (tile, state-width) pair: the latency-scaling
+    policy above.  Wide state blocks (L*U >= 128 rows) keep the base group
+    — their advance matmul is MXU-bound at any tile."""
+    base = SPILL_GROUP if spill else GROUP
+    if _state_lu(units, kind) >= 128:
+        return base
+    lanes = _SPILL_WAVEFRONT_LANES if spill else _WAVEFRONT_LANES
+    return max(base, lanes // tile)
 
 
 def _round8(x: int) -> int:
@@ -134,25 +157,26 @@ def _pick_tile(n: int, units, batch=None, kind: str = "gru"):
     pieces plus the ring/staging buffers (each regime accounted with the
     group it actually runs)."""
     cap = _batch_cap(batch)
+
+    def _resident_total(tile):
+        g = _group_for(tile, units, kind, spill=False)
+        return _hist_bytes(n, units, tile, kind) + _resident_bytes(
+            n, units, tile, g, kind
+        )
+
+    def _spill_total(tile):
+        g = _group_for(tile, units, kind, spill=True)
+        return _resident_bytes(n, units, tile, g, kind) + _spill_extra_bytes(
+            n, units, tile, g, kind
+        )
+
     tile = cap
-    while tile > _MIN_TILE and (
-        _hist_bytes(n, units, tile, kind)
-        + _resident_bytes(n, units, tile, GROUP, kind)
-        > _VMEM_BUDGET
-    ):
+    while tile > _MIN_TILE and _resident_total(tile) > _VMEM_BUDGET:
         tile //= 2
-    if (
-        _hist_bytes(n, units, tile, kind)
-        + _resident_bytes(n, units, tile, GROUP, kind)
-        <= _VMEM_BUDGET
-    ):
+    if _resident_total(tile) <= _VMEM_BUDGET:
         return tile, False
     tile = cap
-    while tile > _MIN_TILE and (
-        _resident_bytes(n, units, tile, SPILL_GROUP, kind)
-        + _spill_extra_bytes(n, units, tile, SPILL_GROUP, kind)
-        > _VMEM_BUDGET
-    ):
+    while tile > _MIN_TILE and _spill_total(tile) > _VMEM_BUDGET:
         tile //= 2
     return tile, True
 
@@ -163,9 +187,10 @@ def supports(n: int, units, kind: str = "gru") -> bool:
     chains, N=1000) only needs the VMEM-resident pieces + ring/staging to
     fit at the minimum tile; the history-resident case is a strict subset
     of that, so one check suffices."""
+    g = _group_for(_MIN_TILE, units, kind, spill=True)
     return (
-        _resident_bytes(n, units, _MIN_TILE, SPILL_GROUP, kind)
-        + _spill_extra_bytes(n, units, _MIN_TILE, SPILL_GROUP, kind)
+        _resident_bytes(n, units, _MIN_TILE, g, kind)
+        + _spill_extra_bytes(n, units, _MIN_TILE, g, kind)
         <= _VMEM_BUDGET
     )
 
@@ -461,7 +486,7 @@ def tfim_flip_ratio_sum(params, samples: jax.Array):
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
     tile, spill = _pick_tile(n, units, b, kind)
-    group = SPILL_GROUP if spill else GROUP
+    group = _group_for(tile, units, kind, spill)
     pack = 2 * max(b, 8) <= tile  # one grid program; halves pack flip pairs
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
@@ -512,7 +537,7 @@ def tfim_flip_log_probs(params, samples: jax.Array):
     b, n = samples.shape
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
     tile, spill = _pick_tile(n, units, b, kind)
-    group = SPILL_GROUP if spill else GROUP
+    group = _group_for(tile, units, kind, spill)
     pack = 2 * max(b, 8) <= tile
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
@@ -559,7 +584,7 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     kind = _cell_kind(params)
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
     tile, spill = _pick_tile(n_sites, units, num_samples, kind)
-    group = SPILL_GROUP if spill else GROUP
+    group = _group_for(tile, units, kind, spill)
     pack = 2 * max(num_samples, 8) <= tile
     b_pad = _round_up(max(num_samples, 8), tile)
     eoff_rows = n_sites if per_flip else 1

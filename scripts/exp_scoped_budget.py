@@ -1,0 +1,110 @@
+"""Measure what the raised scoped-VMEM limit (ops/tiling.py) buys.
+
+With ``xla_tpu_scoped_vmem_limit_kib=65536`` forwarded by the trainer's jits
+(commit "Raise the TPU scoped-VMEM limit"), hidden-state histories that used
+to exceed the 14 MiB budget can stay VMEM-resident instead of spilling to
+HBM, and tiles can widen.  This experiment times the candidate regimes per
+workload by monkeypatching each kernel module's ``_pick_tile`` and running
+the full training step (fwd estimator + BPTT backward both re-pick).
+
+Run from /root/repo:  timeout 580 python scripts/exp_scoped_budget.py [case]
+"""
+
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+from rnnwavefunctions_tpu import (
+    MDRNN2D,
+    PRNN1D,
+    TFIM1D,
+    TFIM2D,
+    TrainConfig,
+    VMCTrainer,
+)
+from rnnwavefunctions_tpu.ops import fused_gru_bwd as bk
+from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+from rnnwavefunctions_tpu.ops import tfim_flip_kernel as tk
+
+
+def measure(ansatz, ham, samples, steps, trials=5):
+    trainer = VMCTrainer(ansatz, ham, TrainConfig(num_samples=samples))
+    state = trainer.init()
+    key = jax.random.PRNGKey(0)
+    state, ms = trainer.run_steps(state, key, steps)  # compile + warm
+    float(ms["mean_energy"][-1])
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        state, ms = trainer.run_steps(state, key, steps)
+        float(ms["mean_energy"][-1])  # sync (block_until_ready unreliable)
+        times.append(time.perf_counter() - t0)
+    return steps / statistics.median(times)
+
+
+def run(label, fn):
+    try:
+        sps = fn()
+        print(f"{label}: {sps:.1f} steps/s", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{label}: FAIL {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
+def with_pick(mod, pick):
+    orig = mod._pick_tile
+
+    class _Ctx:
+        def __enter__(self):
+            mod._pick_tile = pick
+
+        def __exit__(self, *a):
+            mod._pick_tile = orig
+
+    return _Ctx()
+
+
+def case_n1000():
+    mk_a = lambda: PRNN1D(num_sites=1000, units=(50,))
+    h = TFIM1D(num_sites=1000, bx=1.0)
+    run("n1000 current (flip spill g16 / bwd spill)",
+        lambda: measure(mk_a(), h, 64, 30))
+    with with_pick(tk, lambda *a, **k: (128, False)):
+        run("n1000 flip RESIDENT t128 (bwd current)",
+            lambda: measure(mk_a(), h, 64, 30))
+    with with_pick(bk, lambda *a, **k: (128, False)):
+        run("n1000 bwd RESIDENT t128 (flip current)",
+            lambda: measure(mk_a(), h, 64, 30))
+    with with_pick(tk, lambda *a, **k: (128, False)), \
+         with_pick(bk, lambda *a, **k: (128, False)):
+        run("n1000 BOTH RESIDENT t128",
+            lambda: measure(mk_a(), h, 64, 30))
+
+
+def case_u256():
+    mk_a = lambda: PRNN1D(num_sites=100, units=(256,))
+    h = TFIM1D(num_sites=100, bx=1.0)
+    run("u256 current (flip t128 resident)", lambda: measure(mk_a(), h, 500, 50))
+    with with_pick(tk, lambda *a, **k: (256, False)):
+        run("u256 flip t256 resident", lambda: measure(mk_a(), h, 500, 50))
+    with with_pick(tk, lambda *a, **k: (512, False)):
+        run("u256 flip t512 resident", lambda: measure(mk_a(), h, 500, 50))
+
+
+def case_mdrnn24():
+    mk_a = lambda: MDRNN2D(nx=24, ny=24, units=50)
+    h = TFIM2D(nx=24, ny=24, bx=3.0, encoding="grid")
+    run("mdrnn24 current (row-window spill)", lambda: measure(mk_a(), h, 128, 10))
+    with with_pick(mk, lambda *a, **k: (128, False)):
+        run("mdrnn24 RESIDENT t128", lambda: measure(mk_a(), h, 128, 10))
+
+
+CASES = {"n1000": case_n1000, "u256": case_u256, "mdrnn24": case_mdrnn24}
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or list(CASES)
+    for c in which:
+        CASES[c]()
