@@ -51,6 +51,13 @@ from .seeding import TILE_SEED_STRIDE
 from .tiling import MIN_TILE as _MIN_TILE
 
 GROUP = 8
+# The 2D wavefront's serial site-advance has the same fixed-latency floor
+# as the 1D kernels (ops/tfim_flip_kernel.py): narrow tiles widen the group
+# to keep each advance serving ~4k lanes, capped so the dead-column
+# overhead (~G/NS) stays small on tiny lattices.  Measured at 24x24 S=128
+# t128: g8 66.5 -> g32 76.4 steps/s (+15%); 16x16 S=500 t256: g8 126 ->
+# g16 132 (+5%); 6x6 (NS=36, the cap binding): g8 2083 > g16 1981.
+_WAVEFRONT_LANES = 4 * 1024
 _WIN = 3  # circular lattice-row window slots (spill variant)
 # Joint budget for the cell-output history + per-trajectory row buffer.
 # The kernel-bearing jits forward a 64 MiB scoped-VMEM limit
@@ -65,14 +72,26 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _base_bytes(nx: int, ny: int, u: int, tile: int) -> int:
+def _group_for(tile: int, u: int, ns: int) -> int:
+    """Wavefront group for a (tile, units, lattice-size) triple: the
+    latency-scaling policy above."""
+    if _round8(u) >= 128:
+        return GROUP
+    g = max(GROUP, _WAVEFRONT_LANES // tile)
+    return max(GROUP, min(g, _round8(max(ns // 8, 1))))
+
+
+def _base_bytes(nx: int, ny: int, u: int, tile: int,
+                group: int | None = None) -> int:
     """Non-history pieces: samples + pfx rows, the per-trajectory row
     buffer, and the wavefront blocks."""
     ns = nx * ny
     up = _round8(u)
+    if group is None:
+        group = _group_for(tile, u, ns)
     rows = 2 * ns * tile * 4                      # samples (int32) + pfx
-    rowbuf = nx * up * GROUP * tile * 4
-    wf = (up + 3) * GROUP * tile * 4              # + wf_x, wf_acc, wf_cmp
+    rowbuf = nx * up * group * tile * 4
+    wf = (up + 3) * group * tile * 4              # + wf_x, wf_acc, wf_cmp
     return rows + rowbuf + wf
 
 
@@ -84,30 +103,57 @@ def _win_bytes(nx: int, u: int, tile: int) -> int:
     return _WIN * nx * _round8(u) * tile * 4
 
 
-def _pick_tile(nx: int, ny: int, u: int, batch=None):
-    """(tile, spill): resident when the full history fits next to the other
-    pieces; otherwise spill the history to HBM behind the row window."""
+def _candidate_groups(tile: int, u: int, ns: int):
+    """Latency-scaled group first, halving toward the base GROUP — the
+    per-trajectory row buffer scales with the group, so a wide group that
+    blows the budget degrades gracefully instead of forcing a spill."""
+    g = _group_for(tile, u, ns)
+    out = []
+    while True:
+        out.append(g)
+        if g <= GROUP:
+            return out
+        g = max(GROUP, g // 2)
+
+
+def _pick(nx: int, ny: int, u: int, batch=None):
+    """(tile, spill, group): widest tile, then the widest latency-scaled
+    group, whose history (resident) or row window (spilled) plus base
+    pieces fit the VMEM budget."""
     from .tfim_flip_kernel import _batch_cap
 
     cap = min(256, _batch_cap(batch))
+    ns = nx * ny
     tile = cap
-    while tile > _MIN_TILE and (
-        _hist_bytes(nx, ny, u, tile) + _base_bytes(nx, ny, u, tile)
-        > _VMEM_BUDGET
-    ):
+    while True:
+        for g in _candidate_groups(tile, u, ns):
+            if (
+                _hist_bytes(nx, ny, u, tile)
+                + _base_bytes(nx, ny, u, tile, g)
+                <= _VMEM_BUDGET
+            ):
+                return tile, False, g
+        if tile <= _MIN_TILE:
+            break
         tile //= 2
-    if (
-        _hist_bytes(nx, ny, u, tile) + _base_bytes(nx, ny, u, tile)
-        <= _VMEM_BUDGET
-    ):
-        return tile, False
     tile = cap
-    while tile > _MIN_TILE and (
-        _win_bytes(nx, u, tile) + _base_bytes(nx, ny, u, tile)
-        > _VMEM_BUDGET
-    ):
+    while True:
+        for g in _candidate_groups(tile, u, ns):
+            if (
+                _win_bytes(nx, u, tile) + _base_bytes(nx, ny, u, tile, g)
+                <= _VMEM_BUDGET
+            ):
+                return tile, True, g
+        if tile <= _MIN_TILE:
+            break
         tile //= 2
-    return tile, True
+    return _MIN_TILE, True, GROUP
+
+
+def _pick_tile(nx: int, ny: int, u: int, batch=None):
+    """(tile, spill) — see ``_pick`` (kept as the stable test surface)."""
+    tile, spill, _ = _pick(nx, ny, u, batch)
+    return tile, spill
 
 
 def supports(nx: int, ny: int, u: int) -> bool:
@@ -120,7 +166,8 @@ def supports(nx: int, ny: int, u: int) -> bool:
     return (
         nx >= 2
         and ny >= 2
-        and _win_bytes(nx, u, _MIN_TILE) + _base_bytes(nx, ny, u, _MIN_TILE)
+        and _win_bytes(nx, u, _MIN_TILE)
+        + _base_bytes(nx, ny, u, _MIN_TILE, GROUP)
         <= _VMEM_BUDGET
     )
 
@@ -134,7 +181,7 @@ def visit_order(nx: int, ny: int):
 
 
 def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
-                 spill: bool = False):
+                 spill: bool = False, group: int = GROUP):
     ns = nx * ny
 
     def kernel(*refs):
@@ -259,11 +306,11 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
         lp_ref[:] = lp_base
 
         # ---- grouped wavefront over flips (flip index f = visit position) --
-        num_groups = -(-ns // GROUP)
+        num_groups = -(-ns // group)
 
         def init_col(f):
             """Flip f's suffix starts AT position f (flipped target there)."""
-            k = f % GROUP
+            k = f % group
             sl = pl.ds(k * t, t)
             _, kf, _, _ = coords(f)
             wf_h[:, sl] = jnp.where(
@@ -278,7 +325,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
             wf_cmp[:, sl] = zero_row
 
         def group_body(g, _):
-            g0 = g * GROUP
+            g0 = g * group
             if spill:
                 # stage the group's starting rows, prefetch the next one
                 yy0 = g0 // nx
@@ -314,7 +361,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
                         def _():
                             row_dma(yy + 1, sem_rd).start()
 
-                @pl.when((m > g0) & (m < jnp.minimum(g0 + GROUP, ns)))
+                @pl.when((m > g0) & (m < jnp.minimum(g0 + group, ns)))
                 def _():
                     init_col(m)
 
@@ -327,16 +374,16 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
                     hist_read(jnp.maximum(vis_up, 0)),
                     0.0,
                 )                                             # (U, T)
-                h_v_wf = rowbuf[pl.ds(xx, 1)][0]              # (U, GROUP*T)
+                h_v_wf = rowbuf[pl.ds(xx, 1)][0]              # (U, G*T)
 
                 # per-column flip index as a lane-indexed iota: column block
                 # k serves flip f = g0 + k, so one vectorized compare per
-                # quantity replaces a GROUP-long unrolled select chain
+                # quantity replaces a group-long unrolled select chain
                 f_lane = g0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, GROUP * t), 1
+                    jnp.int32, (1, group * t), 1
                 ) // t                                        # (1, G*T)
-                s_m_t = jnp.concatenate([s_m] * GROUP, axis=1)
-                s_up_t = jnp.concatenate([s_up] * GROUP, axis=1)
+                s_m_t = jnp.concatenate([s_m] * group, axis=1)
+                s_up_t = jnp.concatenate([s_up] * group, axis=1)
                 flip_here = jnp.where(m == f_lane, 1.0, 0.0)
                 tgt = jnp.abs(s_m_t - flip_here)              # (1, G*T)
                 flip_up = jnp.where(vis_up == f_lane, 1.0, 0.0)
@@ -345,7 +392,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
                 h_v = jnp.where(
                     vis_up >= f_lane,
                     h_v_wf,
-                    jnp.concatenate([h_v_base] * GROUP, axis=1),
+                    jnp.concatenate([h_v_base] * group, axis=1),
                 )
 
                 h_h = jnp.where(k > 0, wf_h[:], 0.0)
@@ -365,7 +412,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
 
             jax.lax.fori_loop(g0, ns, site_body, 0)
 
-            for kk_ in range(GROUP):
+            for kk_ in range(group):
                 f = g0 + kk_
 
                 @pl.when(f < ns)
@@ -386,29 +433,29 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
     return kernel
 
 
-def _scratch(nx, ny, u, tile, spill=False):
+def _scratch(nx, ny, u, tile, spill=False, group=GROUP):
     ns = nx * ny
     up = _round8(u)
     if spill:
         return [
             pltpu.VMEM((ns, tile), jnp.float32),                 # pfx
             pltpu.VMEM((_WIN * nx, up, tile), jnp.float32),      # rowwin
-            pltpu.VMEM((nx, u, GROUP * tile), jnp.float32),      # rowbuf
-            pltpu.VMEM((u, GROUP * tile), jnp.float32),          # wf_h
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),          # wf_x
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),          # wf_acc
-            pltpu.VMEM((1, GROUP * tile), jnp.float32),          # wf_cmp
+            pltpu.VMEM((nx, u, group * tile), jnp.float32),      # rowbuf
+            pltpu.VMEM((u, group * tile), jnp.float32),          # wf_h
+            pltpu.VMEM((1, group * tile), jnp.float32),          # wf_x
+            pltpu.VMEM((1, group * tile), jnp.float32),          # wf_acc
+            pltpu.VMEM((1, group * tile), jnp.float32),          # wf_cmp
             pltpu.SemaphoreType.DMA((_WIN,)),
             pltpu.SemaphoreType.DMA((_WIN,)),
         ]
     return [
         pltpu.VMEM((ns, u, tile), jnp.float32),
         pltpu.VMEM((ns, tile), jnp.float32),
-        pltpu.VMEM((nx, u, GROUP * tile), jnp.float32),
-        pltpu.VMEM((u, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),
-        pltpu.VMEM((1, GROUP * tile), jnp.float32),  # wf_cmp (Kahan pair)
+        pltpu.VMEM((nx, u, group * tile), jnp.float32),
+        pltpu.VMEM((u, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),
+        pltpu.VMEM((1, group * tile), jnp.float32),  # wf_cmp (Kahan pair)
     ]
 
 
@@ -428,7 +475,7 @@ def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
     b = samples.shape[0]
     u = params["cell"]["wh"].shape[0]
     ns = nx * ny
-    tile, spill = _pick_tile(nx, ny, u, b)
+    tile, spill, group = _pick(nx, ny, u, b)
     b_pad = _round_up(max(b, 8), tile)
     xx, yy = visit_order(nx, ny)
     seq_v = samples[:, xx, yy].T  # (NS, B), visit order
@@ -436,7 +483,7 @@ def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
     hist_specs, hist_shapes = _hist_out(nx, ny, u, tile, b_pad // tile, spill)
 
     outs = pl.pallas_call(
-        _make_kernel(nx, ny, spill=spill),
+        _make_kernel(nx, ny, spill=spill, group=group),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((ns, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -451,7 +498,7 @@ def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             *hist_shapes,
         ),
-        scratch_shapes=_scratch(nx, ny, u, tile, spill),
+        scratch_shapes=_scratch(nx, ny, u, tile, spill, group),
     )(seq, *_mdrnn_weightsT(params))
     eoff, lp = outs[0], outs[1]
     return eoff[0, :b], lp[0, :b]
@@ -468,12 +515,12 @@ def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     """
     u = params["cell"]["wh"].shape[0]
     ns = nx * ny
-    tile, spill = _pick_tile(nx, ny, u, num_samples)
+    tile, spill, group = _pick(nx, ny, u, num_samples)
     b_pad = _round_up(max(num_samples, 8), tile)
     hist_specs, hist_shapes = _hist_out(nx, ny, u, tile, b_pad // tile, spill)
 
     outs = pl.pallas_call(
-        _make_kernel(nx, ny, sample_mode=True, spill=spill),
+        _make_kernel(nx, ny, sample_mode=True, spill=spill, group=group),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -490,7 +537,7 @@ def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             *hist_shapes,
         ),
-        scratch_shapes=_scratch(nx, ny, u, tile, spill),
+        scratch_shapes=_scratch(nx, ny, u, tile, spill, group),
     )(seed.reshape(1, 1).astype(jnp.int32), *_mdrnn_weightsT(params))
     seq, eoff, lp = outs[0], outs[1], outs[2]
     # visit order (NS, B) -> lattice (B, Nx, Ny)
