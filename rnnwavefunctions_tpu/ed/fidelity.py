@@ -16,6 +16,8 @@ reshaped here to the MDRNN's ``[x, y]`` grid sample layout.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -26,22 +28,29 @@ def basis_configs(n: int) -> np.ndarray:
     return ((idx[:, None] >> np.arange(n)[None, :]) & 1).astype(np.int32)
 
 
-def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
-    """Overlap-squared of the (explicitly renormalized) ansatz wavefunction
-    with ``state_vector`` (a dense-ED eigenvector from
-    ``ed.exact.ground_state``, or a two-pass-Lanczos vector from
-    ``ed.native.*_ground_state`` which extends the reach to N ~ 24).
-    Evaluates ``log_amp`` over the full basis in ``chunk``-row batches."""
+@functools.lru_cache(maxsize=32)
+def _jitted_eval(ansatz):
+    """One cached jitted log-amplitude evaluator per (hashable, frozen)
+    ansatz — repeated ``fidelity`` calls must not re-trace the scan."""
+    import jax
+
+    from ..ops.tiling import tpu_compiler_options
+
+    has_parts = hasattr(ansatz, "log_amp_parts")
+    raw = ansatz.log_amp_parts if has_parts else ansatz.log_amp
+    return jax.jit(
+        lambda p, b: raw(p, b), compiler_options=tpu_compiler_options()
+    )
+
+
+def amplitude_table(ansatz, params, n: int, chunk: int = 2048) -> np.ndarray:
+    """The renormalized wavefunction over the full 2^n basis, as a
+    complex128 vector in the dense-ED basis order.  Chunked: the full
+    (2^N, N) basis table is ~1.6 GB at N=24, but any one chunk is tiny."""
+    import jax
     import jax.numpy as jnp
 
-    v0 = np.asarray(state_vector)
-    dim = v0.shape[0]
-    n = int(dim).bit_length() - 1
-    if (1 << n) != dim:
-        raise ValueError(f"state vector length {dim} is not a power of two")
-
-    # build the basis block-by-block: the full (2^N, N) table is ~1.6 GB at
-    # N=24, but any one chunk is tiny
+    dim = 1 << n
     is_grid = hasattr(ansatz, "nx")  # grid-encoded 2D ansatz: [x, y] layout
 
     def _block(lo, hi):
@@ -52,21 +61,22 @@ def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
         return b
 
     # prefer log_amp_parts: the TPU backend lacks complex64 (CLAUDE.md) and
-    # complex ansaetze expose (Re, Im) real pairs as their device-native
-    # form; jit once — every chunk has the same shape, so the trace caches
-    import jax
-
+    # complex ansaetze expose (Re, Im) real pairs as their device-native form
     has_parts = hasattr(ansatz, "log_amp_parts")
     raw = ansatz.log_amp_parts if has_parts else ansatz.log_amp
-    from ..ops.tiling import tpu_compiler_options
-
-    jitted = jax.jit(
-        lambda p, b: raw(p, b), compiler_options=tpu_compiler_options()
-    )
     rows = min(chunk, dim)
     block_shape = (rows, ansatz.nx, ansatz.ny) if is_grid else (rows, n)
     try:  # host-side table oracles (tests) are not traceable — stay eager;
         # eval_shape probes traceability without evaluating anything
+        try:  # unhashable ansatz (e.g. injected custom-cell objects):
+            jitted = _jitted_eval(ansatz)  # skip the cross-call cache
+        except TypeError:
+            from ..ops.tiling import tpu_compiler_options
+
+            jitted = jax.jit(
+                lambda p, b: raw(p, b),
+                compiler_options=tpu_compiler_options(),
+            )
         jax.eval_shape(jitted, params,
                        jax.ShapeDtypeStruct(block_shape, np.int32))
         eval_chunk = jitted
@@ -88,4 +98,31 @@ def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
     log_amp -= log_amp.real.max()
     psi = np.exp(log_amp)
     psi /= np.linalg.norm(psi)
+    return psi
+
+
+def fidelity(ansatz, params, state_vector, chunk: int = 2048) -> float:
+    """Overlap-squared of the (explicitly renormalized) ansatz wavefunction
+    with ``state_vector`` (a dense-ED eigenvector from
+    ``ed.exact.ground_state``, or a two-pass-Lanczos vector from
+    ``ed.native.*_ground_state`` which extends the reach to N ~ 24)."""
+    v0 = np.asarray(state_vector)
+    dim = v0.shape[0]
+    n = int(dim).bit_length() - 1
+    if (1 << n) != dim:
+        raise ValueError(f"state vector length {dim} is not a power of two")
+    psi = amplitude_table(ansatz, params, n, chunk)
     return float(np.abs(np.vdot(psi, v0.astype(np.complex128))) ** 2)
+
+
+def fidelities(ansatz, params, state_vectors, chunk: int = 2048) -> np.ndarray:
+    """``fidelity`` against every column of ``state_vectors`` (dim, K) with
+    the amplitude table evaluated ONCE — e.g. an energy-projection check
+    over a full dense eigenbasis."""
+    v = np.asarray(state_vectors)
+    dim = v.shape[0]
+    n = int(dim).bit_length() - 1
+    if (1 << n) != dim:
+        raise ValueError(f"state vectors length {dim} is not a power of two")
+    psi = amplitude_table(ansatz, params, n, chunk)
+    return np.abs(psi.conj() @ v.astype(np.complex128)) ** 2

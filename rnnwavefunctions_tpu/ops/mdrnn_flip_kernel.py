@@ -48,6 +48,7 @@ from .compsum import kadd, kfinal
 from .fused_gru import _logp_rows, _round_up
 from .fused_mdrnn import _mdrnn_site_rows, _mdrnn_weightsT, _mdrnn_weightT_specs
 from .seeding import TILE_SEED_STRIDE
+from . import tiling
 from .tiling import MIN_TILE as _MIN_TILE
 
 GROUP = 8
@@ -75,7 +76,7 @@ def _round8(x: int) -> int:
 def _group_for(tile: int, u: int, ns: int) -> int:
     """Wavefront group for a (tile, units, lattice-size) triple: the
     latency-scaling policy above."""
-    if _round8(u) >= 128:
+    if tiling.force_base_group() or _round8(u) >= 128:
         return GROUP
     g = max(GROUP, _WAVEFRONT_LANES // tile)
     return max(GROUP, min(g, _round8(max(ns // 8, 1))))

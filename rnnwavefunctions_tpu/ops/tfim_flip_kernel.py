@@ -65,6 +65,7 @@ from .fused_gru import (
 from .seeding import TILE_SEED_STRIDE
 from .spill import hist_out as _spill_hist_out
 from .spill import make_hist_io, spill_bytes, spill_scratch, window_start
+from . import tiling
 from .tiling import MIN_TILE as _MIN_TILE
 from .tiling import cap_tile
 
@@ -100,7 +101,7 @@ def _group_for(tile: int, units, kind: str, spill: bool) -> int:
     policy above.  Wide state blocks (L*U >= 128 rows) keep the base group
     — their advance matmul is MXU-bound at any tile."""
     base = SPILL_GROUP if spill else GROUP
-    if _state_lu(units, kind) >= 128:
+    if tiling.force_base_group() or _state_lu(units, kind) >= 128:
         return base
     lanes = _SPILL_WAVEFRONT_LANES if spill else _WAVEFRONT_LANES
     return max(base, lanes // tile)

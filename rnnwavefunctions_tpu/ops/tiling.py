@@ -41,6 +41,20 @@ def tpu_compiler_options():
     return None
 
 
+# Test hook: when True, the wavefront-group policies (`_group_for` in
+# tfim_flip_kernel / mdrnn_flip_kernel) return their base group instead of
+# the latency-scaled width.  Group width is a performance knob — it never
+# changes kernel numerics — but interpret-mode emulation cost scales with
+# it (~4x at t128/g32), so the fast test suite forces base groups and keeps
+# one wide-group equality oracle per lane-packing family (marked
+# `widegroup`) plus the real policy on the slow capacity variants.
+FORCE_BASE_GROUP = False
+
+
+def force_base_group() -> bool:
+    return FORCE_BASE_GROUP
+
+
 def cap_tile(batch, max_tile: int) -> int:
     """Smallest power-of-two tile in [MIN_TILE, max_tile] covering the
     batch (``batch=None`` means unknown: use the full ``max_tile``)."""

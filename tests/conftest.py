@@ -24,3 +24,31 @@ jax.config.update("jax_threefry_partitionable", True)
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+from rnnwavefunctions_tpu.ops import tiling  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _base_wavefront_groups(request):
+    """Force the base wavefront group in the fast set.
+
+    Group width is a pure performance knob (lane-packing count per serial
+    wavefront advance) — interpret-mode emulation cost scales ~linearly
+    with it, so fast tests validate numerics at the base group.  The real
+    latency-scaled policy still runs in: tests marked `widegroup` (one
+    equality oracle per lane-packing kernel family), every `slow` capacity
+    variant, and all on-hardware validation.
+    """
+    if request.node.get_closest_marker("slow") or request.node.get_closest_marker(
+        "widegroup"
+    ):
+        yield
+        return
+    old = tiling.FORCE_BASE_GROUP
+    tiling.FORCE_BASE_GROUP = True
+    try:
+        yield
+    finally:
+        tiling.FORCE_BASE_GROUP = old

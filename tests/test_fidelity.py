@@ -15,7 +15,7 @@ import pytest
 
 from rnnwavefunctions_tpu import PRNN1D, TFIM1D, TFIM2D, TrainConfig, VMCTrainer
 from rnnwavefunctions_tpu.ed import exact
-from rnnwavefunctions_tpu.ed.fidelity import basis_configs, fidelity
+from rnnwavefunctions_tpu.ed.fidelity import basis_configs, fidelities, fidelity
 from rnnwavefunctions_tpu.models.mdrnn2d import MDRNN2D
 from rnnwavefunctions_tpu.vmc.local_energy import make_local_energy_fn
 
@@ -73,7 +73,7 @@ def test_fidelity_grid_mapping_energy_projection():
     h = exact.tfim2d_dense(nx, ny, bx)
     w, v = np.linalg.eigh(h)
 
-    e_proj = sum(w[k] * fidelity(ansatz, params, v[:, k]) for k in range(1 << n))
+    e_proj = float(np.sum(w * fidelities(ansatz, params, v)))
 
     ham = TFIM2D(nx=nx, ny=ny, bx=bx, encoding="grid")
     grids = jnp.transpose(
@@ -156,7 +156,7 @@ def test_fidelity_snake2d_flat_mapping():
     h = exact.tfim2d_dense(nx, ny, bx)
     w, v = np.linalg.eigh(h)
 
-    e_proj = sum(w[k] * fidelity(ansatz, params, v[:, k]) for k in range(1 << n))
+    e_proj = float(np.sum(w * fidelities(ansatz, params, v)))
 
     ham = TFIM2D(nx=nx, ny=ny, bx=bx, encoding="flat")
     flat = jnp.asarray(basis_configs(n))

@@ -113,7 +113,7 @@ def test_bwd_kernel_multiple_tiles(monkeypatch):
 
 @pytest.mark.parametrize("n,units", [
     (8, (10,)),
-    (16, (10,)),
+    pytest.param(16, (10,), marks=pytest.mark.slow),
     pytest.param(21, (10,), marks=pytest.mark.slow),
     pytest.param(33, (10,), marks=pytest.mark.slow),
     pytest.param(21, (8, 8), marks=pytest.mark.slow),
@@ -238,8 +238,11 @@ def test_mdrnn_bwd_multiple_tiles(monkeypatch):
         )
 
 
-@pytest.mark.parametrize("u1,units", [(True, (10,)), (False, (10,)),
-                                      (True, (8, 8))])
+@pytest.mark.parametrize("u1,units", [
+    (True, (10,)),
+    pytest.param(False, (10,), marks=pytest.mark.slow),
+    pytest.param(True, (8, 8), marks=pytest.mark.slow),
+])
 def test_crnn_bwd_kernel_matches_jnp_grad(u1, units):
     from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
     from rnnwavefunctions_tpu.ops.fused_crnn_bwd import crnn_log_amp_bwd

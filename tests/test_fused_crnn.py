@@ -98,6 +98,7 @@ def test_j1j2_exchange_kernel_matches_generic():
     np.testing.assert_allclose(np.asarray(lp_im), np.asarray(wim), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_j1j2_sample_and_exchange_consistent():
     """Fused sample+exchange kernel: the drawn batch's off-diagonal sums and
     base log-amps match the teacher-forced exchange kernel, and every drawn
@@ -266,7 +267,7 @@ def test_spill_exchange_kernel_matches_resident(monkeypatch):
     np.testing.assert_allclose(np.asarray(lp2_im), np.asarray(w_im), atol=1e-4)
 
 
-@pytest.mark.parametrize("n", [9, 11])
+@pytest.mark.parametrize("n", [9, pytest.param(11, marks=pytest.mark.slow)])
 def test_crnn_u1_odd_n_semantics(n):
     """Odd chain lengths under the U(1) mask: the reference baseline
     N//2 - 1 (``ComplexRNNwavefunction.py:85-93``) makes zero magnetization
@@ -298,7 +299,8 @@ def test_crnn_u1_odd_n_semantics(n):
     assert len(set(np.asarray(s2).sum(axis=1).tolist())) == 1
 
 
-@pytest.mark.parametrize("n", [9, pytest.param(11, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("n", [pytest.param(9, marks=pytest.mark.slow),
+                               pytest.param(11, marks=pytest.mark.slow)])
 def test_crnn_odd_n_no_u1_jnp_vs_fused(n):
     """Odd chains WITHOUT the U(1) constraint: jnp and fused paths agree on
     amplitudes and exchange energies."""

@@ -109,6 +109,7 @@ def test_pallas_lstm_grad_matches_jnp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_wide_hidden_rollout_and_grad_match_jnp():
     """Hidden widths at/above the 128-lane dimension (production-scale
     stacks; the kernels' (U, T) feature-major blocks span multiple
@@ -201,6 +202,7 @@ def test_lstm_kernel_gates():
     assert not c._kernelizable()
 
 
+@pytest.mark.widegroup
 def test_tfim_flip_kernel_lstm_matches_explicit():
     """LSTM wavefront flip kernel ([h; c] history rows) vs explicit flips."""
     from rnnwavefunctions_tpu.ops.tfim_flip_kernel import tfim_flip_ratio_sum
@@ -299,6 +301,7 @@ def test_pallas_stacked_log_prob_and_sampler_match_jnp():
     np.testing.assert_allclose(np.asarray(lp2), want2, atol=1e-4)
 
 
+@pytest.mark.widegroup
 def test_tfim_flip_kernel_matches_generic(setup):
     """Triangular fused flip-ratio kernel vs the generic connected path."""
     from rnnwavefunctions_tpu.ops.tfim_flip_kernel import tfim_flip_ratio_sum
@@ -428,6 +431,7 @@ def test_sample_and_flip_kernel_stacked_consistent():
     np.testing.assert_allclose(np.asarray(ratio), np.asarray(ratio2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sample_and_flip_kernel_per_flip_consistent():
     """Fused sample+per-flip log-probs (the parity sample mode)."""
     from rnnwavefunctions_tpu.ops.tfim_flip_kernel import (

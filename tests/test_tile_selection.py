@@ -1,6 +1,8 @@
 """Wavefront kernel tile/spill selection: batch caps, VMEM budgets, and
 regime-specific group accounting (pure host logic, no device)."""
 
+import pytest
+
 from rnnwavefunctions_tpu.ops import fused_gru_bwd as bk
 from rnnwavefunctions_tpu.ops import j1j2_exchange_kernel as xk
 from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
@@ -29,6 +31,7 @@ def test_cap_tile_honors_non_power_of_two_max():
     assert cap_tile(1, 384) == 128
 
 
+@pytest.mark.widegroup
 def test_flagship_configs_select_expected_tiles():
     # N=100 single layer at 50 units: resident, full 512 tile, base group
     assert tk._pick_tile(100, (50,), 500) == (512, False)
