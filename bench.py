@@ -266,9 +266,9 @@ def main():
         ("mdrnn_16x16", MDRNN2D(nx=16, ny=16, units=50),
          TFIM2D(nx=16, ny=16, bx=3.0, encoding="grid"), NUM_SAMPLES,
          SLOW_STEPS_PER_TRIAL, flops_mdrnn(16, 16, 50, NUM_SAMPLES)),
-        ("mdrnn_32x32_s64", MDRNN2D(nx=32, ny=32, units=50),
-         TFIM2D(nx=32, ny=32, bx=3.0, encoding="grid"), 64,
-         SLOW_STEPS_PER_TRIAL, flops_mdrnn(32, 32, 50, 64)),
+        ("mdrnn_32x32_s128", MDRNN2D(nx=32, ny=32, units=50),
+         TFIM2D(nx=32, ny=32, bx=3.0, encoding="grid"), 128,
+         SLOW_STEPS_PER_TRIAL, flops_mdrnn(32, 32, 50, 128)),
         ("mdrnn_24x24_s128", MDRNN2D(nx=24, ny=24, units=50),
          TFIM2D(nx=24, ny=24, bx=3.0, encoding="grid"), 128,
          SLOW_STEPS_PER_TRIAL, flops_mdrnn(24, 24, 50, 128)),
