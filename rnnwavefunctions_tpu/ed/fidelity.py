@@ -28,10 +28,7 @@ def basis_configs(n: int) -> np.ndarray:
     return ((idx[:, None] >> np.arange(n)[None, :]) & 1).astype(np.int32)
 
 
-@functools.lru_cache(maxsize=32)
-def _jitted_eval(ansatz):
-    """One cached jitted log-amplitude evaluator per (hashable, frozen)
-    ansatz — repeated ``fidelity`` calls must not re-trace the scan."""
+def _make_jitted(ansatz):
     import jax
 
     from ..ops.tiling import tpu_compiler_options
@@ -41,6 +38,13 @@ def _jitted_eval(ansatz):
     return jax.jit(
         lambda p, b: raw(p, b), compiler_options=tpu_compiler_options()
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_eval(ansatz):
+    """One cached jitted log-amplitude evaluator per (hashable, frozen)
+    ansatz — repeated ``fidelity`` calls must not re-trace the scan."""
+    return _make_jitted(ansatz)
 
 
 def amplitude_table(ansatz, params, n: int, chunk: int = 2048) -> np.ndarray:
@@ -71,12 +75,7 @@ def amplitude_table(ansatz, params, n: int, chunk: int = 2048) -> np.ndarray:
         try:  # unhashable ansatz (e.g. injected custom-cell objects):
             jitted = _jitted_eval(ansatz)  # skip the cross-call cache
         except TypeError:
-            from ..ops.tiling import tpu_compiler_options
-
-            jitted = jax.jit(
-                lambda p, b: raw(p, b),
-                compiler_options=tpu_compiler_options(),
-            )
+            jitted = _make_jitted(ansatz)
         jax.eval_shape(jitted, params,
                        jax.ShapeDtypeStruct(block_shape, np.int32))
         eval_chunk = jitted

@@ -82,14 +82,13 @@ def _group_for(tile: int, u: int, ns: int) -> int:
     return max(GROUP, min(g, _round8(max(ns // 8, 1))))
 
 
-def _base_bytes(nx: int, ny: int, u: int, tile: int,
-                group: int | None = None) -> int:
+def _base_bytes(nx: int, ny: int, u: int, tile: int, group: int) -> int:
     """Non-history pieces: samples + pfx rows, the per-trajectory row
-    buffer, and the wavefront blocks."""
+    buffer, and the wavefront blocks — sized with the group the kernel
+    will actually run (callers pass it explicitly; an implicit
+    ``_group_for`` fallback would silently track the test-forcing flag)."""
     ns = nx * ny
     up = _round8(u)
-    if group is None:
-        group = _group_for(tile, u, ns)
     rows = 2 * ns * tile * 4                      # samples (int32) + pfx
     rowbuf = nx * up * group * tile * 4
     wf = (up + 3) * group * tile * 4              # + wf_x, wf_acc, wf_cmp

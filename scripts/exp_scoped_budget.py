@@ -94,12 +94,31 @@ def case_u256():
         run("u256 flip t512 resident", lambda: measure(mk_a(), h, 500, 50))
 
 
+def with_pick3(mod, pick):
+    # the MDRNN entry points consume the joint (tile, spill, group) `_pick`
+    orig = mod._pick
+
+    class _Ctx:
+        def __enter__(self):
+            mod._pick = pick
+
+        def __exit__(self, *a):
+            mod._pick = orig
+
+    return _Ctx()
+
+
 def case_mdrnn24():
     mk_a = lambda: MDRNN2D(nx=24, ny=24, units=50)
     h = TFIM2D(nx=24, ny=24, bx=3.0, encoding="grid")
-    run("mdrnn24 current (row-window spill)", lambda: measure(mk_a(), h, 128, 10))
-    with with_pick(mk, lambda *a, **k: (128, False)):
+    run("mdrnn24 current", lambda: measure(mk_a(), h, 128, 10))
+    ns = 24 * 24
+    with with_pick3(mk, lambda *a, **k: (128, False,
+                                         mk._group_for(128, 50, ns))):
         run("mdrnn24 RESIDENT t128", lambda: measure(mk_a(), h, 128, 10))
+    with with_pick3(mk, lambda *a, **k: (128, True,
+                                         mk._group_for(128, 50, ns))):
+        run("mdrnn24 SPILL t128", lambda: measure(mk_a(), h, 128, 10))
 
 
 CASES = {"n1000": case_n1000, "u256": case_u256, "mdrnn24": case_mdrnn24}

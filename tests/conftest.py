@@ -34,12 +34,15 @@ from rnnwavefunctions_tpu.ops import tiling  # noqa: E402
 def _base_wavefront_groups(request):
     """Force the base wavefront group in the fast set.
 
-    Group width is a pure performance knob (lane-packing count per serial
-    wavefront advance) — interpret-mode emulation cost scales ~linearly
-    with it, so fast tests validate numerics at the base group.  The real
-    latency-scaled policy still runs in: tests marked `widegroup` (one
-    equality oracle per lane-packing kernel family), every `slow` capacity
-    variant, and all on-hardware validation.
+    Group width never changes kernel numerics for a given regime, but
+    interpret-mode emulation cost scales ~linearly with it, so fast tests
+    validate numerics at the base group.  Caveat: the (tile, spill) pick
+    accounts VMEM with the group it will run, so for configs near the
+    budget edge the forced pick can select a different regime than
+    production would.  The real latency-scaled policy therefore still
+    runs in: tests marked `widegroup` (wide-group equality oracles and
+    the production-pick assertions of test_tile_selection), every `slow`
+    capacity variant, and all on-hardware validation.
     """
     if request.node.get_closest_marker("slow") or request.node.get_closest_marker(
         "widegroup"

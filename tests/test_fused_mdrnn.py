@@ -144,3 +144,54 @@ def test_mdrnn_spill_flip_kernel_matches_resident(monkeypatch):
     np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp0), atol=1e-5)
     want_lp = np.asarray(ansatz._log_prob_jnp(params, s2))
     np.testing.assert_allclose(np.asarray(lp2), want_lp, atol=1e-4)
+
+
+@pytest.mark.widegroup
+def test_mdrnn_wide_group_matches_base(monkeypatch):
+    """group=16 wavefront (the latency-scaled pick on large lattices, e.g.
+    32x32 t128) vs the base g8 kernel and the explicit jnp log-prob.  Test
+    lattices are all NS-capped to g8 under the real policy, so the
+    group-dependent code (lane-indexed f_lane mapping, partial last group,
+    group-scaled row buffer) is forced here on a small 5x4 lattice —
+    group width must never change numerics within a regime."""
+    from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+
+    nx, ny, u = 5, 4, 9
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=u, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(41))
+    samples = ansatz.sample(params, jax.random.PRNGKey(42), 21)
+
+    with pltpu.force_tpu_interpret_mode():
+        r8, lp8 = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+
+    # resident, wide group (partial last group: 20 sites over g16)
+    monkeypatch.setattr(mk, "_pick", lambda *a, **k: (128, False, 16))
+    with pltpu.force_tpu_interpret_mode():
+        r16, lp16 = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+    np.testing.assert_allclose(np.asarray(r16), np.asarray(r8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp16), np.asarray(lp8), atol=1e-5)
+
+    want_lp = np.asarray(ansatz._log_prob_jnp(params, samples))
+    np.testing.assert_allclose(np.asarray(lp16), want_lp, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.widegroup
+def test_mdrnn_wide_group_spill_matches_base(monkeypatch):
+    """The spill x wide-group combination (row-window staging with a
+    group-scaled row buffer) against the resident base-group kernel."""
+    from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+
+    nx, ny, u = 5, 4, 9
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=u, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(41))
+    samples = ansatz.sample(params, jax.random.PRNGKey(42), 21)
+
+    with pltpu.force_tpu_interpret_mode():
+        r8, lp8 = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+
+    monkeypatch.setattr(mk, "_pick", lambda *a, **k: (128, True, 16))
+    with pltpu.force_tpu_interpret_mode():
+        rs, lps = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(r8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lp8), atol=1e-5)
