@@ -33,10 +33,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import _round_up
 from .fused_gru_bwd import (
-    _MIN_TILE, _VMEM_BUDGET, _dotT_lhs, _dotT_rhs, _round8, _rowsum,
+    _MIN_TILE, _dotT_lhs, _dotT_rhs, _round8, _rowsum,
 )
 from .fused_mdrnn import TILE, _mdrnn_weightsT, _mdrnn_weightT_specs
 from .tiling import cap_tile
+
+# Same raised budget as the flip kernels (mdrnn_flip_kernel/tfim_flip_kernel):
+# assumes every kernel-bearing jit forwards tiling.tpu_compiler_options()
+# (64 MiB scoped-VMEM limit; ~5 MiB program co-residency measured on the
+# training step).  Keeps the (NS, U, T) history resident through 40x40 at 50
+# units — measured +26%/+19% full-step over the jnp scan-of-scans VJP at
+# 24x24/32x32 S=128 (scripts/exp_scoped_budget.py mdrnn_bwd).
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _weight_bytes(u: int) -> int:
+    """One transposed weight set: uh/uv (U,2), wh/wv (U,U), b (U,1), plus
+    the 2-logit head (2,U)+(2,1) — second-to-last dims pad to 8 sublanes,
+    last dims to 128 lanes."""
+    up, lane = _round8(u), 128
+    return (2 * up * lane + 2 * up * _round_up(u, lane)
+            + up * lane + 2 * 8 * lane) * 4
+
+
+def _base_bytes(nx: int, ny: int, u: int, tile: int) -> int:
+    """VMEM-resident pieces excluding the history: the samples block, the
+    cotangent row, the dh loop carry, and four weight-shaped sets (input
+    refs, output refs, and the two in-flight fori accumulator carries)."""
+    return ((nx * ny + 8) * tile * 4 + _round8(u) * tile * 4
+            + 4 * _weight_bytes(u))
 
 
 def _hist_bytes(nx: int, ny: int, u: int, tile: int) -> int:
@@ -46,13 +71,19 @@ def _hist_bytes(nx: int, ny: int, u: int, tile: int) -> int:
 
 def _pick_tile(nx: int, ny: int, u: int, batch) -> int:
     tile = cap_tile(batch, TILE)
-    while tile > _MIN_TILE and _hist_bytes(nx, ny, u, tile) > _VMEM_BUDGET:
+    while tile > _MIN_TILE and (
+        _hist_bytes(nx, ny, u, tile) + _base_bytes(nx, ny, u, tile)
+        > _VMEM_BUDGET
+    ):
         tile //= 2
     return tile
 
 
 def supports(nx: int, ny: int, u: int) -> bool:
-    return _hist_bytes(nx, ny, u, _MIN_TILE) <= _VMEM_BUDGET
+    return (
+        _hist_bytes(nx, ny, u, _MIN_TILE) + _base_bytes(nx, ny, u, _MIN_TILE)
+        <= _VMEM_BUDGET
+    )
 
 
 def _make_bwd_kernel(nx: int, ny: int):

@@ -121,7 +121,33 @@ def case_mdrnn24():
         run("mdrnn24 SPILL t128", lambda: measure(mk_a(), h, 128, 10))
 
 
-CASES = {"n1000": case_n1000, "u256": case_u256, "mdrnn24": case_mdrnn24}
+def case_mdrnn_bwd():
+    """The 2D BPTT kernel at large lattices (fused_mdrnn_bwd now carries
+    the 48 MB budget, resident through 40x40 at 50 units): default pick vs
+    the forced fused/jnp backends.  Measured: jnp VJP 77.8/32.1 steps/s at
+    24x24/32x32 S=128, fused 98.4/38.2 (+26%/+19%)."""
+    from rnnwavefunctions_tpu.ops import fused_mdrnn_bwd as mbk
+
+    for n, s in ((24, 128), (32, 128), (32, 64)):
+        mk_a = lambda: MDRNN2D(nx=n, ny=n, units=50)
+        h = TFIM2D(nx=n, ny=n, bx=3.0, encoding="grid")
+        run(f"mdrnn{n} S={s} default pick",
+            lambda: measure(mk_a(), h, s, 10))
+        orig_sup, orig_pick = mbk.supports, mbk._pick_tile
+        try:
+            mbk.supports = lambda *a, **k: False
+            run(f"mdrnn{n} S={s} forced jnp bwd",
+                lambda: measure(mk_a(), h, s, 10))
+            mbk.supports = lambda *a, **k: True
+            mbk._pick_tile = lambda *a, **k: 128
+            run(f"mdrnn{n} S={s} forced FUSED bwd t128",
+                lambda: measure(mk_a(), h, s, 10))
+        finally:
+            mbk.supports, mbk._pick_tile = orig_sup, orig_pick
+
+
+CASES = {"n1000": case_n1000, "u256": case_u256, "mdrnn24": case_mdrnn24,
+         "mdrnn_bwd": case_mdrnn_bwd}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(CASES)

@@ -70,6 +70,27 @@ def test_bptt_pick_tile_all_regimes():
         assert bk.supports(100, (u,))
 
 
+def test_mdrnn_bwd_pick_large_lattices():
+    """The 2D BPTT budget matches the flip kernels' 48 MiB (raised scoped-
+    VMEM limit): the bench lattices ride the fused backward instead of the
+    jnp scan-of-scans VJP (+26%/+19% full-step at 24x24/32x32 S=128,
+    scripts/exp_scoped_budget.py mdrnn_bwd)."""
+    from rnnwavefunctions_tpu.ops import fused_mdrnn_bwd as mbk
+
+    for nx in (4, 6, 16, 24, 32, 40):
+        assert mbk.supports(nx, nx, 50)
+        assert mbk._pick_tile(nx, nx, 50, 128) == 128
+    # small lattices still widen the tile to the batch cap (<= kernel TILE)
+    from rnnwavefunctions_tpu.ops.fused_mdrnn import TILE as MDRNN_TILE
+
+    assert mbk._pick_tile(6, 6, 50, 500) == MDRNN_TILE
+    # beyond 40x40 the (NS, U, T) history outgrows the budget even at the
+    # minimum tile -> jnp fallback (no spill variant for the 2D backward)
+    assert not mbk.supports(44, 44, 50)
+    # joint accounting: history alone must not be the whole story
+    assert mbk._base_bytes(32, 32, 50, 128) > 0
+
+
 def test_exchange_regime_groups():
     # resident exchange configs run GROUP=8; spilled ones SPILL_GROUP=16
     assert xk._pick_tile(100, (50,), 500) == (512, False)
