@@ -237,10 +237,10 @@ def main():
     # (name, ansatz, hamiltonian, num_samples, steps/trial, flops/step).
     # One row per fused path the framework ships: the four reference
     # workload families (1DTFIM, parity, snake-2D TFIM, 2D MDRNN, J1-J2 OBC
-    # + PBC), the stacked kernels, the two HBM-spilled long chains (N=1000
-    # at the S=64 pair-packed configuration), and the spilled 2D lattice
-    # (24x24 row window).  Sub-ms rows get 4x-long dispatches to amortize
-    # the sync RTT; slow rows keep short trials.
+    # + PBC), the stacked kernels, the N=1000 long chains (S=64
+    # pair-packed), and the HBM-streamed 2D lattice (48x48: row-window
+    # forward + row-chunk-spilled backward).  Sub-ms rows get 4x-long
+    # dispatches to amortize the sync RTT; slow rows keep short trials.
     workloads = [
         ("1dtfim_n100", PRNN1D(num_sites=100, units=(50,)),
          TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, STEPS_PER_TRIAL,
@@ -263,6 +263,11 @@ def main():
         ("snake2d_4x4", PRNNSnake2D(nx=4, ny=4, units=(50,)),
          TFIM2D(nx=4, ny=4, bx=3.0, encoding="flat"), NUM_SAMPLES,
          4 * STEPS_PER_TRIAL, flops_tfim_plain(16, 50, NUM_SAMPLES)),
+        # reference runs 4x4 (run_2dTFIM.py:10); 10x10 shows the family's
+        # kernel throughput once past the dispatch floor
+        ("snake2d_10x10", PRNNSnake2D(nx=10, ny=10, units=(50,)),
+         TFIM2D(nx=10, ny=10, bx=3.0, encoding="flat"), NUM_SAMPLES,
+         STEPS_PER_TRIAL, flops_tfim_plain(100, 50, NUM_SAMPLES)),
         ("mdrnn_16x16", MDRNN2D(nx=16, ny=16, units=50),
          TFIM2D(nx=16, ny=16, bx=3.0, encoding="grid"), NUM_SAMPLES,
          SLOW_STEPS_PER_TRIAL, flops_mdrnn(16, 16, 50, NUM_SAMPLES)),
@@ -272,6 +277,11 @@ def main():
         ("mdrnn_24x24_s128", MDRNN2D(nx=24, ny=24, units=50),
          TFIM2D(nx=24, ny=24, bx=3.0, encoding="grid"), 128,
          SLOW_STEPS_PER_TRIAL, flops_mdrnn(24, 24, 50, 128)),
+        # beyond the 2D resident bound: row-window forward spill + the
+        # row-chunk-spilled fused BPTT backward (both HBM-streamed paths)
+        ("mdrnn_48x48_s64", MDRNN2D(nx=48, ny=48, units=50),
+         TFIM2D(nx=48, ny=48, bx=3.0, encoding="grid"), 64,
+         SLOW_STEPS_PER_TRIAL, flops_mdrnn(48, 48, 50, 64)),
         ("j1j2_n100_pbc", CRNNU1(num_sites=100, units=(50,)),
          J1J2(num_sites=100, j2=0.2, periodic=True), NUM_SAMPLES,
          STEPS_PER_TRIAL, flops_j1j2(100, 50, NUM_SAMPLES)),

@@ -194,8 +194,9 @@ def mdrnn_sample(params, seed: jax.Array, num_samples: int, nx: int, ny: int):
 
 
 def make_mdrnn_log_prob_fn(jnp_log_prob, nx: int, ny: int):
-    """Pallas forward; fused Pallas BPTT backward when the cell-output
-    history fits VMEM (``ops/fused_mdrnn_bwd``), jnp backward beyond."""
+    """Pallas forward; fused Pallas BPTT backward (``ops/fused_mdrnn_bwd``:
+    VMEM-resident history, or row-chunk HBM-spilled beyond ~40x40), jnp
+    backward only past the spill variant's own reach."""
     from . import fused_mdrnn_bwd
 
     @jax.custom_vjp

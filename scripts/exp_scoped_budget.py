@@ -133,21 +133,41 @@ def case_mdrnn_bwd():
         h = TFIM2D(nx=n, ny=n, bx=3.0, encoding="grid")
         run(f"mdrnn{n} S={s} default pick",
             lambda: measure(mk_a(), h, s, 10))
-        orig_sup, orig_pick = mbk.supports, mbk._pick_tile
+        orig_sup, orig_pick = mbk.supports, mbk._pick
         try:
             mbk.supports = lambda *a, **k: False
             run(f"mdrnn{n} S={s} forced jnp bwd",
                 lambda: measure(mk_a(), h, s, 10))
             mbk.supports = lambda *a, **k: True
-            mbk._pick_tile = lambda *a, **k: 128
-            run(f"mdrnn{n} S={s} forced FUSED bwd t128",
+            mbk._pick = lambda *a, **k: (128, None)
+            run(f"mdrnn{n} S={s} forced FUSED bwd t128 resident",
                 lambda: measure(mk_a(), h, s, 10))
         finally:
-            mbk.supports, mbk._pick_tile = orig_sup, orig_pick
+            mbk.supports, mbk._pick = orig_sup, orig_pick
+
+
+def case_mdrnn_bwd_spill():
+    """Beyond the fused backward's resident bound (~40x40 at 50 units) the
+    row-chunk HBM spill takes over from the jnp scan-of-scans VJP."""
+    from rnnwavefunctions_tpu.ops import fused_mdrnn_bwd as mbk
+
+    for n, s, steps in ((48, 64, 5),):
+        mk_a = lambda: MDRNN2D(nx=n, ny=n, units=50)
+        h = TFIM2D(nx=n, ny=n, bx=3.0, encoding="grid")
+        print(f"mdrnn{n} bwd pick: {mbk._pick(n, n, 50, s)}", flush=True)
+        run(f"mdrnn{n} S={s} default (spilled fused bwd)",
+            lambda: measure(mk_a(), h, s, steps, trials=3))
+        orig = mbk.supports
+        try:
+            mbk.supports = lambda *a, **k: False
+            run(f"mdrnn{n} S={s} forced jnp bwd",
+                lambda: measure(mk_a(), h, s, steps, trials=3))
+        finally:
+            mbk.supports = orig
 
 
 CASES = {"n1000": case_n1000, "u256": case_u256, "mdrnn24": case_mdrnn24,
-         "mdrnn_bwd": case_mdrnn_bwd}
+         "mdrnn_bwd": case_mdrnn_bwd, "mdrnn_bwd_spill": case_mdrnn_bwd_spill}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(CASES)

@@ -224,7 +224,7 @@ def test_mdrnn_bwd_multiple_tiles(monkeypatch):
     params = ansatz.init(jax.random.PRNGKey(3))
     samples = ansatz.sample(params, jax.random.PRNGKey(4), 300)
     g = jax.random.normal(jax.random.PRNGKey(5), (300,))
-    monkeypatch.setattr(m, "_pick_tile", lambda nx, ny, u, b: 128)
+    monkeypatch.setattr(m, "_pick", lambda nx, ny, u, b: (128, None))
 
     def loss(p):
         return jnp.sum(ansatz._log_prob_jnp(p, samples) * g)
@@ -232,6 +232,39 @@ def test_mdrnn_bwd_multiple_tiles(monkeypatch):
     want = jax.grad(loss)(params)
     with pltpu.force_tpu_interpret_mode():
         got = m.mdrnn_log_prob_bwd(params, samples, g, 3, 3)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("shape,crows", [
+    ((3, 4), 1),
+    pytest.param((4, 5), 2, marks=pytest.mark.slow),
+    pytest.param((3, 3), 2, marks=pytest.mark.slow),
+    pytest.param((4, 7), 2, marks=pytest.mark.slow),
+])
+def test_mdrnn_bwd_kernel_spill_matches_jnp_grad(shape, crows, monkeypatch):
+    """Row-chunk-spilled 2D BPTT == jnp grad.  The cases exercise nchunks =
+    4 (single-row chunks, full forward-write + reverse-prefetch protocol),
+    3 with a partial last chunk, and 2 (both chunks stay ring-resident, no
+    HBM traffic at all)."""
+    from rnnwavefunctions_tpu.models.mdrnn2d import MDRNN2D
+    from rnnwavefunctions_tpu.ops import fused_mdrnn_bwd as m
+
+    monkeypatch.setattr(m, "_pick", lambda nx, ny, u, b: (128, crows))
+    nx, ny = shape
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=9, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(10))
+    samples = ansatz.sample(params, jax.random.PRNGKey(11), 17)
+    g = jax.random.normal(jax.random.PRNGKey(12), (17,))
+
+    def loss(p):
+        return jnp.sum(ansatz._log_prob_jnp(p, samples) * g)
+
+    want = jax.grad(loss)(params)
+    with pltpu.force_tpu_interpret_mode():
+        got = m.mdrnn_log_prob_bwd(params, samples, g, nx, ny)
     for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5

@@ -79,14 +79,19 @@ def test_mdrnn_bwd_pick_large_lattices():
 
     for nx in (4, 6, 16, 24, 32, 40):
         assert mbk.supports(nx, nx, 50)
-        assert mbk._pick_tile(nx, nx, 50, 128) == 128
+        assert mbk._pick(nx, nx, 50, 128) == (128, None)  # resident
     # small lattices still widen the tile to the batch cap (<= kernel TILE)
     from rnnwavefunctions_tpu.ops.fused_mdrnn import TILE as MDRNN_TILE
 
     assert mbk._pick_tile(6, 6, 50, 500) == MDRNN_TILE
-    # beyond 40x40 the (NS, U, T) history outgrows the budget even at the
-    # minimum tile -> jnp fallback (no spill variant for the 2D backward)
-    assert not mbk.supports(44, 44, 50)
+    # beyond ~40x40 the (NS, U, T) history outgrows the budget even at the
+    # minimum tile -> the row-chunk HBM spill takes over (multi-row chunks,
+    # capped so the reverse sweep keeps >= 3 chunks in flight)
+    for nx in (44, 48, 64):
+        assert mbk.supports(nx, nx, 50)
+        tile, crows = mbk._pick(nx, nx, 50, 128)
+        assert tile == 128 and crows and 2 * crows < nx
+        assert mbk._spill_bytes(nx, nx, 50, tile, crows) <= mbk._VMEM_BUDGET
     # joint accounting: history alone must not be the whole story
     assert mbk._base_bytes(32, 32, 50, 128) > 0
 
