@@ -30,6 +30,12 @@ window {yy-1, yy, (yy+1 in flight)}.  Traffic is one extra history
 read-back per group (~NS*NY/G rows per tile), trivially hidden under the
 O(NS^2/G) wavefront matmuls.
 
+Small batches (2B <= tile) additionally run the flip-pair lane packing of
+the 1D kernels (``_pack_for``): the base pass carries two copies of the
+batch in the tile's lane halves and each wavefront column block serves the
+flip pair (2m, 2m+1), halving the serial advances a 64-sample batch would
+otherwise spend on padding lanes.
+
 Inputs/outputs are in visit order: callers pre-permute the (B, Nx, Ny)
 lattice samples with the boustrophedon index map (see
 ``mdrnn_flip_ratio_sum``).  Returns the flip-ratio sums
@@ -180,9 +186,21 @@ def visit_order(nx: int, ny: int):
     return xx, yy
 
 
+def _pack_for(b, tile: int) -> bool:
+    """Flip-pair lane packing (same policy as the 1D kernels,
+    ``tfim_flip_kernel``): when the batch fills at most half the 128-lane
+    minimum tile (2B <= tile, one grid program), the base pass carries two
+    copies of the batch in the tile's lane halves and every wavefront
+    column block serves the flip PAIR (2m, 2m+1) — halving the serial
+    wavefront advances that otherwise compute 50% padding lanes."""
+    return b is not None and 2 * max(b, 8) <= tile
+
+
 def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
-                 spill: bool = False, group: int = GROUP):
+                 spill: bool = False, group: int = GROUP,
+                 pack: bool = False):
     ns = nx * ny
+    fpg = (2 if pack else 1) * group  # flips covered per wavefront group
 
     def kernel(*refs):
         if sample_mode:
@@ -210,6 +228,9 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
         w = (uhT[:], uvT[:], whT[:], wvT[:], bT[:], hwT[:], hbT[:])
         zero_row = jnp.zeros((1, t), jnp.float32)
         tid = pl.program_id(0)
+        half = t // 2
+        if pack:
+            upper = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) >= half
 
         def read_s(m):
             return samples_ref[pl.ds(m, 1), :].astype(jnp.float32)  # (1, T)
@@ -288,6 +309,11 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
                 )
                 uni = usig.astype(jnp.float32) * (1.0 / (1 << 23))
                 s = jnp.where(uni >= p0, 1.0, 0.0)
+                if pack:
+                    # mirror the lower-half draws so both lane halves carry
+                    # the same batch (teacher-forced inputs arrive
+                    # pre-duplicated; drawn ones are mirrored here)
+                    s = jnp.where(upper, pltpu.roll(s, half, axis=1), s)
                 samples_ref[pl.ds(m, 1), :] = s.astype(jnp.int32)
             else:
                 s = read_s(m)
@@ -306,26 +332,43 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
         lp_ref[:] = lp_base
 
         # ---- grouped wavefront over flips (flip index f = visit position) --
-        num_groups = -(-ns // group)
+        num_groups = -(-ns // fpg)
 
         def init_col(f):
-            """Flip f's suffix starts AT position f (flipped target there)."""
-            k = f % group
+            """Flip f's suffix starts AT position f (flipped target there).
+            Packed: flip pair (2m, 2m+1) shares column block m; the half
+            being initialized is blended in by lane mask (base-pass rows
+            are half-duplicated, so both halves of every source already
+            carry f's values)."""
+            if pack:
+                k = (f % fpg) // 2
+                mask = upper == (f % 2 > 0)            # bool (1, T)
+            else:
+                k = f % group
             sl = pl.ds(k * t, t)
             _, kf, _, _ = coords(f)
-            wf_h[:, sl] = jnp.where(
+            h_new = jnp.where(
                 kf > 0, hist_read(jnp.maximum(f - 1, 0)), 0.0
             )
-            wf_x[:, sl] = jnp.where(
+            x_new = jnp.where(
                 kf > 0, read_s(jnp.maximum(f - 1, 0)), 0.0
             )
-            wf_acc[:, sl] = jnp.where(
+            acc_new = jnp.where(
                 f > 0, pfx[pl.ds(jnp.maximum(f - 1, 0), 1), :], zero_row
             )
-            wf_cmp[:, sl] = zero_row
+            if pack:
+                wf_h[:, sl] = jnp.where(mask, h_new, wf_h[:, sl])
+                wf_x[:, sl] = jnp.where(mask, x_new, wf_x[:, sl])
+                wf_acc[:, sl] = jnp.where(mask, acc_new, wf_acc[:, sl])
+                wf_cmp[:, sl] = jnp.where(mask, 0.0, wf_cmp[:, sl])
+            else:
+                wf_h[:, sl] = h_new
+                wf_x[:, sl] = x_new
+                wf_acc[:, sl] = acc_new
+                wf_cmp[:, sl] = zero_row
 
         def group_body(g, _):
-            g0 = g * group
+            g0 = g * fpg
             if spill:
                 # stage the group's starting rows, prefetch the next one
                 yy0 = g0 // nx
@@ -361,7 +404,7 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
                         def _():
                             row_dma(yy + 1, sem_rd).start()
 
-                @pl.when((m > g0) & (m < jnp.minimum(g0 + group, ns)))
+                @pl.when((m > g0) & (m < jnp.minimum(g0 + fpg, ns)))
                 def _():
                     init_col(m)
 
@@ -377,11 +420,18 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
                 h_v_wf = rowbuf[pl.ds(xx, 1)][0]              # (U, G*T)
 
                 # per-column flip index as a lane-indexed iota: column block
-                # k serves flip f = g0 + k, so one vectorized compare per
-                # quantity replaces a group-long unrolled select chain
-                f_lane = g0 + jax.lax.broadcasted_iota(
+                # k serves flip f = g0 + k (packed: the pair g0 + 2k + half),
+                # so one vectorized compare per quantity replaces a
+                # group-long unrolled select chain
+                lane = jax.lax.broadcasted_iota(
                     jnp.int32, (1, group * t), 1
-                ) // t                                        # (1, G*T)
+                )
+                if pack:
+                    f_lane = g0 + 2 * (lane // t) + jnp.where(
+                        lane % t >= half, 1, 0
+                    )                                         # (1, G*T)
+                else:
+                    f_lane = g0 + lane // t                   # (1, G*T)
                 s_m_t = jnp.concatenate([s_m] * group, axis=1)
                 s_up_t = jnp.concatenate([s_up] * group, axis=1)
                 flip_here = jnp.where(m == f_lane, 1.0, 0.0)
@@ -413,22 +463,33 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
             jax.lax.fori_loop(g0, ns, site_body, 0)
 
             for kk_ in range(group):
-                f = g0 + kk_
+                f = g0 + (2 * kk_ if pack else kk_)
 
                 @pl.when(f < ns)
-                def _():
+                def _(kk_=kk_, f=f):
                     acc = kfinal(
                         wf_acc[:, pl.ds(kk_ * t, t)],
                         wf_cmp[:, pl.ds(kk_ * t, t)],
                     )
-                    eoff_ref[:] = eoff_ref[:] + jnp.exp(
-                        0.5 * (acc - lp_base)
-                    )
+                    contrib = jnp.exp(0.5 * (acc - lp_base))
+                    if pack:
+                        # odd flip count: the block's upper half (flip f+1)
+                        # was never initialized this group — drop it
+                        contrib = jnp.where(
+                            jnp.logical_and(upper, f + 1 >= ns), 0.0, contrib
+                        )
+                    eoff_ref[:] = eoff_ref[:] + contrib
 
             return 0
 
         eoff_ref[:] = zero_row
         jax.lax.fori_loop(0, num_groups, group_body, 0)
+        if pack:
+            # fold the upper-half flips' contributions onto the lower-half
+            # sample lanes (the halves carry the same batch; only the lower
+            # half is read by the host)
+            e = eoff_ref[:]
+            eoff_ref[:] = e + pltpu.roll(e, half, axis=1)
 
     return kernel
 
@@ -476,14 +537,18 @@ def mdrnn_flip_ratio_sum(params, samples: jax.Array, nx: int, ny: int):
     u = params["cell"]["wh"].shape[0]
     ns = nx * ny
     tile, spill, group = _pick(nx, ny, u, b)
+    pack = _pack_for(b, tile)
     b_pad = _round_up(max(b, 8), tile)
     xx, yy = visit_order(nx, ny)
     seq_v = samples[:, xx, yy].T  # (NS, B), visit order
     seq = jnp.zeros((ns, b_pad), jnp.int32).at[:, :b].set(seq_v)
+    if pack:
+        # base-pass rows arrive half-duplicated (see _pack_for)
+        seq = seq.at[:, tile // 2 : tile // 2 + b].set(seq_v)
     hist_specs, hist_shapes = _hist_out(nx, ny, u, tile, b_pad // tile, spill)
 
     outs = pl.pallas_call(
-        _make_kernel(nx, ny, spill=spill, group=group),
+        _make_kernel(nx, ny, spill=spill, group=group, pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((ns, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -516,11 +581,13 @@ def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
     u = params["cell"]["wh"].shape[0]
     ns = nx * ny
     tile, spill, group = _pick(nx, ny, u, num_samples)
+    pack = _pack_for(num_samples, tile)
     b_pad = _round_up(max(num_samples, 8), tile)
     hist_specs, hist_shapes = _hist_out(nx, ny, u, tile, b_pad // tile, spill)
 
     outs = pl.pallas_call(
-        _make_kernel(nx, ny, sample_mode=True, spill=spill, group=group),
+        _make_kernel(nx, ny, sample_mode=True, spill=spill, group=group,
+                     pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

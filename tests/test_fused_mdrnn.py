@@ -195,3 +195,60 @@ def test_mdrnn_wide_group_spill_matches_base(monkeypatch):
         rs, lps = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
     np.testing.assert_allclose(np.asarray(rs), np.asarray(r8), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lps), np.asarray(lp8), atol=1e-5)
+
+
+def test_mdrnn_flip_pack_matches_unpacked(monkeypatch):
+    """Flip-pair lane packing (small batches, 2B <= tile) vs the unpacked
+    kernel and the jnp log-prob.  3x3 (9 flips over fpg=16: odd flip count,
+    the last block's upper half must be masked out) and 3x4 (even)."""
+    from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+
+    for nx, ny, seed in ((3, 3, 51), (3, 4, 52)):
+        ansatz = MDRNN2D(nx=nx, ny=ny, units=9, impl="jnp")
+        params = ansatz.init(jax.random.PRNGKey(seed))
+        samples = ansatz.sample(params, jax.random.PRNGKey(seed + 1), 19)
+
+        assert mk._pack_for(19, 128)  # the production decision for 2B <= T
+        with pltpu.force_tpu_interpret_mode():
+            rp, lpp = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+
+        monkeypatch.setattr(mk, "_pack_for", lambda b, t: False)
+        with pltpu.force_tpu_interpret_mode():
+            ru, lpu = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+        monkeypatch.undo()
+
+        np.testing.assert_allclose(np.asarray(rp), np.asarray(ru), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(lpp), np.asarray(lpu),
+                                   atol=1e-5)
+        want_lp = np.asarray(ansatz._log_prob_jnp(params, samples))
+        np.testing.assert_allclose(np.asarray(lpp), want_lp, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_mdrnn_flip_pack_spill_sample_mode(monkeypatch):
+    """pack x row-window spill, teacher-forced AND fused sample mode."""
+    from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+
+    nx, ny = 4, 5
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=9, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(61))
+    samples = ansatz.sample(params, jax.random.PRNGKey(62), 23)
+
+    monkeypatch.setattr(mk, "_pack_for", lambda b, t: False)
+    with pltpu.force_tpu_interpret_mode():
+        r0, lp0 = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+    monkeypatch.undo()
+
+    monkeypatch.setattr(mk, "_pick", lambda *a, **k: (128, True, 8))
+    with pltpu.force_tpu_interpret_mode():
+        r1, lp1 = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+        s2, lp2, ratio2 = mk.mdrnn_sample_and_flip_sum(
+            params, jnp.int32(9), 13, nx, ny
+        )
+        ratio3, lp3 = mk.mdrnn_flip_ratio_sum(params, s2, nx, ny)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp0), atol=1e-5)
+    want_lp = np.asarray(ansatz._log_prob_jnp(params, s2))
+    np.testing.assert_allclose(np.asarray(lp2), want_lp, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ratio2), np.asarray(ratio3),
+                               rtol=1e-5)
