@@ -132,26 +132,48 @@ def sampler_gof(draws_per_round=4096, rounds=32, seed=7):
     ``/root/reference/1DTFIM/RNNwavefunction.py:68``.
 
     Covers the GRU sampler (N=8), the LSTM sampler (N=8), the U(1)-masked
-    cRNN (N=8 — includes the zero-magnetization sector check), and the
-    3x3 MDRNN."""
+    cRNN (N=8 — includes the zero-magnetization sector check), the 3x3
+    MDRNN, and the flip-pair-packed fused 2D sample+estimate path (S=64:
+    2B <= tile mirrors the lower-half draws into the upper lanes —
+    a distinct draw path from the plain sampler)."""
+    import jax.numpy as jnp
+
     from rnnwavefunctions_tpu import CRNNU1, MDRNN2D, PRNN1D
+    from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+
+    mdrnn = MDRNN2D(nx=3, ny=3, units=12)
+    tile_p, _, _ = mk._pick(3, 3, 12, 64)
+    assert mk._pack_for(64, tile_p), "S=64 must engage the packed sampler"
+
+    def packed_sample(params, key, num):
+        s32 = jnp.int32(jax.random.randint(key, (), 0, 2**31 - 1))
+        draws, _, _ = mk.mdrnn_sample_and_flip_sum(params, s32, num, 3, 3)
+        return draws
 
     results = []
-    total = draws_per_round * rounds
     cases = [
-        ("gru_n8", PRNN1D(num_sites=8, units=(16,)), 8, None),
-        ("lstm_n8", PRNN1D(num_sites=8, units=(16,), cell="lstm"), 8, None),
-        ("crnn_u1_n8", CRNNU1(num_sites=8, units=(16,)), 8, "u1"),
-        ("mdrnn_3x3", MDRNN2D(nx=3, ny=3, units=12), 9, "grid"),
+        ("gru_n8", PRNN1D(num_sites=8, units=(16,)), 8, None, None, 1),
+        ("lstm_n8", PRNN1D(num_sites=8, units=(16,), cell="lstm"), 8, None,
+         None, 1),
+        ("crnn_u1_n8", CRNNU1(num_sites=8, units=(16,)), 8, "u1", None, 1),
+        ("mdrnn_3x3", MDRNN2D(nx=3, ny=3, units=12), 9, "grid", None, 1),
+        # small rounds at S=64: 512 dispatches = 32,768 packed draws
+        ("mdrnn_3x3_packed_s64", mdrnn, 9, "grid", packed_sample, 16),
     ]
-    for name, ansatz, n, kind in cases:
+    for name, ansatz, n, kind, sample_fn, rscale in cases:
+        dpr = draws_per_round if sample_fn is None else 64
+        nrounds = rounds * rscale
+        total = dpr * nrounds
         params = ansatz.init(jax.random.PRNGKey(seed))
         counts = np.zeros(2**n, dtype=np.int64)
         key = jax.random.PRNGKey(seed + 1)
-        for r in range(rounds):
+        for r in range(nrounds):
             key, sub = jax.random.split(key)
-            draws = np.asarray(ansatz.sample(params, sub, draws_per_round))
-            flat = draws.reshape(draws_per_round, n)
+            if sample_fn is None:
+                draws = np.asarray(ansatz.sample(params, sub, dpr))
+            else:
+                draws = np.asarray(sample_fn(params, sub, dpr))
+            flat = draws.reshape(dpr, n)
             code = (flat.astype(np.int64) << np.arange(n)[None, :]).sum(1)
             counts += np.bincount(code, minlength=2**n)
 
