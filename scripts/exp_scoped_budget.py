@@ -4,8 +4,10 @@ With ``xla_tpu_scoped_vmem_limit_kib=65536`` forwarded by the trainer's jits
 (commit "Raise the TPU scoped-VMEM limit"), hidden-state histories that used
 to exceed the 14 MiB budget can stay VMEM-resident instead of spilling to
 HBM, and tiles can widen.  This experiment times the candidate regimes per
-workload by monkeypatching each kernel module's ``_pick_tile`` and running
-the full training step (fwd estimator + BPTT backward both re-pick).
+workload by monkeypatching each kernel module's pick function (the joint
+``_pick`` where the module has one — e.g. ``fused_mdrnn_bwd`` reads
+``_pick``, not ``_pick_tile`` — else ``_pick_tile``) and running the full
+training step (fwd estimator + BPTT backward both re-pick).
 
 Run from /root/repo:  timeout 580 python scripts/exp_scoped_budget.py [case]
 """
