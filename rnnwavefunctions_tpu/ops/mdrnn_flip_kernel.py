@@ -110,15 +110,22 @@ def _win_bytes(nx: int, u: int, tile: int) -> int:
 
 
 def _candidate_groups(tile: int, u: int, ns: int):
-    """Latency-scaled group first, halving toward the base GROUP — the
-    per-trajectory row buffer scales with the group, so a wide group that
-    blows the budget degrades gracefully instead of forcing a spill."""
+    """Latency-scaled group first, stepping down toward the base GROUP via
+    3g/4 then g/2 (nothing requires a power-of-two group; lanes stay
+    128-multiples for any multiple-of-8 group) — the per-trajectory row
+    buffer scales with the group, so a wide group that blows the budget
+    degrades gracefully instead of forcing a spill.  Measured at 48x48
+    S=64 spilled (the g32 rowbuf misses the budget): g24 15.3 vs g16 14.6
+    steps/s full step."""
     g = _group_for(tile, u, ns)
     out = []
     while True:
         out.append(g)
         if g <= GROUP:
             return out
+        q = 3 * g // 4
+        if q > GROUP and q % 8 == 0:
+            out.append(q)
         g = max(GROUP, g // 2)
 
 

@@ -252,3 +252,32 @@ def test_mdrnn_flip_pack_spill_sample_mode(monkeypatch):
     np.testing.assert_allclose(np.asarray(lp2), want_lp, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ratio2), np.asarray(ratio3),
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.widegroup
+def test_mdrnn_group24_matches_base(monkeypatch):
+    """Non-power-of-two wavefront group (the 3g/4 candidate the 48x48 S=64
+    spill config picks) against the base g8 kernel."""
+    from rnnwavefunctions_tpu.ops import mdrnn_flip_kernel as mk
+
+    nx, ny, u = 5, 6, 9
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=u, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(71))
+    samples = ansatz.sample(params, jax.random.PRNGKey(72), 21)
+
+    with pltpu.force_tpu_interpret_mode():
+        r8, lp8 = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+
+    # 30 sites over fpg=48 (packed): single partial group, and over g24
+    # unpacked via _pack_for off: two groups with a partial last
+    monkeypatch.setattr(mk, "_pick", lambda *a, **k: (128, True, 24))
+    with pltpu.force_tpu_interpret_mode():
+        rp, lpp = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+    monkeypatch.setattr(mk, "_pack_for", lambda b, t: False)
+    with pltpu.force_tpu_interpret_mode():
+        ru, lpu = mk.mdrnn_flip_ratio_sum(params, samples, nx, ny)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(r8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ru), np.asarray(r8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lpp), np.asarray(lp8), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lpu), np.asarray(lp8), atol=1e-5)

@@ -96,6 +96,19 @@ def test_mdrnn_bwd_pick_large_lattices():
     assert mbk._base_bytes(32, 32, 50, 128) > 0
 
 
+@pytest.mark.widegroup
+def test_mdrnn_flip_group_candidates():
+    """The 2D wavefront group ladder includes the 3g/4 step (g24 at 48x48
+    S=64 spilled: measured +5% over g16; g32's row buffer misses the
+    budget there), and every candidate is a multiple of 8 so G*T lanes
+    stay 128-aligned."""
+    assert mk._candidate_groups(128, 50, 48 * 48) == [32, 24, 16, 8]
+    assert mk._pick(48, 48, 50, 64) == (128, True, 24)
+    assert mk._pick(40, 40, 50, 64) == (128, True, 32)  # g32 still fits
+    for g in mk._candidate_groups(128, 50, 48 * 48):
+        assert g % 8 == 0
+
+
 def test_exchange_regime_groups():
     # resident exchange configs run GROUP=8; spilled ones SPILL_GROUP=16
     assert xk._pick_tile(100, (50,), 500) == (512, False)
