@@ -26,12 +26,15 @@
 //   accumulate x = sum_k y_k q_k) and its residual ||Hx - lambda x||.
 //   For a DEGENERATE ground level the vector is one member of the
 //   degenerate subspace (whichever the seeded start vector selects).
-// Return 0 on success.
+// Return 0 on success, 1 on invalid arguments, 2 on allocation
+// failure (the work vectors are multi-GiB near the size cap), 3 on
+// any other internal error.
 
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <random>
 #include <vector>
 
@@ -233,11 +236,6 @@ int lanczos_ground(size_t dim, MatVec matvec, int max_iter, double* out,
   return 0;
 }
 
-template <typename MatVec>
-int lanczos_min_eig(size_t dim, MatVec matvec, int max_iter, double* out) {
-  return lanczos_ground(dim, matvec, max_iter, out);
-}
-
 }  // namespace
 
 namespace {
@@ -267,24 +265,7 @@ int tfim1d_impl(int n, double bx, const double* jz, int max_iter,
                         out_resid);
 }
 
-}  // namespace
-
-extern "C" {
-
-int tfim1d_ground_energy(int n, double bx, const double* jz, int max_iter,
-                         double* out_energy) {
-  return tfim1d_impl(n, bx, jz, max_iter, out_energy, nullptr, nullptr);
-}
-
-// Two-pass Lanczos ground STATE: fills out_vec (caller-allocated, 2^n
-// doubles, ed/exact.py basis order) and out_resid = ||H x - lambda x||.
-int tfim1d_ground_state(int n, double bx, const double* jz, int max_iter,
-                        double* out_energy, double* out_vec,
-                        double* out_resid) {
-  return tfim1d_impl(n, bx, jz, max_iter, out_energy, out_vec, out_resid);
-}
-
-int tfim2d_ground_state_impl(int nx, int ny, double bx, double jz,
+int tfim2d_impl(int nx, int ny, double bx, double jz,
                              int max_iter, double* out_energy,
                              double* out_vec, double* out_resid) {
   // 2D OBC lattice, flat index i = y*nx + x (matching ed/exact.py and the
@@ -322,20 +303,7 @@ int tfim2d_ground_state_impl(int nx, int ny, double bx, double jz,
                         out_resid);
 }
 
-int tfim2d_ground_energy(int nx, int ny, double bx, double jz, int max_iter,
-                         double* out_energy) {
-  return tfim2d_ground_state_impl(nx, ny, bx, jz, max_iter, out_energy,
-                                  nullptr, nullptr);
-}
-
-int tfim2d_ground_state(int nx, int ny, double bx, double jz, int max_iter,
-                        double* out_energy, double* out_vec,
-                        double* out_resid) {
-  return tfim2d_ground_state_impl(nx, ny, bx, jz, max_iter, out_energy,
-                                  out_vec, out_resid);
-}
-
-int j1j2_ground_state_impl(int n, double j1, double j2, double bz,
+int j1j2_impl(int n, double j1, double j2, double bz,
                            int periodic, int marshall, int max_iter,
                            double* out_energy, double* out_vec,
                            double* out_resid) {
@@ -388,17 +356,73 @@ int j1j2_ground_state_impl(int n, double j1, double j2, double bz,
                         out_resid);
 }
 
+// The work vectors are multi-GiB near the n <= 28 cap; an allocation
+// failure must come back through the C ABI as a return code, not an
+// exception crossing the language boundary (std::terminate).
+template <typename Fn>
+int guarded(Fn fn) {
+  try {
+    return fn();
+  } catch (const std::bad_alloc&) {
+    return 2;  // out of memory
+  } catch (...) {
+    return 3;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int tfim1d_ground_energy(int n, double bx, const double* jz, int max_iter,
+                         double* out_energy) {
+  return guarded([&] {
+    return tfim1d_impl(n, bx, jz, max_iter, out_energy, nullptr, nullptr);
+  });
+}
+
+// Two-pass Lanczos ground STATE: fills out_vec (caller-allocated, 2^n
+// doubles, ed/exact.py basis order) and out_resid = ||H x - lambda x||.
+int tfim1d_ground_state(int n, double bx, const double* jz, int max_iter,
+                        double* out_energy, double* out_vec,
+                        double* out_resid) {
+  return guarded([&] {
+    return tfim1d_impl(n, bx, jz, max_iter, out_energy, out_vec, out_resid);
+  });
+}
+
+int tfim2d_ground_energy(int nx, int ny, double bx, double jz, int max_iter,
+                         double* out_energy) {
+  return guarded([&] {
+    return tfim2d_impl(nx, ny, bx, jz, max_iter, out_energy,
+                                  nullptr, nullptr);
+  });
+}
+
+int tfim2d_ground_state(int nx, int ny, double bx, double jz, int max_iter,
+                        double* out_energy, double* out_vec,
+                        double* out_resid) {
+  return guarded([&] {
+    return tfim2d_impl(nx, ny, bx, jz, max_iter, out_energy,
+                                  out_vec, out_resid);
+  });
+}
+
 int j1j2_ground_energy(int n, double j1, double j2, double bz, int periodic,
                        int marshall, int max_iter, double* out_energy) {
-  return j1j2_ground_state_impl(n, j1, j2, bz, periodic, marshall, max_iter,
+  return guarded([&] {
+    return j1j2_impl(n, j1, j2, bz, periodic, marshall, max_iter,
                                 out_energy, nullptr, nullptr);
+  });
 }
 
 int j1j2_ground_state(int n, double j1, double j2, double bz, int periodic,
                       int marshall, int max_iter, double* out_energy,
                       double* out_vec, double* out_resid) {
-  return j1j2_ground_state_impl(n, j1, j2, bz, periodic, marshall, max_iter,
+  return guarded([&] {
+    return j1j2_impl(n, j1, j2, bz, periodic, marshall, max_iter,
                                 out_energy, out_vec, out_resid);
+  });
 }
 
 }  // extern "C"

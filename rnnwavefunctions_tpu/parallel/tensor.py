@@ -92,9 +92,13 @@ def shard_params(params: Any, k: int, idx) -> Any:
         "head": {
             "w": jax.lax.dynamic_slice_in_dim(head["w"], idx * us, us, axis=0),
             # b/k folded inside the head psum: the forward value is
-            # unchanged and every member's bias cotangent carries a 1/k, so
-            # a plain psum-over-tp assembles ALL parameter gradients
-            # uniformly (sliced leaves are disjoint; the bias sums to 1x).
+            # unchanged, and because the in-trunk psum transposes to a psum,
+            # every member's local gradient comes out k x its disjoint
+            # slice — so pmean-over-tp (NOT a plain psum; see
+            # trainer._device_step_tp and tests/test_tensor_parallel.py::
+            # test_tp_inner_grad_pmean_matches_unsharded) assembles ALL
+            # parameter gradients uniformly at 1x, the bias included via
+            # the folded 1/k.
             "b": head["b"] / k,
         },
     }

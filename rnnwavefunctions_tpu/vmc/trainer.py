@@ -196,6 +196,12 @@ class VMCTrainer:
                 "tensor parallelism supports the plain positive GRU pRNN "
                 f"family; got {type(a).__name__}"
             )
+        if getattr(a, "local_dim", 2) != 2:
+            raise ValueError(
+                "tensor parallelism assumes on-site dimension 2 "
+                f"(parallel/tensor.py hardcodes the one-hot width); got "
+                f"local_dim={a.local_dim}"
+            )
         if any(u % self.tp for u in a.units):
             raise ValueError(
                 f"hidden widths {a.units} must be divisible by tp={self.tp}"
@@ -262,7 +268,6 @@ class VMCTrainer:
         tests/test_tensor_parallel.py::test_tp_inner_grad_pmean_matches_
         unsharded), so the Adam update is identical on every device."""
         from ..parallel import tensor as tp_lib
-        from .loss import surrogate_loss as _surrogate
 
         key = mesh_lib.device_key(jax.random.fold_in(key, step))
         samples, _, e_re = self._tp_sample_and_energy(params, key)
@@ -275,7 +280,7 @@ class VMCTrainer:
                 p, self.tp, jax.lax.axis_index(tp_lib.TP_AXIS)
             )
             la_s = 0.5 * tp_lib.tp_log_prob(sh, samples, units, self.tp)
-            return _surrogate(la_s, None, e_re, None, e_mean, None)
+            return surrogate_loss(la_s, None, e_re, None, e_mean, None)
 
         with jax.named_scope("vmc_grad"):
             grads = jax.grad(loss_fn)(params)
@@ -292,6 +297,22 @@ class VMCTrainer:
         }
 
     # -- the fused step -----------------------------------------------------
+
+    def _base_log_amp_input(self, params, samples, logp_sampling):
+        """log psi of the drawn samples (the ratio denominators), or None
+        when the selected estimator computes the base pass in-kernel
+        (``needs_log_amp=False`` — it returns the base log-amp as its third
+        output instead).  For a plain positive ansatz the sampling density
+        *is* the wavefunction density, so 0.5*logp is free; parity/complex
+        ansatze pay the full teacher-forced pass."""
+        ansatz = self.ansatz
+        if not self.local_energy.needs_log_amp:
+            return None
+        if getattr(ansatz, "plain_positive", False):
+            return 0.5 * logp_sampling
+        if getattr(ansatz, "is_complex", False):
+            return ansatz.log_amp_parts(params, samples)
+        return ansatz.log_amp(params, samples)
 
     def _device_step(self, params, opt_state, step, key):
         """Runs per-device inside shard_map; params/opt_state replicated."""
@@ -311,20 +332,9 @@ class VMCTrainer:
                 )
             samples = jax.lax.stop_gradient(samples)
 
-            # log psi of the drawn samples (ratio denominators).  For a plain
-            # positive ansatz the sampling density *is* the wavefunction
-            # density, so 0.5*logp is free; parity/complex ansatze need the
-            # full pass — unless a fused estimator computes the base pass
-            # in-kernel anyway (needs_log_amp=False), in which case no
-            # separate rollout is paid at all.
-            if not self.local_energy.needs_log_amp:
-                log_amp_s = None
-            elif getattr(ansatz, "plain_positive", False):
-                log_amp_s = 0.5 * logp_sampling
-            elif is_complex:
-                log_amp_s = ansatz.log_amp_parts(params, samples)
-            else:
-                log_amp_s = ansatz.log_amp(params, samples)
+            log_amp_s = self._base_log_amp_input(
+                params, samples, logp_sampling
+            )
 
             with jax.named_scope("vmc_local_energy"):
                 e_re, e_im, _ = self.local_energy(
@@ -452,15 +462,14 @@ class VMCTrainer:
             samples, logp_sampling = ansatz.sample_with_log_prob(
                 params, key, self.local_samples
             )
-            if not self.local_energy.needs_log_amp:
-                log_amp_s = None
-            elif getattr(ansatz, "plain_positive", False):
-                log_amp_s = 0.5 * logp_sampling
-            elif getattr(ansatz, "is_complex", False):
-                log_amp_s = ansatz.log_amp_parts(params, samples)
-            else:
-                log_amp_s = ansatz.log_amp(params, samples)
-            e_re, e_im, _ = self.local_energy(params, samples, log_amp_s)
+            log_amp_s = self._base_log_amp_input(
+                params, samples, logp_sampling
+            )
+            # fused estimators return the base log-amp as a by-product —
+            # keep it so the observables below never pay an extra rollout
+            e_re, e_im, base_la = self.local_energy(
+                params, samples, log_amp_s
+            )
             e_mean = mesh_lib.pmean(jnp.mean(e_re))
             var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean) ** 2))
             mag = mesh_lib.pmean(
@@ -471,9 +480,7 @@ class VMCTrainer:
             if e_im is not None:
                 out["mean_energy_im"] = mesh_lib.pmean(jnp.mean(e_im))
             if "sigma_x" in extra:
-                la_s = log_amp_s
-                if la_s is None and getattr(ansatz, "plain_positive", False):
-                    la_s = 0.5 * logp_sampling
+                la_s = log_amp_s if log_amp_s is not None else base_la
                 out["sigma_x"] = mesh_lib.pmean(observables_mod.sigma_x(
                     ansatz, params, samples, log_amp_samples=la_s,
                     chunk_size=self.config.chunk_size))
