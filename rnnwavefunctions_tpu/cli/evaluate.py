@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bx", type=float, default=1.0)
     p.add_argument("--j1", type=float, default=1.0)
     p.add_argument("--j2", type=float, default=0.2)
+    p.add_argument("--bz", type=float, default=0.0)
     p.add_argument("--marshall-sign", action="store_true")
     p.add_argument("--periodic", action="store_true")
     p.add_argument("--num-units", type=int, default=50)
@@ -57,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "ground state (dense eigh to N=16, C++ Lanczos "
                         "vector to N=24)")
     p.add_argument("--numsamples", type=int, default=1024)
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="cap device-resident flip batches for the "
+                        "off-diagonal observables (long chains: the "
+                        "sigma_x flip batch is S*N x N without it)")
     p.add_argument("--num-batches", type=int, default=10)
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -95,7 +100,7 @@ def build_problem(args):
     return (CRNNU1(num_sites=args.systemsize, units=units,
                    cell=args.cell, dtype=dtype, accum_dtype=dtype),
             J1J2(num_sites=args.systemsize, j1=args.j1, j2=args.j2,
-                 marshall_sign=args.marshall_sign,
+                 bz=args.bz, marshall_sign=args.marshall_sign,
                  periodic=args.periodic))
 
 
@@ -115,10 +120,20 @@ def main(argv=None):
             f"--fidelity needs an exact 2^N ground vector; "
             f"N={_num_sites(args)} > 24 (Lanczos bound)"
         )
+    if ("structure_factor" in args.observables
+            and args.workload.startswith("2dtfim")):
+        # S(k) is computed over unit-spaced chain distances; on a
+        # flattened 2D lattice those are not lattice distances
+        raise SystemExit(
+            "--observables structure_factor is a 1D-chain estimator "
+            "(cos(k(i-j)) over chain site indices); it is not defined for "
+            "the 2D workloads' flattened orderings"
+        )
     ansatz, ham = build_problem(args)
     trainer = VMCTrainer(
         ansatz, ham,
         TrainConfig(num_samples=args.numsamples,
+                    chunk_size=args.chunk_size,
                     matmul_precision=args.matmul_precision),
         mesh=make_mesh(args.num_devices),
     )

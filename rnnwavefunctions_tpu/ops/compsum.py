@@ -26,6 +26,7 @@ assume d logp / d site_logp = 1) stay correct.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -53,8 +54,12 @@ def accum_sum(xs, accum_dtype, axis: int = 0):
     """Site-log-prob sum with the reference's f64-sum semantics
     (``1DTFIM/RNNwavefunction.py:113-116``): a plain sum when
     ``accum_dtype`` is float64 (already exact to eps), a Kahan-compensated
-    f32 sum otherwise."""
-    if jnp.dtype(accum_dtype) == jnp.float64:
+    f32 sum otherwise.  A float64 *request* with jax x64 disabled would
+    silently execute as an uncompensated f32 sum — exactly the error class
+    this module exists to prevent — so it falls through to the compensated
+    sum unless x64 is actually on (cli/run_loop.resolve_dtype enables it
+    for the ``--dtype float64`` runners)."""
+    if jnp.dtype(accum_dtype) == jnp.float64 and jax.config.jax_enable_x64:
         return jnp.sum(xs, axis=axis)
     return compensated_sum(xs, axis=axis)
 

@@ -156,7 +156,7 @@ def _make_bwd_kernel(n_sites: int, u1: bool, num_layers: int, chunk=None):
         accs0 = tuple(jnp.zeros_like(r[:]) for r in wrefs)
         bwd0 = (jnp.zeros((lu, t), jnp.float32), total_up, accs0)
         _, _, accs = run_history_bptt(
-            n_sites, lu, t, fwd_site, fwd0, bwd_site, bwd0, h_hist, spill
+            n_sites, lu, fwd_site, fwd0, bwd_site, bwd0, h_hist, spill
         )
         accumulate_grad_outputs(grefs, accs)
 

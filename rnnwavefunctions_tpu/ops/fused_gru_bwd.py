@@ -72,15 +72,13 @@ from .fused_gru import (
 )
 
 from .tiling import MIN_TILE as _MIN_TILE
+from .tiling import round8 as _round8
 from .tiling import cap_tile
 
 _VMEM_BUDGET = 13 * 1024 * 1024
 _MIN_CHUNK = 8    # smallest spill-ring chunk (sites per DMA)
 _MAX_CHUNK = 256
 
-
-def _round8(x: int) -> int:
-    return ((x + 7) // 8) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +181,7 @@ def supports(n: int, units, heads: int = 1, kind: str = "gru") -> bool:
 # Shared forward-replay / reverse-sweep skeleton
 # ---------------------------------------------------------------------------
 
-def run_history_bptt(n_sites, lu, t, fwd_site, fwd_carry0, bwd_site,
+def run_history_bptt(n_sites, lu, fwd_site, fwd_carry0, bwd_site,
                      bwd_carry0, h_hist, spill=None):
     """Forward replay storing one (lu, t) state row per site, then a
     reverse sweep feeding each site its own and its predecessor's rows.
@@ -644,7 +642,7 @@ def _make_bwd_kernel(num_layers: int, chunk=None, kind: str = "gru"):
         accs0 = tuple(jnp.zeros_like(r[:]) for r in wrefs)
         bwd0 = (jnp.zeros((lu, t), jnp.float32), accs0)
         _, accs = run_history_bptt(
-            n_sites, lu, t, fwd_site, fwd0, bwd_site, bwd0, h_hist, spill
+            n_sites, lu, fwd_site, fwd0, bwd_site, bwd0, h_hist, spill
         )
         accumulate_grad_outputs(grefs, accs)
 

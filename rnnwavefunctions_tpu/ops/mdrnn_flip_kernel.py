@@ -56,6 +56,7 @@ from .fused_mdrnn import _mdrnn_site_rows, _mdrnn_weightsT, _mdrnn_weightT_specs
 from .seeding import TILE_SEED_STRIDE
 from . import tiling
 from .tiling import MIN_TILE as _MIN_TILE
+from .tiling import round8 as _round8
 
 GROUP = 8
 # The 2D wavefront's serial site-advance has the same fixed-latency floor
@@ -74,9 +75,6 @@ _WIN = 3  # circular lattice-row window slots (spill variant)
 # 62.0 steps/s); the spill remains the beyond-budget fallback.
 _VMEM_BUDGET = 48 * 1024 * 1024
 
-
-def _round8(x: int) -> int:
-    return ((x + 7) // 8) * 8
 
 
 def _group_for(tile: int, u: int, ns: int) -> int:

@@ -19,15 +19,14 @@ diverge between them.
 from __future__ import annotations
 
 import jax
+
+from .tiling import round8 as _round8
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RING_DEPTH = 4  # base-pass write ring slots
 
-
-def _round8(x: int) -> int:
-    return ((x + 7) // 8) * 8
 
 
 def hist_out(lu: int, n: int, tile: int, num_tiles: int, spill: bool):

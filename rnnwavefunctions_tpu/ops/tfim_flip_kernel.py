@@ -67,6 +67,7 @@ from .spill import hist_out as _spill_hist_out
 from .spill import make_hist_io, spill_bytes, spill_scratch, window_start
 from . import tiling
 from .tiling import MIN_TILE as _MIN_TILE
+from .tiling import round8 as _round8
 from .tiling import cap_tile
 
 FLIP_TILE = 512  # max sample rows per grid program
@@ -106,9 +107,6 @@ def _group_for(tile: int, units, kind: str, spill: bool) -> int:
     lanes = _SPILL_WAVEFRONT_LANES if spill else _WAVEFRONT_LANES
     return max(base, lanes // tile)
 
-
-def _round8(x: int) -> int:
-    return ((x + 7) // 8) * 8
 
 
 def _norm_units(units) -> tuple:

@@ -55,6 +55,14 @@ def force_base_group() -> bool:
     return FORCE_BASE_GROUP
 
 
+def round8(x: int) -> int:
+    """Sublane padding: f32 VMEM blocks tile in (8, 128) units, so
+    byte-accounting and buffer shapes round the second-minor dim to 8.
+    One definition (it feeds every kernel's VMEM budget math) so a padding
+    change cannot silently desynchronize accounting across modules."""
+    return ((x + 7) // 8) * 8
+
+
 def cap_tile(batch, max_tile: int) -> int:
     """Smallest power-of-two tile in [MIN_TILE, max_tile] covering the
     batch (``batch=None`` means unknown: use the full ``max_tile``)."""

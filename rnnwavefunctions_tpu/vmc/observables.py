@@ -171,9 +171,10 @@ def spin_spin_correlations(
     z = lambda b: 2.0 * b.astype(jnp.float32) - 1.0
     diag = z(si) * z(sj) / 4.0
     differ = (si != sj).astype(jnp.float32)
+    same_site = pairs[:, 0] == pairs[:, 1]  # (P,) — <S_i.S_i> = 3/4
     flip_mask = (
         jax.nn.one_hot(pairs[:, 0], n, dtype=flat.dtype)
-        + jax.nn.one_hot(pairs[:, 1], n, dtype=flat.dtype)
+        ^ jax.nn.one_hot(pairs[:, 1], n, dtype=flat.dtype)
     )
     # chunk over (sample, pair) indices; each chunk's exchange configs are
     # built inside the mapped fn (see sigma_x)
@@ -200,7 +201,10 @@ def spin_spin_correlations(
     # arbitrarily improbable (or exactly off-sector under U(1)) and its
     # ratio must never reach the sum, even as inf/NaN
     ratios = jnp.where(differ > 0, ratios, 0.0)
-    return jnp.mean(diag + 0.5 * ratios, axis=0)
+    out = jnp.mean(diag + 0.5 * ratios, axis=0)
+    # i == j pairs: the XOR'd flip mask is all-zero (valid configs) but the
+    # estimator above gives z_i^2/4 = 1/4; the spin-1/2 identity is 3/4
+    return jnp.where(same_site, 0.75, out)
 
 
 def energy_estimate(

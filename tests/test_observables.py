@@ -216,3 +216,17 @@ def test_trainer_evaluate_extra_observables():
     # the library function must be the same computation)
     with pytest.raises(ValueError):
         trainer.evaluate(state, jax.random.PRNGKey(0), observables=("nope",))
+
+
+def test_spin_spin_same_site_identity():
+    """<S_i . S_i> = 3/4 for spin-1/2; equal pairs must also not build
+    out-of-alphabet flip configs (the XOR'd mask is all-zero for them)."""
+    n = 6
+    ansatz = PRNN1D(num_sites=n, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(5))
+    samples = ansatz.sample(params, jax.random.PRNGKey(6), 16)
+    pairs = np.asarray([[2, 2], [0, 3], [5, 5]], np.int32)
+    got = np.asarray(observables.spin_spin_correlations(
+        ansatz, params, samples, pairs, chunk_size=8))
+    assert got[0] == 0.75 and got[2] == 0.75
+    assert np.isfinite(got[1]) and abs(got[1]) <= 0.75 + 1e-6
