@@ -21,10 +21,12 @@ import functools
 import numpy as np
 
 
-def basis_configs(n: int) -> np.ndarray:
-    """All 2^n spin configurations, row ``c`` holding site ``i`` = bit ``i``
-    of ``c`` — the exact row order of the ``ed/exact.py`` dense builders."""
-    idx = np.arange(1 << n, dtype=np.int64)
+def basis_configs(n: int, lo: int = 0, hi: int = None) -> np.ndarray:
+    """Spin configurations for basis indices ``[lo, hi)`` (default: all
+    2^n), row ``c`` holding site ``i`` = bit ``i`` of ``c`` — the exact row
+    order of the ``ed/exact.py`` dense builders.  The single definition of
+    the basis convention; ``amplitude_table`` chunks through it."""
+    idx = np.arange(lo, (1 << n) if hi is None else hi, dtype=np.int64)
     return ((idx[:, None] >> np.arange(n)[None, :]) & 1).astype(np.int32)
 
 
@@ -58,8 +60,7 @@ def amplitude_table(ansatz, params, n: int, chunk: int = 2048) -> np.ndarray:
     is_grid = hasattr(ansatz, "nx")  # grid-encoded 2D ansatz: [x, y] layout
 
     def _block(lo, hi):
-        idx = np.arange(lo, hi, dtype=np.int64)
-        b = ((idx[:, None] >> np.arange(n)[None, :]) & 1).astype(np.int32)
+        b = basis_configs(n, lo, hi)
         if is_grid:
             b = b.reshape(-1, ansatz.ny, ansatz.nx).transpose(0, 2, 1)
         return b
@@ -79,7 +80,10 @@ def amplitude_table(ansatz, params, n: int, chunk: int = 2048) -> np.ndarray:
         jax.eval_shape(jitted, params,
                        jax.ShapeDtypeStruct(block_shape, np.int32))
         eval_chunk = jitted
-    except Exception:
+    except (TypeError, jax.errors.JAXTypeError):
+        # only the untraceable-oracle class of failures; a genuine shape or
+        # lowering bug in a model's log_amp must surface, not silently
+        # degrade to per-chunk eager retracing
         eval_chunk = raw
     parts = []
     for lo in range(0, dim, chunk):

@@ -50,6 +50,28 @@ class Ansatz(Protocol):
     def log_prob(self, params: Any, samples: jax.Array) -> jax.Array: ...
 
 
+def resolve_impl(ansatz: Any, kernelizable: bool, requirement: str) -> bool:
+    """Shared ``impl`` dispatch for the ansatz modules (one definition so
+    the three families cannot diverge): ``"jnp"`` forces the scan path;
+    ``"pallas"`` requires kernel coverage and raises a clear error outside
+    it; ``"auto"`` takes the fused kernels only on a TPU backend AND within
+    coverage — non-TPU accelerators (gpu/metal) get the jnp path, Mosaic
+    TPU kernels cannot lower there — emitting the one-time forfeit warning
+    when a TPU config falls outside coverage."""
+    if ansatz.impl == "jnp":
+        return False
+    if ansatz.impl == "pallas":
+        if not kernelizable:
+            raise ValueError(
+                f"pallas kernels support {requirement}; got {ansatz}"
+            )
+        return True
+    on_tpu = jax.default_backend() == "tpu"
+    if not kernelizable and on_tpu:
+        warn_fused_forfeit(ansatz)
+    return kernelizable and on_tpu
+
+
 _FORFEIT_WARNED = set()
 
 

@@ -75,21 +75,12 @@ class CRNNU1:
         )
 
     def _use_pallas(self) -> bool:
-        if self.impl == "jnp":
-            return False
-        if self.impl == "pallas":
-            if not self._kernelizable():
-                raise ValueError(
-                    "pallas kernels support uniform-width GRU stacks, "
-                    f"local_dim=2, float32; got {self}"
-                )
-            return True
-        ok = self._kernelizable()
-        if not ok and jax.default_backend() != "cpu":
-            from .base import warn_fused_forfeit
+        from .base import resolve_impl
 
-            warn_fused_forfeit(self)
-        return ok and jax.default_backend() != "cpu"
+        return resolve_impl(
+            self, self._kernelizable(),
+            "uniform-width GRU stacks, local_dim=2, float32",
+        )
 
     @property
     def _pallas_log_amp_parts(self):

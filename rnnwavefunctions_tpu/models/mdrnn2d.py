@@ -63,27 +63,25 @@ class MDRNN2D:
         return True
 
     def _kernelizable(self) -> bool:
+        from ..ops import fused_mdrnn
+
         return (
             self.local_dim == 2
             and self.dtype == jnp.float32
             and self.accum_dtype == jnp.float32
+            # rollout VMEM gate: wide hidden states can outgrow the
+            # row-of-states scratch budget — fall back to the jnp sweep
+            # instead of a Mosaic scoped-VMEM compile error
+            and fused_mdrnn.supports(self.nx, self.ny, self.units)
         )
 
     def _use_pallas(self) -> bool:
-        if self.impl == "jnp":
-            return False
-        if self.impl == "pallas":
-            if not self._kernelizable():
-                raise ValueError(
-                    f"pallas kernels need local_dim=2 float32; got {self}"
-                )
-            return True
-        ok = self._kernelizable()
-        if not ok and jax.default_backend() != "cpu":
-            from .base import warn_fused_forfeit
+        from .base import resolve_impl
 
-            warn_fused_forfeit(self)
-        return ok and jax.default_backend() != "cpu"
+        return resolve_impl(
+            self, self._kernelizable(), "local_dim=2 float32 within the "
+            "rollout VMEM budget (fused_mdrnn.supports)",
+        )
 
     @property
     def _pallas_log_prob(self):

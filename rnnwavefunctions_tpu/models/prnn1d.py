@@ -100,23 +100,12 @@ class PRNN1D:
         )
 
     def _use_pallas(self) -> bool:
-        if self.impl == "jnp":
-            return False
-        if self.impl == "pallas":
-            if not self._kernelizable():
-                raise ValueError(
-                    "pallas kernels support uniform-width GRU stacks, "
-                    f"local_dim=2, float32; got {self}"
-                )
-            return True
-        import jax as _jax
+        from .base import resolve_impl
 
-        ok = self._kernelizable()
-        if not ok and _jax.default_backend() != "cpu":
-            from .base import warn_fused_forfeit
-
-            warn_fused_forfeit(self)
-        return ok and _jax.default_backend() != "cpu"
+        return resolve_impl(
+            self, self._kernelizable(),
+            "uniform-width GRU/LSTM stacks, local_dim=2, float32",
+        )
 
     @property
     def _pallas_log_prob(self):

@@ -27,8 +27,22 @@ from jax.experimental.pallas import tpu as pltpu
 from .compsum import kadd, kfinal
 from .fused_gru import _logp_rows, _round_up
 from .seeding import TILE_SEED_STRIDE
+from .tiling import round8 as _round8
 
 TILE = 256
+# Rollout scratch budget (same 48 MiB convention as the flip/BPTT kernels
+# under the 64 MiB scoped-VMEM limit, ops/tiling.py).
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def supports(nx: int, ny: int, u: int) -> bool:
+    """Rollout (sample / teacher-forced sweep) VMEM gate: the carried
+    row-of-states scratch plus the resident u x u recurrent weights must
+    fit — wide hidden states (u ~ 1024 on large rows) fall back to the
+    jnp sweep instead of dying in a Mosaic scoped-VMEM compile error."""
+    scratch = nx * _round8(u) * TILE * 4 + nx * TILE * 4
+    weights = (2 * u * u + 6 * u + 4) * 4
+    return scratch + weights <= _VMEM_BUDGET
 
 
 def _mdrnn_site_rows(x_h, sh, x_v, sv, h_h, h_v, w):

@@ -27,6 +27,14 @@ def make_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = N
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            # silently truncating would double every per-device batch and
+            # quietly break throughput/memory assumptions sized for the
+            # requested mesh
+            raise ValueError(
+                f"make_mesh: requested {num_devices} devices but only "
+                f"{len(devices)} are available"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DP_AXIS,))
 

@@ -36,7 +36,14 @@ class MetricsSeries:
             mean = np.load(self.mean_path)
             cast = complex if np.iscomplexobj(mean) else float
             self.mean_energy = [cast(x) for x in mean]
-            self.var_energy = [float(x) for x in np.load(self.var_path)]
+            # np.save is not atomic and the two series flush sequentially:
+            # a crash between them can leave var missing or shorter — keep
+            # the consistent common prefix instead of failing the resume
+            if os.path.exists(self.var_path):
+                self.var_energy = [float(x) for x in np.load(self.var_path)]
+            n = min(len(self.mean_energy), len(self.var_energy))
+            del self.mean_energy[n:]
+            del self.var_energy[n:]
         elif not resume and os.path.exists(self._jsonl_path):
             os.remove(self._jsonl_path)
 
@@ -59,9 +66,23 @@ class MetricsSeries:
 
     def truncate(self, num_steps: int) -> None:
         """Drop entries beyond ``num_steps`` (resume alignment: the restored
-        checkpoint's step counter wins over a series that flushed ahead)."""
+        checkpoint's step counter wins over a series that flushed ahead).
+        The JSONL log is truncated to match — re-trained steps would
+        otherwise append a second, conflicting record per step."""
         del self.mean_energy[num_steps:]
         del self.var_energy[num_steps:]
+        if os.path.exists(self._jsonl_path):
+            kept = []
+            with open(self._jsonl_path) as f:
+                for line in f:
+                    try:
+                        if json.loads(line)["step"] > num_steps:
+                            break
+                    except (ValueError, KeyError):
+                        break
+                    kept.append(line)
+            with open(self._jsonl_path, "w") as f:
+                f.writelines(kept)
 
     def flush_npy(self) -> None:
         np.save(self.mean_path, np.asarray(self.mean_energy))
@@ -72,7 +93,7 @@ class MetricsSeries:
             "step": step,
             "wall_time_s": round(time.time() - self._t0, 3),
             "mean_energy": _jsonable(self.mean_energy[-1]),
-            "var_energy": self.var_energy[-1],
+            "var_energy": _jsonable(self.var_energy[-1]),
         }
         rec.update({k: _jsonable(v) for k, v in extra.items()})
         with open(self._jsonl_path, "a") as f:
@@ -88,6 +109,8 @@ class MetricsSeries:
 
 
 def _jsonable(v):
+    if isinstance(v, (np.generic, np.ndarray)):
+        v = v.item()  # np.float32/np.complex64 are not json-serializable
     if isinstance(v, complex):
         return {"re": v.real, "im": v.imag}
     return v
