@@ -78,9 +78,13 @@ def main(argv=None):
         mesh = make_mesh(args.num_devices)
     trainer = VMCTrainer(ansatz, ham, config, mesh=mesh)
     sym = "_paritysym" if args.parity else ""
+    # reference filename parity for the default GRU (TrainingRNN_1DTFIM.py:146);
+    # non-default cells get their own artifact namespace so an --cell lstm
+    # run cannot collide with a GRU run's checkpoints/series
+    cellname = "GRURNN" if args.cell == "gru" else f"{args.cell.upper()}RNN"
     tag = (
         f"N{args.systemsize}_samp{args.numsamples}_Jz1Bx{args.bx}"
-        f"_GRURNN_OBC_TFIM_units_{args.num_units}x{args.num_layers}{sym}"
+        f"_{cellname}_OBC_TFIM_units_{args.num_units}x{args.num_layers}{sym}"
     )
     _, mean_e, var_e = run_training(
         trainer, args.numsteps, args.workdir, tag,

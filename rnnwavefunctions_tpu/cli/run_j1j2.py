@@ -44,6 +44,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.systemsize % 2:
+        import warnings
+
+        warnings.warn(
+            "U(1) zero magnetization is impossible on an odd chain; the "
+            "reference's mask semantics (baseline N//2-1, "
+            "ComplexRNNwavefunction.py:85-93) pin the sampler to one "
+            "arbitrary near-balanced sector and most configurations are "
+            "out of support — odd --systemsize runs are not physically "
+            "meaningful",
+            stacklevel=1,
+        )
     ansatz = CRNNU1(
         num_sites=args.systemsize,
         units=(args.num_units,) * args.num_layers,

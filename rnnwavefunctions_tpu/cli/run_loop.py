@@ -47,14 +47,10 @@ def resolve_dtype(name: str):
 
 def _append_block(metrics: MetricsSeries, ms) -> None:
     """Append one ``run_steps`` metrics block (leading axis = steps)."""
-    me = jax.device_get(ms["mean_energy"])
-    ve = jax.device_get(ms["var_energy"])
-    im = jax.device_get(ms["mean_energy_im"]) if "mean_energy_im" in ms else None
-    for j in range(len(me)):
-        m = float(me[j])
-        if im is not None:
-            m = complex(m, float(im[j]))
-        metrics.append(m, float(ve[j]))
+    from ..vmc.trainer import decode_metrics_block
+
+    for m, v in decode_metrics_block(ms):
+        metrics.append(m, v)
 
 
 def run_training(
@@ -73,10 +69,25 @@ def run_training(
 
     # Multi-host: every process trains (collectives are cooperative) and
     # every process calls ckpt.save (Orbax saves are collective), but only
-    # the primary writes/prints the metrics artifacts.
+    # the primary touches the metrics artifacts on disk (write=primary —
+    # unguarded jsonl removal/rewrites from every process would race on a
+    # shared filesystem).
     primary = is_primary()
-    metrics = MetricsSeries(workdir, tag, resume=resume)
-    ckpt = Checkpointer(os.path.join(workdir, f"ckpt_{tag}"))
+    metrics = MetricsSeries(workdir, tag, resume=resume, write=primary)
+    ckpt_dir = os.path.join(workdir, f"ckpt_{tag}")
+    if not resume and primary and os.path.isdir(ckpt_dir):
+        # Orbax's should_save refuses steps <= the directory's latest, so a
+        # fresh (non-resume) run over an old checkpoint dir would silently
+        # persist NOTHING while overwriting the metrics series — clear it,
+        # matching the metrics-artifact overwrite semantics.
+        import shutil
+
+        shutil.rmtree(ckpt_dir)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ckpt_dir_cleared")
+    ckpt = Checkpointer(ckpt_dir)
 
     state = trainer.init()
     if resume and ckpt.latest_step() is not None:

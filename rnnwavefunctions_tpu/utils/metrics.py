@@ -24,10 +24,15 @@ Number = Union[float, complex]
 
 
 class MetricsSeries:
-    def __init__(self, directory: str, tag: str, resume: bool = False):
+    def __init__(self, directory: str, tag: str, resume: bool = False,
+                 write: bool = True):
+        """``write=False`` (multi-host non-primary processes) keeps the
+        series in memory but never mutates the on-disk artifacts — the
+        primary owns them."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.tag = tag
+        self.write = write
         self.mean_energy: List[Number] = []
         self.var_energy: List[float] = []
         self._t0 = time.time()
@@ -44,8 +49,11 @@ class MetricsSeries:
             n = min(len(self.mean_energy), len(self.var_energy))
             del self.mean_energy[n:]
             del self.var_energy[n:]
-        elif not resume and os.path.exists(self._jsonl_path):
-            os.remove(self._jsonl_path)
+        elif not resume and write and os.path.exists(self._jsonl_path):
+            try:
+                os.remove(self._jsonl_path)
+            except FileNotFoundError:
+                pass  # raced by another process on a shared filesystem
 
     @property
     def mean_path(self) -> str:
@@ -71,12 +79,14 @@ class MetricsSeries:
         otherwise append a second, conflicting record per step."""
         del self.mean_energy[num_steps:]
         del self.var_energy[num_steps:]
-        if os.path.exists(self._jsonl_path):
+        if self.write and os.path.exists(self._jsonl_path):
             kept = []
             with open(self._jsonl_path) as f:
                 for line in f:
                     try:
-                        if json.loads(line)["step"] > num_steps:
+                        # entry j <-> step j: step num_steps will be
+                        # re-trained, so its old record goes too
+                        if json.loads(line)["step"] >= num_steps:
                             break
                     except (ValueError, KeyError):
                         break
@@ -85,10 +95,14 @@ class MetricsSeries:
                 f.writelines(kept)
 
     def flush_npy(self) -> None:
+        if not self.write:
+            return
         np.save(self.mean_path, np.asarray(self.mean_energy))
         np.save(self.var_path, np.asarray(self.var_energy))
 
     def log_jsonl(self, step: int, **extra) -> None:
+        if not self.write:
+            return
         rec = {
             "step": step,
             "wall_time_s": round(time.time() - self._t0, 3),

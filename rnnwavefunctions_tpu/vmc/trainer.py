@@ -551,21 +551,31 @@ class VMCTrainer:
         while it < num_steps:
             block = min(log_every, num_steps - it)
             state, ms = self.run_steps(state, key, block)
-            me_arr = jax.device_get(ms["mean_energy"])
-            ve_arr = jax.device_get(ms["var_energy"])
-            im_arr = (
-                jax.device_get(ms["mean_energy_im"])
-                if "mean_energy_im" in ms
-                else None
-            )
-            for j in range(block):
-                me = float(me_arr[j])
-                if im_arr is not None:
-                    me = complex(me, float(im_arr[j]))
-                ve = float(ve_arr[j])
+            for j, (me, ve) in enumerate(decode_metrics_block(ms)):
                 mean_energy.append(me)
                 var_energy.append(ve)
                 if callback is not None and (it + j) % log_every == 0:
                     callback(it + j, {"mean_energy": me, "var_energy": ve})
             it += block
         return state, mean_energy, var_energy
+
+
+def decode_metrics_block(ms) -> list:
+    """Decode one ``run_steps`` metrics block (leading axis = steps) into a
+    host-side list of (mean_energy, var_energy) pairs, reassembling complex
+    means from the (Re, Im) real-pair form the device carries (the TPU
+    backend has no complex64).  The single decode shared by ``fit`` and the
+    CLI loop (cli/run_loop.py)."""
+    me_arr = jax.device_get(ms["mean_energy"])
+    ve_arr = jax.device_get(ms["var_energy"])
+    im_arr = (
+        jax.device_get(ms["mean_energy_im"]) if "mean_energy_im" in ms
+        else None
+    )
+    out = []
+    for j in range(len(me_arr)):
+        me = float(me_arr[j])
+        if im_arr is not None:
+            me = complex(me, float(im_arr[j]))
+        out.append((me, float(ve_arr[j])))
+    return out
