@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .compsum import kadd, kfinal
 from .fused_gru import _cap_tile, _round_up
-from .seeding import TILE_SEED_STRIDE
+from .seeding import TILE_SEED_STRIDE, seed_block
 
 TILE = 512
 LOG_ZERO = -1e9
@@ -194,7 +194,10 @@ def _make_sample_kernel(n_sites: int, u1: bool, num_layers: int):
     def kernel(seed_ref, *rest):
         wrefs, (samples_ref, lp_ref) = rest[:-2], rest[-2:]
         t = lp_ref.shape[1]
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE)
+        pltpu.prng_seed(
+            seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE,
+            seed_ref[0, 1],
+        )
         w = _split_w(wrefs, num_layers)
         u = w[1].shape[1]
 
@@ -243,7 +246,7 @@ def crnn_sample(params, seed: jax.Array, num_samples: int, n_sites: int, u1: boo
         _make_sample_kernel(n_sites, u1, num_layers),
         grid=(b_pad // tile,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + _weightT_specs(u, num_layers),
         out_specs=(
             pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -253,7 +256,7 @@ def crnn_sample(params, seed: jax.Array, num_samples: int, n_sites: int, u1: boo
             jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-    )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
+    )(seed_block(seed), *_weightsT(params))
     return samples[:, :num_samples].T, lp[0, :num_samples]
 
 

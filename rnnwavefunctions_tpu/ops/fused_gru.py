@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .compsum import kadd, kfinal
-from .seeding import TILE_SEED_STRIDE
+from .seeding import TILE_SEED_STRIDE, seed_block
 from .tiling import cap_tile
 
 TILE = 512  # max batch rows per grid program
@@ -249,7 +249,10 @@ def _make_sample_kernel(num_layers: int, kind: str = "gru"):
         wrefs, samples_ref, logp_ref = rest[:-2], rest[-2], rest[-1]
         n_sites = samples_ref.shape[0]
         t = samples_ref.shape[1]
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE)
+        pltpu.prng_seed(
+            seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE,
+            seed_ref[0, 1],
+        )
         cells, hwT, hbT = _split_cells(wrefs, num_layers)
         u = hwT.shape[1]
         sr = STATE_ROWS[kind]
@@ -298,7 +301,7 @@ def _sample_pallas(
         _make_sample_kernel(num_layers, kind),
         grid=(b_pad // tile,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + _weightT_specs(u, num_layers, kind),
         out_specs=(
             pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -308,7 +311,7 @@ def _sample_pallas(
             jax.ShapeDtypeStruct((n_sites, b_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
         ),
-    )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
+    )(seed_block(seed), *_weightsT(params))
     return samples[:, :num_samples].T, logp[0, :num_samples]
 
 

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .compsum import kadd, kfinal
 from .fused_gru import _logp_rows, _round_up
-from .seeding import TILE_SEED_STRIDE
+from .seeding import TILE_SEED_STRIDE, seed_block
 from .tiling import round8 as _round8
 
 TILE = 256
@@ -74,7 +74,8 @@ def _make_sweep_kernel(nx: int, ny: int, sample_mode: bool):
             (seed_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
              samples_ref, lp_ref, vh, vx) = refs
             pltpu.prng_seed(
-                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
+                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE,
+                seed_ref[0, 1],
             )
         else:
             (samples_ref, uhT, uvT, whT, wvT, bT, hwT, hbT,
@@ -186,7 +187,7 @@ def mdrnn_sample(params, seed: jax.Array, num_samples: int, nx: int, ny: int):
         _make_sweep_kernel(nx, ny, sample_mode=True),
         grid=(b_pad // TILE,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + _mdrnn_weightT_specs(u),
         out_specs=(
             pl.BlockSpec((ny * nx, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -200,7 +201,7 @@ def mdrnn_sample(params, seed: jax.Array, num_samples: int, nx: int, ny: int):
             pltpu.VMEM((nx, u, TILE), jnp.float32),
             pltpu.VMEM((nx, TILE), jnp.float32),
         ],
-    )(seed.reshape(1, 1).astype(jnp.int32), *_mdrnn_weightsT(params))
+    )(seed_block(seed), *_mdrnn_weightsT(params))
     samples = jnp.transpose(
         seq[:, :num_samples].reshape(ny, nx, num_samples), (2, 1, 0)
     )

@@ -49,7 +49,7 @@ from .tfim_flip_kernel import (
 from .fused_crnn import (
     LOG_ZERO, _crnn_site_rows, _split_w, _weightsT, _weightT_specs,
 )
-from .seeding import TILE_SEED_STRIDE
+from .seeding import TILE_SEED_STRIDE, seed_block
 from .spill import hist_out as _spill_hist_out
 from .spill import make_hist_io, spill_bytes, spill_scratch, window_start
 
@@ -137,7 +137,8 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
             wrefs = refs[1 : 1 + nw]
             rest = refs[1 + nw :]
             pltpu.prng_seed(
-                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
+                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE,
+                seed_ref[0, 1],
             )
         else:
             samples_ref = refs[0]              # (N, T) int32
@@ -620,7 +621,7 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
                      group=group, pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + _weightT_specs(u, num_layers),
         out_specs=(
             pl.BlockSpec((n_sites, tile), lambda i: (0, i),
@@ -636,7 +637,7 @@ def j1j2_sample_and_exchange(params, seed, num_samples: int, n_sites: int, *,
         ) + tuple(hist_shapes),
         scratch_shapes=_scratch(n_sites, num_layers * u, tile, spill, group,
                                 pack),
-    )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
+    )(seed_block(seed), *_weightsT(params))
     seq, eoff_re, eoff_im, lp_re, lp_im = outs[:5]
     b = num_samples
     if pack:

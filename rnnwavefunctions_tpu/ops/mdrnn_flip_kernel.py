@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .compsum import kadd, kfinal
 from .fused_gru import _logp_rows, _round_up
 from .fused_mdrnn import _mdrnn_site_rows, _mdrnn_weightsT, _mdrnn_weightT_specs
-from .seeding import TILE_SEED_STRIDE
+from .seeding import TILE_SEED_STRIDE, seed_block
 from . import tiling
 from .tiling import MIN_TILE as _MIN_TILE
 from .tiling import round8 as _round8
@@ -213,7 +213,8 @@ def _make_kernel(nx: int, ny: int, sample_mode: bool = False,
             uhT, uvT, whT, wvT, bT, hwT, hbT = refs[1:8]
             rest = refs[8:]
             pltpu.prng_seed(
-                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
+                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE,
+                seed_ref[0, 1],
             )
             samples_ref = rest[0]
             rest = rest[1:]
@@ -595,7 +596,7 @@ def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
                      pack=pack),
         grid=(b_pad // tile,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + _mdrnn_weightT_specs(u),
         out_specs=(
             pl.BlockSpec((ns, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -610,7 +611,7 @@ def mdrnn_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
             *hist_shapes,
         ),
         scratch_shapes=_scratch(nx, ny, u, tile, spill, group),
-    )(seed.reshape(1, 1).astype(jnp.int32), *_mdrnn_weightsT(params))
+    )(seed_block(seed), *_mdrnn_weightsT(params))
     seq, eoff, lp = outs[0], outs[1], outs[2]
     # visit order (NS, B) -> lattice (B, Nx, Ny)
     xx, yy = visit_order(nx, ny)

@@ -62,7 +62,7 @@ from .fused_gru import (
     _weightsT,
     _weightT_specs,
 )
-from .seeding import TILE_SEED_STRIDE
+from .seeding import TILE_SEED_STRIDE, seed_block
 from .spill import hist_out as _spill_hist_out
 from .spill import make_hist_io, spill_bytes, spill_scratch, window_start
 from . import tiling
@@ -250,7 +250,8 @@ def _make_flip_kernel(num_layers: int, sample_mode: bool,
             wrefs = refs[1 : 1 + nw]
             rest = refs[1 + nw :]
             pltpu.prng_seed(
-                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE
+                seed_ref[0, 0] + pl.program_id(0) * TILE_SEED_STRIDE,
+                seed_ref[0, 1],
             )
         else:
             samples_ref = refs[0]
@@ -596,7 +597,7 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
                           spill=spill, group=group, pack=pack, kind=kind),
         grid=(b_pad // tile,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + _weightT_specs(units[0], num_layers, kind),
         out_specs=(
             pl.BlockSpec((n_sites, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -613,7 +614,7 @@ def tfim_sample_and_flip_sum(params, seed: jax.Array, num_samples: int,
         scratch_shapes=_flip_scratch(
             n_sites, units, tile, spill, group, pack, kind
         ),
-    )(seed.reshape(1, 1).astype(jnp.int32), *_weightsT(params))
+    )(seed_block(seed), *_weightsT(params))
     samples, eoff, lp = outs[0], outs[1], outs[2]
     if per_flip:
         out = eoff[:, :num_samples].T
