@@ -131,13 +131,17 @@ def flops_tfim_parity(n, u, s):
     return s * (2 * one_dir + loss)
 
 
-def flops_j1j2(n, u, s, group=GROUP):
+def flops_j1j2(n, u, s, group=GROUP, periodic=False):
     c = 6 * u * u + 8 * u  # two heads
     base = n * c
     wf = (
         _wavefront_cols(n - 1, n, 0, group)
         + _wavefront_cols(n - 2, n, 0, group)
     ) * c
+    if periodic:
+        # the 3 wrap-around bonds run as full-length trajectories in one
+        # extra group-wide wavefront block (hamiltonians/j1j2.py)
+        wf += group * n * c
     loss = 4 * n * c
     return s * (base + wf + loss)
 
@@ -284,7 +288,7 @@ def main():
          SLOW_STEPS_PER_TRIAL, flops_mdrnn(48, 48, 50, 64)),
         ("j1j2_n100_pbc", CRNNU1(num_sites=100, units=(50,)),
          J1J2(num_sites=100, j2=0.2, periodic=True), NUM_SAMPLES,
-         STEPS_PER_TRIAL, flops_j1j2(100, 50, NUM_SAMPLES)),
+         STEPS_PER_TRIAL, flops_j1j2(100, 50, NUM_SAMPLES, periodic=True)),
         ("1dtfim_n100_u256", PRNN1D(num_sites=100, units=(256,)),
          TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, SLOW_STEPS_PER_TRIAL,
          flops_tfim_plain(100, 256, NUM_SAMPLES)),

@@ -35,20 +35,30 @@ TFIM_DMRG = {
 J1J2_DMRG_N100 = {0.0: -44.127739860, 0.2: -40.73881897}
 
 
+def _train_chunked(trainer, steps, chunk=500):
+    """Run ``steps`` training steps in device-side chunks; returns
+    (state, mean series, var series).  One loop shared by every anchor
+    harness (a fix here must not be re-applied in three places)."""
+    state = trainer.init()
+    key = jax.random.PRNGKey(0)
+    means, varis = [], []
+    left = steps
+    while left > 0:
+        block = min(chunk, left)
+        state, ms = trainer.run_steps(state, key, block)
+        means.extend(np.asarray(ms["mean_energy"]).tolist())
+        varis.extend(np.asarray(ms["var_energy"]).tolist())
+        left -= block
+    return state, means, varis
+
+
 def run_tfim(n, steps, num_samples=500):
     trainer = VMCTrainer(
         PRNN1D(num_sites=n, units=(50,)),
         TFIM1D(num_sites=n, bx=1.0),
         TrainConfig(num_samples=num_samples, learning_rate=5e-3),
     )
-    state = trainer.init()
-    key = jax.random.PRNGKey(0)
-    means, varis = [], []
-    chunk = 500
-    for _ in range(max(steps // chunk, 1)):
-        state, ms = trainer.run_steps(state, key, chunk)
-        means.extend(np.asarray(ms["mean_energy"]).tolist())
-        varis.extend(np.asarray(ms["var_energy"]).tolist())
+    _, means, varis = _train_chunked(trainer, steps)
     return energy_estimate(means, varis, num_samples)
 
 
@@ -58,14 +68,7 @@ def run_j1j2(n, j2, steps, num_samples=512):
         J1J2(num_sites=n, j1=1.0, j2=j2, marshall_sign=True),
         TrainConfig(num_samples=num_samples, learning_rate=2e-3),
     )
-    state = trainer.init()
-    key = jax.random.PRNGKey(0)
-    means, varis = [], []
-    chunk = 500
-    for _ in range(max(steps // chunk, 1)):
-        state, ms = trainer.run_steps(state, key, chunk)
-        means.extend(np.asarray(ms["mean_energy"]).tolist())
-        varis.extend(np.asarray(ms["var_energy"]).tolist())
+    _, means, varis = _train_chunked(trainer, steps)
     return energy_estimate(means, varis, num_samples)
 
 
@@ -73,8 +76,6 @@ def fidelity_check(n=20, steps=3000, num_samples=500):
     """Train the N-site TFIM chain and report |<psi_theta|psi_0>|^2 against
     the exact ground vector (dense eigh to N=16, the C++ two-pass Lanczos
     beyond) — the whole-wavefunction counterpart to the energy anchors."""
-    import json as _json
-
     from rnnwavefunctions_tpu.ed.fidelity import fidelity
 
     if n <= 16:
@@ -89,13 +90,11 @@ def fidelity_check(n=20, steps=3000, num_samples=500):
         ansatz, TFIM1D(num_sites=n, bx=1.0),
         TrainConfig(num_samples=num_samples, learning_rate=5e-3),
     )
-    state = trainer.init()
-    key = jax.random.PRNGKey(0)
-    chunk = 500
     t0 = time.time()
-    for _ in range(max(steps // chunk, 1)):
-        state, ms = trainer.run_steps(state, key, chunk)
-    est = float(np.asarray(ms["mean_energy"])[-1])
+    state, means, varis = _train_chunked(trainer, steps)
+    # trailing-window estimate, same convention as the energy anchors —
+    # a single final-step MC mean fluctuates by as much as the tolerance
+    est, _err = energy_estimate(means, varis, num_samples)
     f = fidelity(ansatz, state.params, gs, chunk=1 << 14)
     out = {
         "check": f"tfim_n{n}_fidelity",
@@ -106,7 +105,7 @@ def fidelity_check(n=20, steps=3000, num_samples=500):
         "steps": steps,
         "wall_s": round(time.time() - t0, 1),
     }
-    print(_json.dumps(out), flush=True)
+    print(json.dumps(out), flush=True)
     return out
 
 
