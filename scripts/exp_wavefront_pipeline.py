@@ -23,8 +23,22 @@ Variants timed (N=100, U=50, B=512 — the flagship shape):
       isolates the transcendental share of the iteration)
   v2  two half-chains, op-ordered within the iteration (no carry)
   v3  two half-chains with the cross-iteration pre-activation carry
+  ... (v4-v15: bf16 matmuls, skeletons, unrolls, merged head, paired
+      chains — see the flags in make_kernel)
+  v16 bf16 GATE-MATH temps: gx/gh/h stored bf16, transcendentals upcast
+      f32 in-pass (Mosaic cannot lower bf16 logistic/tanh directly).
+      Probes whether halving elementwise VMEM traffic recovers the v1 gap.
+      MEASURED (t512): 0.75x — 25% SLOWER.  The cast passes and bf16
+      layouts cost more than the halved bytes save; intermediate-traffic
+      recovery via dtype is a dead end.
+  v17 bit-near-equivalent fewer-pass gates (one fused [r;z] 2U-row
+      sigmoid; h_new = c + z*(h-c)).  MEASURED (t512): 0.99x — neutral;
+      Mosaic already extracts whatever fusion is available, per-op pass
+      count is not the bound at this width.
+  v18 v16 + v17 combined.
 
-Run on the real chip: python scripts/exp_wavefront_pipeline.py
+Run on the real chip: python scripts/exp_wavefront_pipeline.py \
+    [v0-t512 v16-t512 ...]  (default: v0 at t256 and t512)
 """
 
 import functools
@@ -73,6 +87,27 @@ def gru_gates_cheap(gx, gh, h):
     return z * h + (1.0 - z) * c
 
 
+def gru_gates_lp(gx, gh, h):
+    # gx, gh, h arrive bf16; Mosaic cannot lower bf16 logistic/tanh, so the
+    # transcendentals upcast to f32 in their input pass and truncate on the
+    # way out — every stored wide temp stays bf16 (half VMEM traffic).
+    pre = (gx[: 2 * U] + gh[: 2 * U]).astype(jnp.float32)
+    rz = jax.nn.sigmoid(pre).astype(jnp.bfloat16)
+    cpre = (gx[2 * U :] + rz[:U] * gh[2 * U :]).astype(jnp.float32)
+    c = jnp.tanh(cpre).astype(jnp.bfloat16)
+    return c + rz[U:] * (h - c)
+
+
+def gru_gates_fewpass(gx, gh, h):
+    # Bit-equivalent GRU with fewer elementwise passes: one fused
+    # sigmoid over the [r; z] 2U-row block, and h_new = c + z*(h - c)
+    # (3 passes instead of 4 for the blend).  Probes whether the VPU
+    # share is per-op overhead or pure bandwidth.
+    rz = jax.nn.sigmoid(gx[: 2 * U] + gh[: 2 * U])
+    c = jnp.tanh(gx[2 * U :] + rz[:U] * gh[2 * U :])
+    return c + rz[U:] * (h - c)
+
+
 def logp_rows(l0, l1, s):
     m = jnp.maximum(l0, l1)
     lse = m + jnp.log(jnp.exp(l0 - m) + jnp.exp(l1 - m))
@@ -85,9 +120,21 @@ def make_kernel(variant):
     # input path (gx = bias only); v6 = v5 + cheap gates; v7 skeleton
     # (matmuls + loop structure only, no gate math at all).
     gates = gru_gates_cheap if variant in ("v1", "v6") else gru_gates
+    if variant == "v17":
+        gates = gru_gates_fewpass
+    elif variant in ("v16", "v18"):
+        gates = gru_gates_lp
+    # v16/v18: the GATE MATH itself runs in bf16 — gh comes out of the MXU
+    # as bf16, gx is built natively bf16, sigmoid/tanh read and write bf16
+    # — halving the VMEM traffic of every (3U, G*T) elementwise pass (the
+    # measured residual after v1: intermediate-array bandwidth, not
+    # transcendental latency).  Distinct from v4/v8, which only fed the
+    # MXU bf16 operands while the VPU stayed f32.
+    gates_lp = variant in ("v16", "v18")
     split = variant in ("v2", "v3")
     carry_pre = variant == "v3"
-    bf16 = variant in ("v4", "v8")  # both matmul operands bf16, f32 accum
+    # both matmul operands bf16, f32 accum
+    bf16 = variant in ("v4", "v8", "v16", "v18")
     no_gx = variant in ("v5", "v6", "v7", "v8", "v10", "v11")
     skeleton = variant in ("v7", "v8", "v10", "v11")
     unroll2 = variant == "v9"  # ramp with inits, steady loop 2 sites/iter
@@ -116,6 +163,14 @@ def make_kernel(variant):
         def gx_of(x, x_scale):
             if no_gx:
                 return bxT[:]
+            if gates_lp:
+                # natively bf16: the (3U, T) temp and its consumers halve
+                xb = x.astype(jnp.bfloat16)
+                sb = jnp.asarray(x_scale, jnp.float32).astype(jnp.bfloat16)
+                return sb * (
+                    (1.0 - xb) * wxT[:, 0:1].astype(jnp.bfloat16)
+                    + xb * wxT[:, 1:2].astype(jnp.bfloat16)
+                ) + bxT[:].astype(jnp.bfloat16)
             return x_scale * (
                 (1.0 - x) * wxT[:, 0:1].astype(jnp.float32)
                 + x * wxT[:, 1:2].astype(jnp.float32)
@@ -146,9 +201,17 @@ def make_kernel(variant):
                 h_new = (gh[:U] * 0.2).astype(hdt)
                 logits = out[3 * U :] + hbT[:]
                 return h_new, logits[0:1, :], logits[1:2, :]
-            gh = mm_h(h) + bhT[:]
+            if gates_lp:
+                # MXU accumulates f32 (Mosaic requires 32-bit acc); the
+                # bias-add pass truncates to bf16 in the same pass, and
+                # every downstream gate op reads/writes bf16
+                gh = (mm_h(h) + bhT[:]).astype(jnp.bfloat16)
+            else:
+                gh = mm_h(h) + bhT[:]
             if skeleton:
                 h_new = (gh[:U] * 0.2).astype(hdt)
+            elif gates_lp:
+                h_new = gates(gx_of(x, x_scale), gh, h)
             else:
                 gx = gx_of(x, x_scale)
                 h_new = gates(gx, gh, h.astype(jnp.float32)).astype(hdt)
@@ -534,7 +597,8 @@ def make_kernel(variant):
 
 def build(variant, tile=TILE):
     kern = make_kernel(variant)
-    hdt = jnp.bfloat16 if variant in ("v4", "v8") else jnp.float32
+    hdt = (jnp.bfloat16 if variant in ("v4", "v8", "v16", "v18")
+           else jnp.float32)
     w_specs = [
         pl.BlockSpec((3 * U, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * U, U), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -728,6 +792,8 @@ def mm_floor(steps=1526, bf16=False, lanes=GROUP * TILE, chains=1,
 
 
 def main():
+    import sys
+
     print(f"devices: {jax.devices()}")
     key = jax.random.PRNGKey(0)
     w = make_weights(key)
@@ -735,17 +801,20 @@ def main():
         jax.random.PRNGKey(1), 0.5, (N, B)
     ).astype(jnp.int32)
 
+    # each spec is "vN" (tile 256) or "vN-t512"; v0 first = numeric ref
+    specs = sys.argv[1:] or ["v0", "v0-t512"]
     results = {}
     ref = None
-    for variant, tile in (("v0", 256), ("v0-t512", 512)):
-        run, run_reps = build(variant.split("-")[0], tile=tile)
+    base = None
+    for spec in specs:
+        variant = spec.split("-")[0]
+        tile = int(spec.split("-t")[1]) if "-t" in spec else 256
+        run, run_reps = build(variant, tile=tile)
         e, lp = run(seq, w)
         e = jax.device_get(e)
-        if variant == "v0":
+        if ref is None:
             ref = e
-        err = (
-            float(jnp.max(jnp.abs(e - ref))) if ref is not None else float("nan")
-        )
+        err = float(jnp.max(jnp.abs(e - ref)))
         float(run_reps(seq, w))  # warm
         times = []
         for _ in range(TRIALS):
@@ -753,10 +822,12 @@ def main():
             float(run_reps(seq, w))
             times.append((time.perf_counter() - t0) / REPS)
         med = sorted(times)[len(times) // 2]
-        results[variant] = med
+        results[spec] = med
+        if base is None:
+            base = med
         print(
-            f"{variant}: {med * 1e3:.3f} ms/launch   "
-            f"(vs v0: {results['v0'] / med:.3f}x)   max|e-e_v0|={err:.2e}"
+            f"{spec}: {med * 1e3:.3f} ms/launch   "
+            f"(vs {specs[0]}: {base / med:.3f}x)   max|e-e_ref|={err:.2e}"
         )
 
 
