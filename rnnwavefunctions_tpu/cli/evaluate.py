@@ -66,10 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--observables", nargs="*", default=[],
-                   choices=["sigma_x", "structure_factor"],
+                   choices=["sigma_x", "structure_factor", "renyi2"],
                    help="extra estimators: per-site <sigma^x_i> via "
-                        "single-flip amplitude ratios, and/or the static "
-                        "structure factor S(k) at commensurate momenta")
+                        "single-flip amplitude ratios, the static "
+                        "structure factor S(k) at commensurate momenta, "
+                        "and/or the half-chain second Renyi entanglement "
+                        "entropy (two-replica swap estimator)")
     return p
 
 
@@ -143,7 +145,7 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     extra = tuple(args.observables)
     means, varis, mags = [], [], []
-    e_ims, sxs, sks = [], [], []
+    e_ims, sxs, sks, purities = [], [], [], []
     for b in range(args.num_batches):
         out = trainer.evaluate(state, jax.random.fold_in(key, b),
                                observables=extra)
@@ -156,6 +158,8 @@ def main(argv=None):
             sxs.append(np.asarray(out["sigma_x"]))
         if "structure_factor" in out:
             sks.append(np.asarray(out["structure_factor"]))
+        if "renyi2_purity" in out:
+            purities.append(float(out["renyi2_purity"]))
     est, err = energy_estimate(means, varis, args.numsamples,
                                window=args.num_batches)
     result = {
@@ -177,6 +181,15 @@ def main(argv=None):
         result["structure_factor"] = [
             float(v) for v in np.mean(sks, axis=0)
         ]
+    if purities:
+        # average the purities across batches, -log once (S2 is a log of a
+        # mean, not a mean of logs); scatter of per-batch purities -> error
+        pur = np.asarray(purities)
+        result["renyi2"] = float(-np.log(np.mean(pur)))
+        if len(pur) > 1:
+            result["renyi2_err"] = float(
+                np.std(pur, ddof=1) / (np.sqrt(len(pur)) * np.mean(pur))
+            )
     if args.fidelity:
         result.update(_ed_fidelity(args, ansatz, state.params))
     print(json.dumps(result))

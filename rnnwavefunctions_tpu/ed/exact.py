@@ -102,3 +102,28 @@ def ground_state_energy(h: np.ndarray) -> float:
 def ground_state(h: np.ndarray):
     w, v = np.linalg.eigh(h)
     return float(w[0]), v[:, 0]
+
+
+def renyi2_exact(state_vector: np.ndarray, num_sites: int, region) -> float:
+    """Exact second Renyi entanglement entropy ``S_2 = -log Tr rho_A^2`` of
+    the pure state over subsystem ``region`` (flat site indices, this
+    module's bit-i-is-site-i basis convention — the order
+    ``ed.fidelity.amplitude_table`` produces).  Oracle for the swap-trick
+    MC estimator ``vmc.observables.renyi2_entropy``."""
+    region = np.asarray(region, np.int64).ravel()
+    n = num_sites
+    rest = np.array([i for i in range(n) if i not in set(region.tolist())],
+                    np.int64)
+    if region.size == 0 or rest.size == 0:
+        raise ValueError("subsystem must be a proper nonempty subset")
+    vec = np.asarray(state_vector)
+    vec = vec / np.linalg.norm(vec)
+    # reshape axis k corresponds to site n-1-k (bit i of the basis index is
+    # site i, and the first reshape axis is the most significant bit)
+    axes = [n - 1 - int(i) for i in region] + [n - 1 - int(i) for i in rest]
+    psi = vec.reshape((2,) * n).transpose(axes).reshape(
+        1 << region.size, 1 << rest.size
+    )
+    sv = np.linalg.svd(psi, compute_uv=False)
+    p = sv * sv  # Schmidt weights = eigenvalues of rho_A
+    return float(-np.log(np.sum(p * p)))

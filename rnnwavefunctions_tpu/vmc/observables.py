@@ -207,6 +207,112 @@ def spin_spin_correlations(
     return jnp.where(same_site, 0.75, out)
 
 
+def _region_mask(region, n: int) -> np.ndarray:
+    """{0,1} site mask for a subsystem given as flat site indices."""
+    region = np.asarray(region, np.int64).ravel()
+    if region.size == 0 or region.size >= n:
+        raise ValueError(
+            f"subsystem must be a proper nonempty subset of the {n} sites")
+    if np.unique(region).size != region.size:
+        raise ValueError("subsystem indices must be distinct")
+    if region.min() < 0 or region.max() >= n:
+        raise ValueError(f"subsystem indices out of range [0, {n})")
+    mask = np.zeros((n,), np.int32)
+    mask[region] = 1
+    return mask
+
+
+def renyi2_swap_terms(
+    ansatz: Any,
+    params: Any,
+    samples_a: jax.Array,
+    samples_b: jax.Array,
+    region,
+    log_amp_a=None,
+    log_amp_b=None,
+    chunk_size: Optional[int] = None,
+) -> jax.Array:
+    """Per-pair terms of the two-replica SWAP estimator of ``Tr rho_A^2``.
+
+    With two independent batches sigma, tau ~ |psi|^2 and the swapped
+    configurations sigma' = (tau_A, sigma_B), tau' = (sigma_A, tau_B),
+
+        Tr rho_A^2 = E[ psi(sigma') psi(tau') / (psi(sigma) psi(tau)) ]
+
+    — the replica trick the reference paper uses for its entanglement
+    entropies (Hibat-Allah et al., PRResearch 2, 023358, Fig. 5; the
+    reference repository itself ships no estimator — README.md claims the
+    capability, this provides it).  Returns the (S,) real per-pair terms;
+    ``jnp.mean`` of them estimates the purity and
+    ``-log`` of that is the second Renyi entropy (``renyi2_entropy``).
+
+    ``region`` is a static sequence of flat site indices for subsystem A.
+    U(1)-projected ansatze are handled naturally: a swap that leaves the
+    magnetization sector has psi(sigma') = 0 and contributes exactly 0.
+    ``log_amp_a``/``log_amp_b`` are the batches' log-amplitudes (pass the
+    (Re, Im) tuple for complex heads) when already available.
+    """
+    from .local_energy import _chunked_apply
+
+    s = samples_a.shape[0]
+    lat = samples_a.shape[1:]
+    n = int(np.prod(lat))
+    if samples_b.shape != samples_a.shape:
+        raise ValueError("the two replica batches must have equal shapes")
+    mask = jnp.asarray(_region_mask(region, n))[None, :]
+    fa = samples_a.reshape(s, n)
+    fb = samples_b.reshape(s, n)
+    swapped_a = jnp.where(mask > 0, fb, fa).reshape(samples_a.shape)
+    swapped_b = jnp.where(mask > 0, fa, fb).reshape(samples_a.shape)
+
+    def _norm(la):
+        if la is None:
+            return None
+        return la if isinstance(la, tuple) else (la, None)
+
+    log_amp_a, log_amp_b = _norm(log_amp_a), _norm(log_amp_b)
+    if log_amp_a is None:
+        log_amp_a = _log_amp_of(ansatz, params, samples_a)
+    if log_amp_b is None:
+        log_amp_b = _log_amp_of(ansatz, params, samples_b)
+    la_sw, im_sw = _chunked_apply(
+        lambda cfg: _log_amp_of(ansatz, params, cfg),
+        jnp.concatenate([swapped_a, swapped_b], axis=0),
+        chunk_size,
+    )
+    d_re = la_sw[:s] + la_sw[s:] - log_amp_a[0] - log_amp_b[0]
+    if im_sw is None:
+        return jnp.exp(d_re)
+    im_a = log_amp_a[1] if log_amp_a[1] is not None else 0.0
+    im_b = log_amp_b[1] if log_amp_b[1] is not None else 0.0
+    d_im = im_sw[:s] + im_sw[s:] - im_a - im_b
+    # Tr rho_A^2 is real; the imaginary parts of the terms average to zero
+    return jnp.exp(d_re) * jnp.cos(d_im)
+
+
+def renyi2_entropy(
+    ansatz: Any,
+    params: Any,
+    samples_a: jax.Array,
+    samples_b: jax.Array,
+    region,
+    log_amp_a=None,
+    log_amp_b=None,
+    chunk_size: Optional[int] = None,
+) -> jax.Array:
+    """Second Renyi entanglement entropy ``S_2 = -log Tr rho_A^2`` of the
+    subsystem ``region``, via the two-replica swap estimator
+    (``renyi2_swap_terms``).  Exact oracle for validation:
+    ``ed.exact.renyi2_exact``.  Note the estimator variance grows as
+    ``exp(S_2)``; near-maximal entropies need large batches (the MC mean
+    can even dip nonpositive, yielding NaN — enlarge the batch)."""
+    terms = renyi2_swap_terms(
+        ansatz, params, samples_a, samples_b, region,
+        log_amp_a=log_amp_a, log_amp_b=log_amp_b, chunk_size=chunk_size,
+    )
+    return -jnp.log(jnp.mean(terms))
+
+
 def energy_estimate(
     mean_energy: Sequence[float],
     var_energy: Sequence[float],

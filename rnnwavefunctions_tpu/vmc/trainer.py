@@ -19,6 +19,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import PartitionSpec as P
 
@@ -487,6 +488,25 @@ class VMCTrainer:
             if "structure_factor" in extra:
                 out["structure_factor"] = mesh_lib.pmean(
                     observables_mod.structure_factor(samples))
+            if "renyi2" in extra:
+                # half-chain second Renyi entropy via the two-replica swap
+                # estimator: an independent second batch per device, purity
+                # pmean'd across the mesh BEFORE the -log
+                la_s = log_amp_s if log_amp_s is not None else base_la
+                n = int(np.prod(samples.shape[1:]))
+                samples_b, logp_b = ansatz.sample_with_log_prob(
+                    params, jax.random.fold_in(key, 0x52454e59),
+                    self.local_samples,
+                )
+                la_b = self._base_log_amp_input(params, samples_b, logp_b)
+                terms = observables_mod.renyi2_swap_terms(
+                    ansatz, params, samples, samples_b,
+                    np.arange(n // 2), log_amp_a=la_s, log_amp_b=la_b,
+                    chunk_size=self.config.chunk_size,
+                )
+                purity = mesh_lib.pmean(jnp.mean(terms))
+                out["renyi2_purity"] = purity
+                out["renyi2"] = -jnp.log(purity)
             return out
 
         sharded = jax.shard_map(
@@ -508,13 +528,17 @@ class VMCTrainer:
 
         ``observables`` optionally adds off-diagonal / correlation
         estimators to the jitted measurement: ``"sigma_x"`` (per-site
-        transverse magnetization via single-flip amplitude ratios) and
-        ``"structure_factor"`` (S(k) at the commensurate momenta).  See
-        ``vmc/observables.py``; ``spin_spin_correlations`` takes explicit
-        site pairs and stays a standalone function.
+        transverse magnetization via single-flip amplitude ratios),
+        ``"structure_factor"`` (S(k) at the commensurate momenta), and
+        ``"renyi2"`` (half-chain second Renyi entanglement entropy via the
+        two-replica swap estimator — also returns ``"renyi2_purity"``, the
+        mesh-averaged ``Tr rho_A^2``, which is the quantity to average over
+        repeated batches before taking ``-log``).  See
+        ``vmc/observables.py``; ``spin_spin_correlations`` and custom-region
+        ``renyi2_entropy`` take explicit sites and stay standalone functions.
         """
         extra = tuple(sorted(observables))
-        unknown = set(extra) - {"sigma_x", "structure_factor"}
+        unknown = set(extra) - {"sigma_x", "structure_factor", "renyi2"}
         if unknown:
             raise ValueError(f"unknown observables: {sorted(unknown)}")
         if extra and self.tp > 1:

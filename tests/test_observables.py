@@ -218,6 +218,125 @@ def test_trainer_evaluate_extra_observables():
         trainer.evaluate(state, jax.random.PRNGKey(0), observables=("nope",))
 
 
+# -- Renyi-2 entanglement entropy (swap trick) --------------------------------
+
+
+def test_renyi2_exact_product_and_bell():
+    """Oracle sanity: product states have S2 = 0 across every cut; a Bell
+    pair across the cut has S2 = log 2 (basis: bit i of the index = site i,
+    ed/exact.py convention)."""
+    rng = np.random.default_rng(0)
+    n = 4
+    sites = [rng.normal(size=2) for _ in range(n)]
+    vec = np.ones(1)
+    for i in reversed(range(n)):  # site n-1 slowest: s = sum_i b_i 2^i
+        vec = np.kron(vec, sites[i] / np.linalg.norm(sites[i]))
+    for region in ([0], [1, 3], [0, 2, 3]):
+        np.testing.assert_allclose(
+            exact.renyi2_exact(vec, n, region), 0.0, atol=1e-12)
+    # Bell pair between sites 0 and 2; sites 1, 3 pinned to |0>
+    bell = np.zeros(1 << n)
+    for b in (0, 1):
+        bell[b * (1 << 0) + b * (1 << 2)] = 1.0 / np.sqrt(2.0)
+    np.testing.assert_allclose(
+        exact.renyi2_exact(bell, n, [0]), np.log(2.0), atol=1e-12)
+    np.testing.assert_allclose(
+        exact.renyi2_exact(bell, n, [0, 1]), np.log(2.0), atol=1e-12)
+    np.testing.assert_allclose(  # both Bell partners inside A: pure
+        exact.renyi2_exact(bell, n, [0, 2]), 0.0, atol=1e-12)
+    with pytest.raises(ValueError):
+        exact.renyi2_exact(bell, n, [])
+    with pytest.raises(ValueError):
+        exact.renyi2_exact(bell, n, [0, 1, 2, 3])
+
+
+def test_renyi2_swap_enumeration_matches_exact_real():
+    """Exhaustive-pair expectation of the swap terms == the dense oracle
+    on the ansatz's own amplitude table (no MC noise: every (sigma, tau)
+    pair weighted by p(sigma) p(tau))."""
+    from rnnwavefunctions_tpu.ed.fidelity import amplitude_table, basis_configs
+
+    n = 6
+    ansatz = PRNN1D(num_sites=n, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(7))
+    vec = amplitude_table(ansatz, params, n)
+    p = np.abs(vec) ** 2
+    cfgs = jnp.asarray(basis_configs(n))
+    dim = 1 << n
+    sa = jnp.repeat(cfgs, dim, axis=0)
+    sb = jnp.tile(cfgs, (dim, 1))
+    w = np.repeat(p, dim) * np.tile(p, dim)
+    for region in ([0, 1, 2], [1, 4]):
+        terms = np.asarray(observables.renyi2_swap_terms(
+            ansatz, params, sa, sb, region, chunk_size=512), np.float64)
+        got = -np.log(np.sum(w * terms))
+        want = exact.renyi2_exact(vec, n, region)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_renyi2_u1_complex_enumeration():
+    """Complex U(1) head: enumeration over the zero-magnetization sector
+    matches the dense oracle, and swaps that leave the sector contribute
+    exactly ~0 (psi = 0 on the swapped configuration)."""
+    from rnnwavefunctions_tpu.ed.fidelity import amplitude_table, basis_configs
+
+    n = 6
+    ansatz = CRNNU1(num_sites=n, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(8))
+    vec = amplitude_table(ansatz, params, n)
+    p = np.abs(vec) ** 2
+    cfgs = basis_configs(n)
+    sector = np.where(cfgs.sum(axis=1) == n // 2)[0]
+    assert p[np.setdiff1d(np.arange(1 << n), sector)].max() < 1e-20
+    sc = jnp.asarray(cfgs[sector])
+    m = len(sector)
+    sa = jnp.repeat(sc, m, axis=0)
+    sb = jnp.tile(sc, (m, 1))
+    ps = p[sector]
+    w = np.repeat(ps, m) * np.tile(ps, m)
+    region = [0, 1]
+    terms = np.asarray(observables.renyi2_swap_terms(
+        ansatz, params, sa, sb, region, chunk_size=128), np.float64)
+    got = -np.log(np.sum(w * terms) / np.sum(w))
+    want = exact.renyi2_exact(vec, n, region)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # an explicitly sector-breaking swap: sigma = 000111, tau = 111000,
+    # A = {0}: sigma' carries 4 up spins -> psi(sigma') = 0
+    sig = jnp.asarray([[0, 0, 0, 1, 1, 1]], jnp.int32)
+    tau = jnp.asarray([[1, 1, 1, 0, 0, 0]], jnp.int32)
+    t0 = float(observables.renyi2_swap_terms(
+        ansatz, params, sig, tau, [0])[0])
+    assert abs(t0) < 1e-10, t0
+
+
+def test_renyi2_entropy_region_validation():
+    n = 6
+    ansatz = PRNN1D(num_sites=n, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(9))
+    samples = ansatz.sample(params, jax.random.PRNGKey(10), 8)
+    for bad in ([], list(range(n)), [0, 0], [-1], [n]):
+        with pytest.raises(ValueError):
+            observables.renyi2_entropy(
+                ansatz, params, samples, samples[::-1], bad)
+    with pytest.raises(ValueError):  # replica shape mismatch
+        observables.renyi2_entropy(
+            ansatz, params, samples, samples[:4], [0])
+
+
+def test_trainer_evaluate_renyi2():
+    trainer = VMCTrainer(
+        PRNN1D(num_sites=6, units=(8,)), TFIM1D(num_sites=6),
+        TrainConfig(num_samples=128),
+    )
+    state = trainer.init()
+    out = trainer.evaluate(state, jax.random.PRNGKey(0),
+                           observables=("renyi2",))
+    purity = float(out["renyi2_purity"])
+    s2 = float(out["renyi2"])
+    assert 0.0 < purity <= 1.0 + 1e-4
+    np.testing.assert_allclose(s2, -np.log(purity), rtol=1e-6)
+
+
 def test_spin_spin_same_site_identity():
     """<S_i . S_i> = 3/4 for spin-1/2; equal pairs must also not build
     out-of-alphabet flip configs (the XOR'd mask is all-zero for them)."""
