@@ -10,6 +10,7 @@ Usage:  python scripts/validate_anchors.py [--quick]
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -107,6 +108,77 @@ def fidelity_check(n=20, steps=3000, num_samples=500):
     }
     print(json.dumps(out), flush=True)
     return out
+
+
+def entanglement_check(n=16, steps=3000, num_samples=512, rounds=16):
+    """Train the N-site critical TFIM chain on-chip, then validate the
+    swap-trick Renyi-2 estimator at every left-block cut against (a) the
+    exact S2 of the ansatz's own state (estimator correctness, via the
+    renormalized ``amplitude_table``) and (b) the exact ground state's S2
+    (physics convergence).  The entanglement capability of the reference
+    paper (Hibat-Allah et al., PRResearch 2, 023358, Fig. 5) — its
+    repository ships no estimator.  One JSON line per cut."""
+    import jax.numpy as jnp
+
+    from rnnwavefunctions_tpu.ed import exact
+    from rnnwavefunctions_tpu.ed.fidelity import amplitude_table
+    from rnnwavefunctions_tpu.ops.tiling import tpu_compiler_options
+    from rnnwavefunctions_tpu.vmc import observables
+
+    if n <= 14:
+        _e0, gs = exact.ground_state(exact.tfim1d_dense(n, 1.0))
+    else:
+        from rnnwavefunctions_tpu.ed import native
+
+        _e0, gs, _resid = native.tfim1d_ground_state(n, 1.0)
+
+    ansatz = PRNN1D(num_sites=n, units=(50,))
+    trainer = VMCTrainer(
+        ansatz, TFIM1D(num_sites=n, bx=1.0),
+        TrainConfig(num_samples=num_samples, learning_rate=5e-3),
+    )
+    t0 = time.time()
+    state, means, varis = _train_chunked(trainer, steps)
+    vec = amplitude_table(ansatz, state.params, n)
+
+    def make_round(region):
+        @functools.partial(
+            jax.jit, compiler_options=tpu_compiler_options()
+        )
+        def round_purity(params, key):
+            ka, kb = jax.random.split(key)
+            sa = ansatz.sample(params, ka, num_samples)
+            sb = ansatz.sample(params, kb, num_samples)
+            return jnp.mean(observables.renyi2_swap_terms(
+                ansatz, params, sa, sb, region))
+
+        return round_purity
+
+    key = jax.random.PRNGKey(11)
+    results = []
+    for cut in range(1, n // 2 + 1):
+        region = tuple(range(cut))
+        fn = make_round(region)
+        purs = np.asarray([
+            float(fn(state.params, jax.random.fold_in(key, 64 * cut + r)))
+            for r in range(rounds)
+        ])
+        s2_mc = float(-np.log(purs.mean()))
+        err = float(purs.std(ddof=1) / (np.sqrt(rounds) * purs.mean()))
+        s2_self = exact.renyi2_exact(vec, n, region)
+        s2_gs = exact.renyi2_exact(gs, n, region)
+        out = {
+            "check": f"tfim_n{n}_renyi2_cut{cut}",
+            "s2_mc": round(s2_mc, 5),
+            "s2_mc_err": round(err, 5),
+            "s2_exact_ansatz": round(s2_self, 5),
+            "s2_exact_ground": round(s2_gs, 5),
+            "pairs": rounds * num_samples,
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(json.dumps(out), flush=True)
+        results.append(out)
+    return results
 
 
 def _all_configs(n):
@@ -224,6 +296,10 @@ def main(argv=None):
     p.add_argument("--fidelity", type=int, metavar="N", default=None,
                    help="train the N-site TFIM and report the exact-ground-"
                         "state fidelity (dense to N=16, Lanczos to N=24)")
+    p.add_argument("--renyi2", type=int, metavar="N", default=None,
+                   help="train the N-site TFIM and validate the swap-trick "
+                        "Renyi-2 entropy at every left-block cut against "
+                        "the exact oracles (N <= 24)")
     args = p.parse_args(argv)
 
     if args.gof:
@@ -231,6 +307,9 @@ def main(argv=None):
     if args.fidelity is not None:
         return fidelity_check(n=args.fidelity,
                               steps=3000 if args.quick else 8000)
+    if args.renyi2 is not None:
+        return entanglement_check(n=args.renyi2,
+                                  steps=1500 if args.quick else 3000)
 
     anchors = []
     tfim_ns = [20, 100] if args.quick else [20, 40, 100]

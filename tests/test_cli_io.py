@@ -117,7 +117,8 @@ def test_cli_evaluate_restores_and_measures(tmp_path):
         str(tmp_path / ckpt_dir), "--workload", "1dtfim",
         "--systemsize", "6", "--num-units", "8",
         "--numsamples", "32", "--num-batches", "3", "--num-devices", "1",
-        "--observables", "sigma_x", "structure_factor", "--fidelity",
+        "--observables", "sigma_x", "structure_factor", "renyi2",
+        "--fidelity",
     ])
     assert result["step"] == 11
     assert np.isfinite(result["energy"]) and result["energy"] < 0.0
@@ -127,6 +128,8 @@ def test_cli_evaluate_restores_and_measures(tmp_path):
     assert np.isfinite(result["sigma_x_total"])
     sk = np.asarray(result["structure_factor"])
     assert sk.shape == (6,) and np.all(np.isfinite(sk))
+    assert np.isfinite(result["renyi2"]) and result["renyi2"] > -1e-6
+    assert result["renyi2_err"] >= 0.0  # 3 batches -> scatter available
     assert 0.0 < result["fidelity"] <= 1.0 + 1e-9
     assert result["energy_exact"] < 0.0
 
