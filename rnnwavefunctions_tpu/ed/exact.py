@@ -110,12 +110,16 @@ def renyi2_exact(state_vector: np.ndarray, num_sites: int, region) -> float:
     module's bit-i-is-site-i basis convention — the order
     ``ed.fidelity.amplitude_table`` produces).  Oracle for the swap-trick
     MC estimator ``vmc.observables.renyi2_entropy``."""
+    # same region validation as the paired MC estimator (duplicate or
+    # out-of-range indices otherwise surface as opaque reshape/transpose
+    # errors below)
+    from ..vmc.observables import _region_mask
+
+    _region_mask(region, num_sites)
     region = np.asarray(region, np.int64).ravel()
     n = num_sites
     rest = np.array([i for i in range(n) if i not in set(region.tolist())],
                     np.int64)
-    if region.size == 0 or rest.size == 0:
-        raise ValueError("subsystem must be a proper nonempty subset")
     vec = np.asarray(state_vector)
     vec = vec / np.linalg.norm(vec)
     # reshape axis k corresponds to site n-1-k (bit i of the basis index is

@@ -280,14 +280,17 @@ def renyi2_swap_terms(
         jnp.concatenate([swapped_a, swapped_b], axis=0),
         chunk_size,
     )
-    d_re = la_sw[:s] + la_sw[s:] - log_amp_a[0] - log_amp_b[0]
+    # Tr rho_A^2 is real; _ratio_re keeps Re[.] of the product ratio (the
+    # imaginary parts of the terms average to zero)
     if im_sw is None:
-        return jnp.exp(d_re)
-    im_a = log_amp_a[1] if log_amp_a[1] is not None else 0.0
-    im_b = log_amp_b[1] if log_amp_b[1] is not None else 0.0
-    d_im = im_sw[:s] + im_sw[s:] - im_a - im_b
-    # Tr rho_A^2 is real; the imaginary parts of the terms average to zero
-    return jnp.exp(d_re) * jnp.cos(d_im)
+        im_f = im_s = None
+    else:
+        im_a = log_amp_a[1] if log_amp_a[1] is not None else 0.0
+        im_b = log_amp_b[1] if log_amp_b[1] is not None else 0.0
+        im_f, im_s = im_sw[:s] + im_sw[s:], im_a + im_b
+    return _ratio_re(
+        la_sw[:s] + la_sw[s:], log_amp_a[0] + log_amp_b[0], im_f, im_s
+    )
 
 
 def renyi2_entropy(

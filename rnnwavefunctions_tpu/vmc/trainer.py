@@ -299,21 +299,26 @@ class VMCTrainer:
 
     # -- the fused step -----------------------------------------------------
 
-    def _base_log_amp_input(self, params, samples, logp_sampling):
-        """log psi of the drawn samples (the ratio denominators), or None
-        when the selected estimator computes the base pass in-kernel
-        (``needs_log_amp=False`` — it returns the base log-amp as its third
-        output instead).  For a plain positive ansatz the sampling density
-        *is* the wavefunction density, so 0.5*logp is free; parity/complex
-        ansatze pay the full teacher-forced pass."""
+    def _log_amp_of_batch(self, params, samples, logp_sampling):
+        """log psi of a drawn batch.  For a plain positive ansatz the
+        sampling density *is* the wavefunction density, so 0.5*logp is
+        free; parity (plain-direction sampler) and complex ansatze pay the
+        full teacher-forced pass."""
         ansatz = self.ansatz
-        if not self.local_energy.needs_log_amp:
-            return None
         if getattr(ansatz, "plain_positive", False):
             return 0.5 * logp_sampling
         if getattr(ansatz, "is_complex", False):
             return ansatz.log_amp_parts(params, samples)
         return ansatz.log_amp(params, samples)
+
+    def _base_log_amp_input(self, params, samples, logp_sampling):
+        """log psi of the drawn samples (the ratio denominators), or None
+        when the selected estimator computes the base pass in-kernel
+        (``needs_log_amp=False`` — it returns the base log-amp as its third
+        output instead)."""
+        if not self.local_energy.needs_log_amp:
+            return None
+        return self._log_amp_of_batch(params, samples, logp_sampling)
 
     def _device_step(self, params, opt_state, step, key):
         """Runs per-device inside shard_map; params/opt_state replicated."""
@@ -498,7 +503,11 @@ class VMCTrainer:
                     params, jax.random.fold_in(key, 0x52454e59),
                     self.local_samples,
                 )
-                la_b = self._base_log_amp_input(params, samples_b, logp_b)
+                # directly, NOT via _base_log_amp_input: its None contract
+                # means "the energy kernel returns the base log-amp", and
+                # no kernel runs on this second replica batch — None here
+                # would make renyi2_swap_terms pay a full extra rollout
+                la_b = self._log_amp_of_batch(params, samples_b, logp_b)
                 terms = observables_mod.renyi2_swap_terms(
                     ansatz, params, samples, samples_b,
                     np.arange(n // 2), log_amp_a=la_s, log_amp_b=la_b,
