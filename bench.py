@@ -351,22 +351,28 @@ def main():
         print(f"{name}: {rows[name]}", file=sys.stderr)
 
     flag = rows["1dtfim_n100"]
-    if "error" in flag:
-        flag = {"samples_per_sec": 0.0, "mfu": 0.0}
-    print(
-        json.dumps(
-            {
-                "metric": "1dtfim_n100_vmc_samples_per_sec",
-                "value": flag["samples_per_sec"],
-                "unit": "samples/s",
-                "vs_baseline": round(
-                    flag["samples_per_sec"] / REFERENCE_SAMPLES_PER_SEC_EST, 2
-                ),
-                "mfu": flag["mfu"],
-                "workloads": rows,
-            }
+    record = {
+        "metric": "1dtfim_n100_vmc_samples_per_sec",
+        "value": 0.0,
+        "unit": "samples/s",
+        "vs_baseline": 0.0,
+        "mfu": 0.0,
+        "workloads": rows,
+    }
+    if "error" not in flag:
+        record.update(
+            value=flag["samples_per_sec"],
+            vs_baseline=round(
+                flag["samples_per_sec"] / REFERENCE_SAMPLES_PER_SEC_EST, 2
+            ),
+            mfu=flag["mfu"],
         )
-    )
+    elif hang_seen:
+        # mid-run tunnel degradation: like the dead-tunnel path above,
+        # carry the last good on-chip flagship number (clearly marked
+        # stale) so a bad link day never erases the measured history
+        record["stale_last_good_onchip"] = _last_good_onchip()
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

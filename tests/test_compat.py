@@ -11,6 +11,7 @@ import inspect
 import os
 
 import numpy as np
+import pytest
 
 from rnnwavefunctions_tpu import compat
 
@@ -68,6 +69,7 @@ def test_run_1dtfim_returns_reference_series(tmp_path):
     assert any(f.startswith("varEnergy_") for f in npys)
 
 
+@pytest.mark.slow
 def test_run_j1j2_returns_complex_series(tmp_path):
     mean_e, var_e = compat.run_J1J2(
         numsteps=4, systemsize=6, J2_=0.2, Marshall_sign=True,
@@ -77,6 +79,7 @@ def test_run_j1j2_returns_complex_series(tmp_path):
     assert mean_e.shape == (5,) and np.isfinite(var_e).all()
 
 
+@pytest.mark.slow
 def test_run_2dtfim_both_variants(tmp_path):
     m1, v1 = compat.run_2DTFIM_1DRNN(
         numsteps=4, systemsize_x=2, systemsize_y=3, num_units=8,

@@ -143,6 +143,7 @@ def test_sigma_x_matches_hand_ratios_real():
     np.testing.assert_allclose(got2, got, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sigma_x_u1_sector_is_zero():
     ansatz = CRNNU1(num_sites=6, units=(8,))
     params = ansatz.init(jax.random.PRNGKey(0))
@@ -152,6 +153,7 @@ def test_sigma_x_u1_sector_is_zero():
     assert np.max(np.abs(sx)) < 1e-6, sx
 
 
+@pytest.mark.slow
 def test_spin_spin_matches_hand_ratios_complex():
     n = 6
     ansatz = CRNNU1(num_sites=n, units=(8,))
