@@ -28,6 +28,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numsamples", type=int, default=500)
     p.add_argument("--learningrate", type=float, default=5e-3)
     p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--optimizer", type=str, default="adam",
+                   choices=["adam", "minsr"],
+                   help="parameter update rule: the reference's Adam, or "
+                        "minSR — stochastic reconfiguration / natural "
+                        "gradient solved in sample space (vmc/minsr.py; "
+                        "typically 10-50x fewer steps per error decade at "
+                        "a higher per-step cost)")
+    p.add_argument("--sr-damping", type=float, default=1e-2,
+                   help="SR diagonal shift (only with --optimizer minsr)")
     p.add_argument("--matmul-precision", type=str, default="default",
                    choices=["default", "high", "highest"],
                    help="MXU matmul precision for the whole jitted step "
@@ -65,6 +74,8 @@ def main(argv=None):
         chunk_size=args.chunk_size,
         tp=args.tp,
         seed=args.seed,
+        optimizer=args.optimizer,
+        sr_damping=args.sr_damping,
         matmul_precision=args.matmul_precision,
     )
     if args.tp > 1:

@@ -1,0 +1,157 @@
+"""minSR: stochastic reconfiguration (natural-gradient VMC) solved in
+sample space.
+
+Beyond-reference feature: the reference trains plain Adam on the REINFORCE
+surrogate (``/root/reference/1DTFIM/TrainingRNN_1DTFIM.py:113,156``) and has
+no second-order method anywhere.  Stochastic reconfiguration preconditions
+the energy gradient with the quantum geometric tensor,
+
+    (S + lam*I) dtheta = F,      S_kl = Re<conj(O_k - <O_k>)(O_l - <O_l>)>,
+                                 F_k  = 2 Re<conj(O_k - <O_k>)(E_loc - <E>)>,
+
+with O_k = d log psi / d theta_k per sample — the imaginary-time-projection
+update that typically reaches a given relative error in 10-50x fewer VMC
+steps than Adam on these ansatze.
+
+TPU-first formulation (minSR): never materialize the P x P matrix ``S``.
+With A = [Re Obar; Im Obar] / sqrt(S_glob) (rows = samples, stacked real and
+imaginary parts) and c = [Re eps; Im eps] / sqrt(S_glob), the push-through
+identity
+
+    (A^T A + lam I_P)^{-1} A^T c  ==  A^T (A A^T + lam I_{2S})^{-1} c
+
+(exact for any lam > 0) moves the solve into the (2S x 2S) sample space
+[Chen & Heyl, arXiv:2302.01941; Rende et al., arXiv:2310.05715].  The
+heavy work is then two large MXU matmuls (``A A^T`` and ``A^T x``, both
+O(S^2 P) FLOPs batched over the full parameter dimension) plus one tiny
+Cholesky solve — instead of an O(P^3) or iterative param-space solve.  Both
+matmuls are pinned to ``Precision.HIGHEST``: they are a negligible share of
+step FLOPs, and the solve's conditioning should not inherit single-pass
+bf16 truncation.
+
+Data parallelism: each device computes its local O rows, the row mean is
+``pmean``'d, the centered rows are ``all_gather``'d over the ``dp`` axis
+(S x P floats — small against the wavefront histories), and every device
+performs the identical gather/solve, so the update stays replicated without
+a gradient psum.
+
+The per-sample jacobians deliberately ride the jnp scan paths
+(``impl="jnp"`` twin of the ansatz): the fused Pallas BPTT kernels
+accumulate batch-REDUCED weight gradients (ops/fused_*_bwd.py), which is the
+wrong contraction here, and per-example vmap over a custom_vjp kernel would
+re-dispatch the kernel per row.  vmap of grad over the scan turns into one
+batched BPTT with per-sample outputs — the right program shape for XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+
+def _jnp_twin(ansatz: Any) -> Any:
+    """The same ansatz forced onto the jnp scan path (see module docstring);
+    ansatze without an ``impl`` field already run pure-jnp."""
+    if dataclasses.is_dataclass(ansatz) and any(
+        f.name == "impl" for f in dataclasses.fields(ansatz)
+    ):
+        return dataclasses.replace(ansatz, impl="jnp")
+    return ansatz
+
+
+def _flatten_rows(tree: Any, lead: int) -> jax.Array:
+    """Flatten a pytree of (lead-dims, *param-shape) leaves to a
+    (lead-dims, P) matrix in ``ravel_pytree`` leaf/ravel order, so
+    ``unravel`` from the params pytree inverts the row layout."""
+    leaves = jax.tree.leaves(tree)
+    return jnp.concatenate(
+        [l.reshape(l.shape[:lead] + (-1,)) for l in leaves], axis=-1
+    )
+
+
+def per_sample_log_amp_grads(
+    ansatz: Any, params: Any, samples: jax.Array
+) -> Tuple[jax.Array, Optional[jax.Array], Any]:
+    """The log-derivative matrix O: one row per sample, one column per
+    (flattened) parameter.
+
+    Returns ``(o_re, o_im, unravel)`` with ``o_re/o_im`` of shape (S, P)
+    (``o_im`` None for real-valued log psi) and ``unravel`` mapping a flat
+    (P,) vector back to the params pytree.
+    """
+    a = _jnp_twin(ansatz)
+    _, unravel = ravel_pytree(params)
+    if getattr(a, "is_complex", False):
+
+        def f2(p, s):
+            re, im = a.log_amp_parts(p, s[None])
+            return jnp.stack([re[0], im[0]])
+
+        jac = jax.vmap(jax.jacrev(f2), in_axes=(None, 0))(params, samples)
+        o = _flatten_rows(jac, 2)  # (S, 2, P)
+        return o[:, 0, :], o[:, 1, :], unravel
+
+    def f(p, s):
+        return a.log_amp(p, s[None])[0]
+
+    jac = jax.vmap(jax.grad(f), in_axes=(None, 0))(params, samples)
+    return _flatten_rows(jac, 1), None, unravel
+
+
+def minsr_direction(
+    o_re: jax.Array,
+    o_im: Optional[jax.Array],
+    e_re: jax.Array,
+    e_im: Optional[jax.Array],
+    e_mean_re: jax.Array,
+    e_mean_im: Optional[jax.Array],
+    damping: float,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """The SR/natural-gradient direction ``(S + damping*I)^{-1} F`` as a flat
+    (P,) vector, computed in sample space (module docstring).  Feed it to a
+    descent-direction optimizer (the trainer uses ``optax.sgd`` so the LR
+    schedules apply unchanged); the large-damping limit recovers ``F/damping``
+    — the plain surrogate gradient, scaled.
+
+    ``e_mean_re/_im`` must be the GLOBAL means (the caller pmean's them);
+    ``axis_name`` names the data-parallel mesh axis when the (S, P) blocks
+    are row-sharded across devices.
+    """
+    n_dev = 1 if axis_name is None else jax.lax.psum(1, axis_name)
+    s_glob = o_re.shape[0] * n_dev
+    inv_sqrt = 1.0 / jnp.sqrt(jnp.asarray(s_glob, o_re.dtype))
+
+    def center_rows(o):
+        mean = jnp.mean(o, axis=0)
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+        return (o - mean) * inv_sqrt
+
+    def gather(x):
+        if axis_name is None:
+            return x
+        return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+    a_blocks = [gather(center_rows(o_re))]
+    c_blocks = [gather((e_re - e_mean_re) * inv_sqrt)]
+    if o_im is not None:
+        a_blocks.append(gather(center_rows(o_im)))
+        c_blocks.append(gather((e_im - e_mean_im) * inv_sqrt))
+    a = jnp.concatenate(a_blocks, axis=0)  # (2S or S, P), replicated
+    c = jnp.concatenate(c_blocks, axis=0)
+
+    t = jax.lax.dot_general(
+        a, a, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+    t = t + damping * jnp.eye(t.shape[0], dtype=t.dtype)
+    x = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(t, lower=True), c
+    )
+    return 2.0 * jax.lax.dot_general(
+        a, x, (((0,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )

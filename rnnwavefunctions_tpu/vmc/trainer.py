@@ -71,6 +71,19 @@ class TrainConfig:
     # scaling path.  Requires a plain positive GRU PRNN1D ansatz with
     # tp-divisible hidden widths and a flat-encoded Hamiltonian.
     tp: int = 1
+    # parameter update rule: "adam" (the reference optimizer,
+    # TrainingRNN_1DTFIM.py:113) or "minsr" — stochastic reconfiguration /
+    # natural gradient solved in sample space (vmc/minsr.py; beyond the
+    # reference, which has no second-order method).  minSR preconditions
+    # with the quantum geometric tensor and typically needs far fewer VMC
+    # steps per relative-error decade at a higher per-step cost (the
+    # per-sample jacobians ride the jnp scan paths).  Applied through
+    # optax.sgd, so the LR schedules above work unchanged.
+    optimizer: str = "adam"
+    # SR diagonal shift lam in (S + lam I)^{-1} F (absolute, the NetKet
+    # convention); larger = closer to the plain gradient, smaller = closer
+    # to pure imaginary-time projection but noisier solves.
+    sr_damping: float = 1e-2
     # MXU matmul precision for the whole jitted step (including inside the
     # Pallas kernels; the jax.default_matmul_precision context is read at
     # trace time).  On this hardware "default" f32 matmuls execute single
@@ -135,12 +148,28 @@ class VMCTrainer:
         if self.tp > 1:
             self._validate_tp()
         self.local_samples = mesh_lib.local_batch(config.num_samples, self.mesh)
-        self.optimizer = optax.adam(
-            learning_rate=make_schedule(config),
-            b1=config.b1,
-            b2=config.b2,
-            eps=config.eps,
-        )
+        if config.optimizer == "adam":
+            self.optimizer = optax.adam(
+                learning_rate=make_schedule(config),
+                b1=config.b1,
+                b2=config.b2,
+                eps=config.eps,
+            )
+        elif config.optimizer == "minsr":
+            if self.tp > 1:
+                raise ValueError(
+                    "optimizer='minsr' gathers per-sample log-derivatives "
+                    "of the full parameter vector and is not available on "
+                    "a tensor-parallel mesh; use tp=1 (dp-only)"
+                )
+            # the SR solve produces a descent direction; sgd applies it so
+            # every LR schedule works unchanged
+            self.optimizer = optax.sgd(learning_rate=make_schedule(config))
+        else:
+            raise ValueError(
+                f"unknown optimizer {config.optimizer!r} "
+                "(expected 'adam' or 'minsr')"
+            )
         self.local_energy = make_local_energy_fn(
             ansatz, hamiltonian, config.chunk_size
         )
@@ -357,22 +386,40 @@ class VMCTrainer:
         # (TrainingRNN_1DTFIM.py:207, TrainingRNN_J1J2.py:282).
         var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean_re) ** 2))
 
-        # The differentiable log-amp pass routes through the ansatz's
-        # custom_vjp (Pallas forward, jnp BPTT backward).  Measured on-chip:
-        # this beats both a pure-jnp forward and a known-value forward that
-        # reuses the estimator's by-product (141 vs 167 steps/s on parity
-        # N=100) — the custom_vjp boundary keeps the jnp scan out of the
-        # outer linearization, which XLA compiles better.
-        def loss_fn(p):
-            if is_complex:
-                la_re, la_im = ansatz.log_amp_parts(p, samples)
-            else:
-                la_re, la_im = ansatz.log_amp(p, samples), None
-            return surrogate_loss(la_re, la_im, e_re, e_im, e_mean_re, e_mean_im)
+        if self.config.optimizer == "minsr":
+            # natural-gradient direction (vmc/minsr.py): per-sample
+            # log-derivatives, sample-space SR solve on the all-gathered
+            # rows — replicated across dp by construction, so no grad psum
+            from . import minsr
 
-        with jax.named_scope("vmc_grad"):
-            grads = jax.grad(loss_fn)(params)
-        grads = jax.tree.map(mesh_lib.pmean, grads)
+            with jax.named_scope("vmc_minsr"):
+                o_re, o_im, unravel = minsr.per_sample_log_amp_grads(
+                    ansatz, params, samples
+                )
+                grads = unravel(minsr.minsr_direction(
+                    o_re, o_im, e_re, e_im, e_mean_re, e_mean_im,
+                    self.config.sr_damping, axis_name=mesh_lib.DP_AXIS,
+                ))
+        else:
+            # The differentiable log-amp pass routes through the ansatz's
+            # custom_vjp (Pallas forward, jnp BPTT backward).  Measured
+            # on-chip: this beats both a pure-jnp forward and a known-value
+            # forward that reuses the estimator's by-product (141 vs 167
+            # steps/s on parity N=100) — the custom_vjp boundary keeps the
+            # jnp scan out of the outer linearization, which XLA compiles
+            # better.
+            def loss_fn(p):
+                if is_complex:
+                    la_re, la_im = ansatz.log_amp_parts(p, samples)
+                else:
+                    la_re, la_im = ansatz.log_amp(p, samples), None
+                return surrogate_loss(
+                    la_re, la_im, e_re, e_im, e_mean_re, e_mean_im
+                )
+
+            with jax.named_scope("vmc_grad"):
+                grads = jax.grad(loss_fn)(params)
+            grads = jax.tree.map(mesh_lib.pmean, grads)
 
         with jax.named_scope("vmc_update"):
             updates, opt_state = self.optimizer.update(grads, opt_state, params)

@@ -223,6 +223,19 @@ def test_cli_matmul_precision_flag(tmp_path):
     assert len(mean_e) == 5 and np.isfinite(np.asarray(mean_e)).all()
 
 
+def test_cli_optimizer_minsr_flag(tmp_path):
+    """--optimizer minsr threads through TrainConfig into the jitted step
+    (sample-space SR direction + sgd apply, vmc/minsr.py) and trains
+    through the full CLI artifact pipeline."""
+    mean_e, _ = run_1dtfim.main([
+        "--numsteps", "4", "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--workdir", str(tmp_path),
+        "--num-devices", "1", "--optimizer", "minsr",
+        "--learningrate", "5e-2", "--sr-damping", "0.02",
+    ])
+    assert len(mean_e) == 5 and np.isfinite(np.asarray(mean_e)).all()
+
+
 def test_cli_evaluate_fidelity_rejects_large_n_fast():
     """--fidelity with N>24 must exit BEFORE any 2^N allocation or
     measurement work (review finding: the guard used to sit after both);

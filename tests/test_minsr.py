@@ -1,0 +1,187 @@
+"""minSR (stochastic reconfiguration) optimizer tests.
+
+Beyond-reference subsystem (the reference trains Adam only,
+``/root/reference/1DTFIM/TrainingRNN_1DTFIM.py:113``): ``vmc/minsr.py``
+solves the SR/natural-gradient system in sample space via the push-through
+identity.  Pinned here:
+
+* the sample-space solve EQUALS the explicit param-space
+  ``(S + lam I)^{-1} F`` solve (real and complex ansatze);
+* the large-damping limit recovers the surrogate-loss gradient (the Adam
+  path's direction) scaled by 1/lam — tying the two optimizers together;
+* trainer integration: converges through the public API, works on the
+  8-device dp mesh, and out-scopes tensor parallelism with a clear error.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.flatten_util import ravel_pytree
+
+from rnnwavefunctions_tpu import (
+    CRNNU1,
+    J1J2,
+    PRNN1D,
+    TFIM1D,
+    TrainConfig,
+    VMCTrainer,
+    make_mesh,
+)
+from rnnwavefunctions_tpu.ed import exact
+from rnnwavefunctions_tpu.vmc import minsr
+from rnnwavefunctions_tpu.vmc.loss import surrogate_loss
+
+LAM = 0.05
+
+
+def _param_space_direction(o_re, o_im, e_re, e_im, lam):
+    """Explicit dense (S + lam I)^{-1} F in parameter space (the definition
+    minsr_direction must reproduce)."""
+    s = o_re.shape[0]
+    blocks_a = [(o_re - o_re.mean(0)) / jnp.sqrt(float(s))]
+    blocks_c = [(e_re - e_re.mean()) / jnp.sqrt(float(s))]
+    if o_im is not None:
+        blocks_a.append((o_im - o_im.mean(0)) / jnp.sqrt(float(s)))
+        blocks_c.append((e_im - e_im.mean()) / jnp.sqrt(float(s)))
+    a = jnp.concatenate(blocks_a, 0)
+    c = jnp.concatenate(blocks_c, 0)
+    s_mat = a.T @ a + lam * jnp.eye(a.shape[1])
+    return jnp.linalg.solve(s_mat, 2.0 * a.T @ c)
+
+
+def test_minsr_matches_param_space_sr_real():
+    ansatz = PRNN1D(num_sites=6, units=(6,))
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.5, (24, 6)
+    ).astype(jnp.int32)
+    e = jax.random.normal(jax.random.PRNGKey(2), (24,))
+    o_re, o_im, _ = minsr.per_sample_log_amp_grads(ansatz, params, samples)
+    assert o_im is None
+    got = minsr.minsr_direction(o_re, None, e, None, e.mean(), None, LAM)
+    want = _param_space_direction(o_re, None, e, None, LAM)
+    np.testing.assert_allclose(got, want, atol=1e-4 * float(jnp.abs(want).max()))
+
+
+def test_minsr_matches_param_space_sr_complex():
+    ansatz = CRNNU1(num_sites=6, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(3))
+    samples = ansatz.sample(params, jax.random.PRNGKey(4), 16)
+    e_re = jax.random.normal(jax.random.PRNGKey(5), (16,))
+    e_im = jax.random.normal(jax.random.PRNGKey(6), (16,))
+    o_re, o_im, _ = minsr.per_sample_log_amp_grads(ansatz, params, samples)
+    assert o_im is not None
+    got = minsr.minsr_direction(
+        o_re, o_im, e_re, e_im, e_re.mean(), e_im.mean(), LAM
+    )
+    want = _param_space_direction(o_re, o_im, e_re, e_im, LAM)
+    np.testing.assert_allclose(got, want, atol=1e-4 * float(jnp.abs(want).max()))
+
+
+def test_minsr_large_damping_limit_is_surrogate_gradient():
+    """lam -> inf: (S + lam)^{-1} F -> F / lam, and F is exactly the
+    surrogate-loss gradient the Adam path descends (vmc/loss.py) — the
+    in-sample baseline centering makes the O-centering immaterial."""
+    ansatz = PRNN1D(num_sites=6, units=(6,), parity=True)  # non-trivial log_amp
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.5, (16, 6)
+    ).astype(jnp.int32)
+    e = jax.random.normal(jax.random.PRNGKey(2), (16,))
+    o_re, _, unravel = minsr.per_sample_log_amp_grads(ansatz, params, samples)
+    lam = 1e6
+    d = lam * minsr.minsr_direction(o_re, None, e, None, e.mean(), None, lam)
+
+    jnp_ansatz = dataclasses.replace(ansatz, impl="jnp")
+    grad = jax.grad(
+        lambda p: surrogate_loss(
+            jnp_ansatz.log_amp(p, samples), None, e, None, e.mean(), None
+        )
+    )(params)
+    flat_grad, _ = ravel_pytree(grad)
+    np.testing.assert_allclose(
+        d, flat_grad, atol=2e-3 * float(jnp.abs(flat_grad).max())
+    )
+
+
+def test_minsr_trainer_converges_tfim():
+    """Public-API training with optimizer='minsr' on the 8-device mesh:
+    N=8 TFIM reaches well under 1% relative error in 30 steps (Adam needs
+    hundreds; the slow test pins the head-to-head comparison)."""
+    n = 8
+    e_exact = exact.ground_state_energy(exact.tfim1d_dense(n, 1.0))
+    cfg = TrainConfig(
+        num_samples=256, learning_rate=5e-2, optimizer="minsr", seed=7
+    )
+    trainer = VMCTrainer(
+        PRNN1D(num_sites=n, units=(16,)), TFIM1D(num_sites=n, bx=1.0), cfg,
+        mesh=make_mesh(8),
+    )
+    state = trainer.init()
+    state, ms = trainer.run_steps(state, jax.random.PRNGKey(0), 30)
+    es = np.asarray(ms["mean_energy"])
+    assert np.isfinite(es).all()
+    rel = abs((es[-5:].mean() - e_exact) / e_exact)
+    assert rel < 5e-3, (rel, es[-5:])
+
+
+def test_minsr_validation_errors():
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        VMCTrainer(
+            PRNN1D(num_sites=4, units=(8,)), TFIM1D(num_sites=4, bx=1.0),
+            TrainConfig(num_samples=8, optimizer="nope"),
+        )
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        VMCTrainer(
+            PRNN1D(num_sites=4, units=(8,)), TFIM1D(num_sites=4, bx=1.0),
+            TrainConfig(num_samples=8, optimizer="minsr", tp=2),
+        )
+
+
+@pytest.mark.slow
+def test_minsr_beats_adam_step_for_step():
+    """The headline claim, pinned: same ansatz, same budget of 60 VMC steps
+    — minSR lands an order of magnitude closer to the exact ground state
+    than Adam (measured margins ~5e-3 vs ~6e-4; asserted with slack)."""
+    n = 8
+    e_exact = exact.ground_state_energy(exact.tfim1d_dense(n, 1.0))
+
+    def run(opt, lr):
+        cfg = TrainConfig(
+            num_samples=256, learning_rate=lr, optimizer=opt, seed=7
+        )
+        tr = VMCTrainer(
+            PRNN1D(num_sites=n, units=(16,)), TFIM1D(num_sites=n, bx=1.0),
+            cfg, mesh=make_mesh(1),
+        )
+        st, ms = tr.run_steps(tr.init(), jax.random.PRNGKey(0), 60)
+        es = np.asarray(ms["mean_energy"])
+        return abs((es[-10:].mean() - e_exact) / e_exact)
+
+    err_adam = run("adam", 5e-3)  # the reference's optimizer + lr
+    err_minsr = run("minsr", 5e-2)
+    assert err_minsr < 2e-3, err_minsr
+    assert err_minsr < 0.5 * err_adam, (err_minsr, err_adam)
+
+
+@pytest.mark.slow
+def test_minsr_complex_j1j2_converges():
+    """Complex-ansatz minSR (stacked Re/Im sample space): J1J2 N=8 reaches
+    ~1% in 80 steps where Adam at the reference lr is still at ~100%."""
+    n = 8
+    e_exact = exact.ground_state_energy(exact.j1j2_dense(n, 1.0, 0.2))
+    cfg = TrainConfig(
+        num_samples=256, learning_rate=5e-2, optimizer="minsr", seed=7
+    )
+    tr = VMCTrainer(
+        CRNNU1(num_sites=n, units=(12,)), J1J2(num_sites=n, j2=0.2), cfg,
+        mesh=make_mesh(1),
+    )
+    st, ms = tr.run_steps(tr.init(), jax.random.PRNGKey(0), 80)
+    es = np.asarray(ms["mean_energy"])
+    assert np.isfinite(es).all()
+    rel = abs((es[-10:].mean() - e_exact) / e_exact)
+    assert rel < 3e-2, rel
