@@ -296,6 +296,48 @@ From a trained checkpoint the same measurement is
 `python -m rnnwavefunctions_tpu.cli.evaluate --observables renyi2`.)
 """),
     md("""\
+### Faster convergence: stochastic reconfiguration (minSR)
+
+Everything above used Adam, like the reference.  This framework also ships
+**stochastic reconfiguration** (natural-gradient VMC): precondition the
+energy gradient with the quantum geometric tensor
+$S_{kl} = \\mathrm{Re}\\langle \\bar O_k^* \\bar O_l \\rangle$,
+$O_k = \\partial_{\\theta_k} \\log\\psi$, which follows imaginary-time
+projection instead of raw gradient flow.  The solve is recast into *sample
+space* (an $S\\times S$ Cholesky instead of a parameter-space inverse —
+`vmc/minsr.py`), so it stays cheap for large networks.  Same step budget,
+head-to-head:
+"""),
+    code("""\
+curves = {}
+for opt, lr in [("adam", 5e-3), ("minsr", 5e-2)]:
+    tr = VMCTrainer(
+        PRNN1D(num_sites=N, units=(NUM_UNITS,)),
+        TFIM1D(num_sites=N, bx=BX),
+        TrainConfig(num_samples=NUM_SAMPLES, learning_rate=lr,
+                    optimizer=opt, seed=111),
+    )
+    st, ms = tr.run_steps(tr.init(), jax.random.PRNGKey(111), 60)
+    curves[opt] = np.asarray(ms["mean_energy"])
+
+fig, ax = plt.subplots(figsize=(10, 4))
+for opt, es in curves.items():
+    ax.semilogy(np.abs((es - e_exact) / e_exact), lw=1.0, label=opt)
+ax.set_xlabel("VMC step")
+ax.set_ylabel("relative energy error")
+ax.legend()
+err_adam = abs(curves["adam"][-10:].mean() - e_exact) / abs(e_exact)
+err_minsr = abs(curves["minsr"][-10:].mean() - e_exact) / abs(e_exact)
+print(f"after 60 steps: adam {err_adam:.2e}  minsr {err_minsr:.2e}")
+assert err_minsr < err_adam, "minSR should outpace Adam step-for-step"
+"""),
+    md("""\
+(minSR typically buys an order of magnitude fewer steps per error decade;
+per-step cost is higher — the per-sample jacobian — so on TPU the
+wall-clock win at the N=20 reference workload is ~3x to the 1e-3
+threshold, BENCHMARKS.md.  From the CLI: `--optimizer minsr`.)
+"""),
+    md("""\
 ## Explorations
 
 - **Parity symmetry.**  The TFIM ground state is reflection-symmetric, but
