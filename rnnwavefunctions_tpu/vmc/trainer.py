@@ -162,6 +162,11 @@ class VMCTrainer:
                     "of the full parameter vector and is not available on "
                     "a tensor-parallel mesh; use tp=1 (dp-only)"
                 )
+            if not config.sr_damping > 0.0:
+                raise ValueError(
+                    "sr_damping must be > 0 (the push-through identity "
+                    f"needs a positive diagonal shift); got {config.sr_damping}"
+                )
             # the SR solve produces a descent direction; sgd applies it so
             # every LR schedule works unchanged
             self.optimizer = optax.sgd(learning_rate=make_schedule(config))

@@ -161,6 +161,11 @@ def test_minsr_validation_errors():
             PRNN1D(num_sites=4, units=(8,)), TFIM1D(num_sites=4, bx=1.0),
             TrainConfig(num_samples=8, optimizer="minsr", tp=2),
         )
+    with pytest.raises(ValueError, match="sr_damping"):
+        VMCTrainer(
+            PRNN1D(num_sites=4, units=(8,)), TFIM1D(num_sites=4, bx=1.0),
+            TrainConfig(num_samples=8, optimizer="minsr", sr_damping=0.0),
+        )
 
 
 @pytest.mark.slow
