@@ -91,7 +91,25 @@ def run_training(
 
     state = trainer.init()
     if resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        try:
+            state = ckpt.restore(state)
+        except ValueError:
+            # optimizer-state layout changed (e.g. an Adam run resumed with
+            # --optimizer minsr): keep params + step, re-init the optimizer
+            from ..vmc.trainer import TrainState
+
+            params, step_arr = ckpt.restore_params_and_step(state)
+            state = TrainState(
+                params=params,
+                opt_state=trainer.optimizer.init(params),
+                step=step_arr,
+            )
+            if primary:
+                print(
+                    "checkpoint optimizer state layout differs from the "
+                    "configured optimizer; restored params + step and "
+                    "re-initialized the optimizer state"
+                )
     key = jax.random.PRNGKey(trainer.config.seed)
 
     start = int(state.step)

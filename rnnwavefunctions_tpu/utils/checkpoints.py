@@ -55,6 +55,39 @@ class Checkpointer:
         )
         return TrainState(*restored)
 
+    def restore_params_and_step(
+        self, template: TrainState, step: Optional[int] = None
+    ):
+        """Cross-optimizer resume: restore only the parameters and the step
+        counter from the raw saved tree, ignoring the optimizer state — for
+        resuming a run whose ``TrainConfig.optimizer`` (and hence opt_state
+        layout) changed, e.g. refining an Adam-trained wavefunction with
+        minSR.  Returns ``(params, step_array)``; the caller re-initializes
+        the optimizer state.  Leaf counts and shapes are checked against
+        ``template`` (raw dict/list containers need not match the live
+        pytree's tuple/dataclass containers)."""
+        import jax.numpy as jnp
+
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        raw = self._mgr.restore(step)
+        leaves = jax.tree.leaves(raw["params"])
+        t_leaves, treedef = jax.tree.flatten(template.params)
+        if len(leaves) != len(t_leaves) or any(
+            tuple(l.shape) != tuple(t.shape) for l, t in zip(leaves, t_leaves)
+        ):
+            raise ValueError(
+                "checkpoint parameters do not match the ansatz "
+                f"(saved {len(leaves)} leaves vs template {len(t_leaves)})"
+            )
+        params = jax.tree.unflatten(
+            treedef,
+            [jnp.asarray(l, t.dtype) for l, t in zip(leaves, t_leaves)],
+        )
+        return params, jnp.asarray(raw["step"], jnp.int32)
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

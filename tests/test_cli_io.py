@@ -236,6 +236,23 @@ def test_cli_optimizer_minsr_flag(tmp_path):
     assert len(mean_e) == 5 and np.isfinite(np.asarray(mean_e)).all()
 
 
+def test_cli_resume_across_optimizers(tmp_path):
+    """Refining an Adam-trained wavefunction with minSR: --resume over a
+    checkpoint whose opt_state layout differs keeps params + step and
+    re-initializes the optimizer state (utils/checkpoints.py
+    restore_params_and_step)."""
+    base = [
+        "--systemsize", "6", "--num-units", "8", "--numsamples", "32",
+        "--workdir", str(tmp_path), "--num-devices", "1",
+    ]
+    run_1dtfim.main(base + ["--numsteps", "10"])
+    mean_e, _ = run_1dtfim.main(base + [
+        "--numsteps", "20", "--resume",
+        "--optimizer", "minsr", "--learningrate", "5e-2",
+    ])
+    assert len(mean_e) == 21 and np.isfinite(np.asarray(mean_e)).all()
+
+
 def test_cli_evaluate_fidelity_rejects_large_n_fast():
     """--fidelity with N>24 must exit BEFORE any 2^N allocation or
     measurement work (review finding: the guard used to sit after both);
