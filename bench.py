@@ -306,10 +306,12 @@ def main():
         # (vmc/minsr.py).  FLOPs model = the model's useful work (as every
         # row), so mfu here is goodput — the jacobian is optimizer overhead
         # by construction; the row's value is steps/s (convergence per step
-        # is the feature: ~4x fewer steps to 1e-3, BENCHMARKS.md).
+        # is the feature: ~4x fewer steps to 1e-3, BENCHMARKS.md).  The
+        # optional 7th tuple element carries TrainConfig overrides.
         ("1dtfim_n100_minsr", PRNN1D(num_sites=100, units=(50,)),
          TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, SLOW_STEPS_PER_TRIAL,
-         flops_tfim_plain(100, 50, NUM_SAMPLES)),
+         flops_tfim_plain(100, 50, NUM_SAMPLES),
+         {"optimizer": "minsr", "learning_rate": 5e-2}),
     ]
 
     # Best-effort per-row SIGALRM watchdog: it fires on interruptible
@@ -328,17 +330,15 @@ def main():
         u = getattr(ansatz, "units", 50)
         return max(u) if isinstance(u, (tuple, list)) else u
 
-    for name, ansatz, ham, num_samples, steps, flops_per_step in workloads:
+    for name, ansatz, ham, num_samples, steps, flops_per_step, *extra in workloads:
         if hang_seen:
             rows[name] = {"error": "skipped: earlier row timed out"}
             continue
         try:
             signal.alarm(ROW_TIMEOUT_S)
-            if name.endswith("_minsr"):
-                cfg = TrainConfig(num_samples=num_samples,
-                                  learning_rate=5e-2, optimizer="minsr")
-            else:
-                cfg = TrainConfig(num_samples=num_samples, learning_rate=5e-3)
+            cfg_kw = {"num_samples": num_samples, "learning_rate": 5e-3}
+            cfg_kw.update(extra[0] if extra else {})
+            cfg = TrainConfig(**cfg_kw)
             trainer = VMCTrainer(ansatz, ham, cfg)
             steps_per_sec = measure(trainer, steps=steps)
         except _RowTimeout as e:

@@ -140,7 +140,15 @@ def main(argv=None):
         mesh=make_mesh(args.num_devices),
     )
     ckpt = Checkpointer(args.checkpoint)
-    state = ckpt.restore(trainer.init())
+    state = trainer.init()
+    try:
+        state = ckpt.restore(state)
+    except ValueError:
+        # checkpoint trained with a different optimizer than this
+        # trainer's default template (e.g. --optimizer minsr): evaluation
+        # only needs params + step
+        params, step_arr = ckpt.restore_params_and_step(state)
+        state = state._replace(params=params, step=step_arr)
 
     key = jax.random.PRNGKey(args.seed)
     extra = tuple(args.observables)

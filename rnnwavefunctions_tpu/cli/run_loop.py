@@ -99,16 +99,29 @@ def run_training(
             from ..vmc.trainer import TrainState
 
             params, step_arr = ckpt.restore_params_and_step(state)
+            opt_state = trainer.optimizer.init(params)
+            try:
+                # fast-forward the transform counts so LR SCHEDULES resume
+                # at the restored step instead of re-applying the full base
+                # rate to a converged wavefunction (Adam's bias correction
+                # also reads count; with zero moments that only makes the
+                # first resumed updates gentler)
+                import optax.tree_utils as otu
+
+                opt_state = otu.tree_set(
+                    opt_state, count=step_arr.astype(step_arr.dtype)
+                )
+            except (KeyError, ValueError):
+                pass  # no count field (e.g. constant-schedule sgd)
             state = TrainState(
-                params=params,
-                opt_state=trainer.optimizer.init(params),
-                step=step_arr,
+                params=params, opt_state=opt_state, step=step_arr
             )
             if primary:
                 print(
                     "checkpoint optimizer state layout differs from the "
-                    "configured optimizer; restored params + step and "
-                    "re-initialized the optimizer state"
+                    "configured optimizer; restored params + step, "
+                    "re-initialized the optimizer state (moments zeroed, "
+                    "schedule count fast-forwarded to the restored step)"
                 )
     key = jax.random.PRNGKey(trainer.config.seed)
 

@@ -73,19 +73,55 @@ class Checkpointer:
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         raw = self._mgr.restore(step)
-        leaves = jax.tree.leaves(raw["params"])
-        t_leaves, treedef = jax.tree.flatten(template.params)
-        if len(leaves) != len(t_leaves) or any(
-            tuple(l.shape) != tuple(t.shape) for l, t in zip(leaves, t_leaves)
-        ):
-            raise ValueError(
-                "checkpoint parameters do not match the ansatz "
-                f"(saved {len(leaves)} leaves vs template {len(t_leaves)})"
-            )
-        params = jax.tree.unflatten(
-            treedef,
-            [jnp.asarray(l, t.dtype) for l, t in zip(leaves, t_leaves)],
+
+        # Orbax's raw restore returns dict/list containers regardless of the
+        # live pytree's tuple/NamedTuple containers, so leaves are matched by
+        # NORMALIZED KEY PATH, not flatten order — order-based pairing would
+        # silently permute same-shaped leaves of a custom params container
+        # whose registered flatten order differs from sorted-dict order.
+        from jax.tree_util import (
+            DictKey, GetAttrKey, SequenceKey, tree_flatten_with_path,
         )
+
+        def norm(path):
+            out = []
+            for k in path:
+                if isinstance(k, DictKey):
+                    out.append(str(k.key))
+                elif isinstance(k, SequenceKey):
+                    out.append(str(k.idx))
+                elif isinstance(k, GetAttrKey):
+                    out.append(str(k.name))
+                else:  # custom pytree node with opaque key structure
+                    return None
+            return "/".join(out)
+
+        raw_map = {
+            norm(p): v for p, v in tree_flatten_with_path(raw["params"])[0]
+        }
+        t_items, treedef = tree_flatten_with_path(template.params)
+        leaves = []
+        for p, t in t_items:
+            key = norm(p)
+            if key is None:
+                raise ValueError(
+                    "cross-optimizer restore cannot key-match a custom "
+                    f"pytree params container (path {p}); resume with the "
+                    "optimizer the checkpoint was trained with instead"
+                )
+            if key not in raw_map:
+                raise ValueError(
+                    f"checkpoint has no parameter leaf '{key}' "
+                    f"(saved leaves: {sorted(raw_map)})"
+                )
+            v = raw_map[key]
+            if tuple(v.shape) != tuple(t.shape):
+                raise ValueError(
+                    f"checkpoint leaf '{key}' has shape {tuple(v.shape)} "
+                    f"but the configured ansatz expects {tuple(t.shape)}"
+                )
+            leaves.append(jnp.asarray(v, t.dtype))
+        params = jax.tree.unflatten(treedef, leaves)
         return params, jnp.asarray(raw["step"], jnp.int32)
 
     def wait(self) -> None:

@@ -236,6 +236,28 @@ def test_cli_optimizer_minsr_flag(tmp_path):
     assert len(mean_e) == 5 and np.isfinite(np.asarray(mean_e)).all()
 
 
+def test_cli_evaluate_restores_minsr_checkpoint(tmp_path):
+    """evaluate on a checkpoint trained with --optimizer minsr: the trainer
+    template's opt_state is Adam-shaped, so restore must fall back to the
+    params+step path (review finding: evaluate crashed on minSR runs)."""
+    from rnnwavefunctions_tpu.cli import evaluate
+
+    run_1dtfim.main([
+        "--numsteps", "6", "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--workdir", str(tmp_path),
+        "--num-devices", "1", "--optimizer", "minsr",
+        "--learningrate", "5e-2",
+    ])
+    ckpt_dir = [d for d in os.listdir(tmp_path) if d.startswith("ckpt_")][0]
+    result = evaluate.main([
+        str(tmp_path / ckpt_dir), "--workload", "1dtfim",
+        "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--num-batches", "2", "--num-devices", "1",
+    ])
+    assert result["step"] == 7
+    assert np.isfinite(result["energy"]) and result["energy"] < 0.0
+
+
 def test_cli_resume_across_optimizers(tmp_path):
     """Refining an Adam-trained wavefunction with minSR: --resume over a
     checkpoint whose opt_state layout differs keeps params + step and
