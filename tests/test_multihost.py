@@ -65,6 +65,19 @@ state, ms = trainer.run_steps(state, jax.random.PRNGKey(0), 4)
 energies = np.asarray(jax.device_get(ms["mean_energy"]))  # replicated
 assert energies.shape == (4,) and np.isfinite(energies).all()
 print(f"proc {pid}: ok {energies[-1]:.4f}")
+
+# minSR over the same global mesh: the centered O-row all_gather crosses
+# the process boundary and the sample-space solve must replicate
+trainer_sr = VMCTrainer(
+    PRNN1D(num_sites=6, units=(8,)), TFIM1D(num_sites=6, bx=1.0),
+    TrainConfig(num_samples=8, learning_rate=5e-2, optimizer="minsr"),
+    mesh=mesh,
+)
+st_sr = trainer_sr.init()
+st_sr, ms_sr = trainer_sr.run_steps(st_sr, jax.random.PRNGKey(1), 2)
+e_sr = np.asarray(jax.device_get(ms_sr["mean_energy"]))
+assert e_sr.shape == (2,) and np.isfinite(e_sr).all()
+print(f"proc {pid}: minsr ok {e_sr[-1]:.4f}")
 """
 
 
@@ -98,10 +111,12 @@ def test_two_process_distributed_init_and_sharded_step(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i}: ok" in out
-    # both processes computed the identical psum'd energy statistics
-    e0 = outs[0].strip().splitlines()[-1].split()[-1]
-    e1 = outs[1].strip().splitlines()[-1].split()[-1]
-    assert e0 == e1, (e0, e1)
+        assert f"proc {i}: minsr ok" in out
+    # both processes computed identical replicated energy statistics, for
+    # the Adam step (psum'd grads) AND the minSR step (gathered solve)
+    tail0 = [l.split()[-1] for l in outs[0].strip().splitlines()[-2:]]
+    tail1 = [l.split()[-1] for l in outs[1].strip().splitlines()[-2:]]
+    assert tail0 == tail1, (tail0, tail1)
 
 
 def test_non_primary_host_writes_no_metrics(tmp_path, monkeypatch):
