@@ -1,0 +1,290 @@
+"""Per-sample log-derivative rows (the minSR ``O`` matrix), restructured
+for TPU memory traffic.
+
+``vmap(grad(log_amp))`` — the generic path in ``vmc/minsr.py`` — is
+mathematically right but XLA schedules it as a backward ``lax.scan`` whose
+carry holds the per-sample weight-gradient accumulator: an (S, P) block
+(16 MB at the flagship N=100, U=50, S=500, P~8k) read and written on every
+one of the N backward steps — ~3 GB of HBM round trips per jacobian, which
+is why a minSR step ran ~4x slower than an Adam step (PARITY.md "known
+bounds").
+
+This module computes the same rows with the standard stash-and-contract
+BPTT factorization.  A recurrent layer's per-sample weight gradients
+factorize through its per-step gate cotangents:
+
+    O_Wx[s] = sum_t x_t[s] (x) dgate_t[s],
+    O_Wh[s] = sum_t h_{t-1}[s] (x) dgate_t[s],
+
+so the backward scan only needs to emit ``dgate_t`` per step (its carry is
+the (S, U) recurrence cotangent — 100 kB, not 16 MB), and the per-sample
+weight rows come from ONE batched time-axis matmul per weight tensor
+(``einsum('tsi,tsg->sig')`` — MXU work, ~0.4 GFLOP at the flagship shape).
+
+The cell's nonlinear step ``F`` is differentiated with ``jax.vjp`` inside
+the backward scan body — no hand-derived gate math; only the
+linear/nonlinear split is written per cell kind, mirroring
+``models/cells.py`` (``gru_apply``/``lstm_apply`` are the semantics
+oracles).  ``vmap(grad)`` on the jnp scan path remains the equality oracle
+(``tests/test_minsr.py``).
+
+Reference context: the reference has no natural-gradient method at all
+(Adam only, ``/root/reference/1DTFIM/TrainingRNN_1DTFIM.py:113``); this
+file exists to make the beyond-reference minSR optimizer's per-step cost
+competitive with Adam's fused-BPTT step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# cell nonlinearities, split from their linear pre-activations
+# (semantics oracles: cells.gru_apply / cells.lstm_apply)
+# ---------------------------------------------------------------------------
+
+
+def _gru_f(gx: jax.Array, gh: jax.Array, h: jax.Array) -> jax.Array:
+    """cells.gru_apply with the two matmul pre-activations factored out."""
+    u = h.shape[-1]
+    rx, zx, cx = gx[..., :u], gx[..., u : 2 * u], gx[..., 2 * u :]
+    rh, zh, ch = gh[..., :u], gh[..., u : 2 * u], gh[..., 2 * u :]
+    r = jax.nn.sigmoid(rx + rh)
+    z = jax.nn.sigmoid(zx + zh)
+    c = jnp.tanh(cx + r * ch)
+    return z * h + (1.0 - z) * c
+
+
+def _lstm_f(glin: jax.Array, c: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cells.lstm_apply past the single fused matmul: (glin, c) -> (h', c')."""
+    u = c.shape[-1]
+    i, j = glin[..., :u], glin[..., u : 2 * u]
+    f, o = glin[..., 2 * u : 3 * u], glin[..., 3 * u :]
+    c_new = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+    h_new = jnp.tanh(c_new) * jax.nn.sigmoid(o)
+    return h_new, c_new
+
+
+# ---------------------------------------------------------------------------
+# forward rollout with stashed pre-step states
+# ---------------------------------------------------------------------------
+
+
+def _rollout(
+    rnn_params: Sequence[Any], cell: str, inputs: jax.Array
+) -> Tuple[List[Any], List[Any], jax.Array]:
+    """Teacher-forced stack rollout over ``inputs`` (N, S, d).
+
+    Returns ``(prevs, finals, top_out)``:
+      prevs:   per layer, the PRE-step state at every step — (N, S, U)
+               arrays for GRU, ((N,S,U) h, (N,S,U) c) pairs for LSTM;
+      finals:  per layer, the state after the last step;
+      top_out: (N, S, U_top) top-layer outputs (the head inputs).
+    """
+    from ..models import cells
+
+    s = inputs.shape[1]
+    units = [p["wh"].shape[0] for p in rnn_params]
+    dtype = inputs.dtype
+
+    def body(states, x_t):
+        new_states = []
+        inp = x_t
+        for p, st in zip(rnn_params, states):
+            if cell == "gru":
+                inp = cells.gru_apply(p, inp, st)
+                new_states.append(inp)
+            else:
+                inp, st_new = cells.lstm_apply(p, inp, st)
+                new_states.append(st_new)
+        return tuple(new_states), (states, inp)
+
+    init = cells.stacked_rnn_zero_state(s, units, dtype, cell)
+    finals, (prevs, top_out) = jax.lax.scan(body, init, inputs)
+    return list(prevs), list(finals), top_out
+
+
+def _layer_inputs(
+    inputs: jax.Array, prevs: List[Any], finals: List[Any], cell: str
+) -> List[jax.Array]:
+    """Per-layer input sequence x^l_t: the one-hot feed for layer 0, the
+    layer-below POST-step output for l>0 (= its pre-step state shifted one
+    step, closed with the final state)."""
+    xs = [inputs]
+    for prev, fin in zip(prevs[:-1], finals[:-1]):
+        h_prev = prev[0] if cell == "lstm" else prev
+        h_fin = fin[0] if cell == "lstm" else fin
+        xs.append(jnp.concatenate([h_prev[1:], h_fin[None]], axis=0))
+    return xs
+
+
+# ---------------------------------------------------------------------------
+# backward sweep: emit per-step gate cotangents
+# ---------------------------------------------------------------------------
+
+
+def _bptt(
+    rnn_params: Sequence[Any],
+    cell: str,
+    xs: List[jax.Array],
+    prevs: List[Any],
+    dout: jax.Array,
+) -> List[Any]:
+    """Reverse-time sweep producing the stacked gate cotangents.
+
+    ``dout`` (N, S, U_top) is the cotangent on the top-layer output at each
+    step (head seeds).  Returns, per layer, ``(dgx, dgh)`` (N, S, 3U) for
+    GRU or ``dglin`` (N, S, 4U) for LSTM.
+    """
+    n_layers = len(rnn_params)
+    s = dout.shape[1]
+    dtype = dout.dtype
+
+    def body(carry, xs_t):
+        x_ts, prev_ts, dout_t = xs_t
+        new_carry = [None] * n_layers
+        emitted = [None] * n_layers
+        d_above = dout_t  # cotangent on layer l's output at this step
+        for l in reversed(range(n_layers)):
+            p = rnn_params[l]
+            if cell == "gru":
+                h_prev = prev_ts[l]
+                gx = jnp.dot(x_ts[l], p["wx"]) + p["bx"]
+                gh = jnp.dot(h_prev, p["wh"]) + p["bh"]
+                _, f_vjp = jax.vjp(_gru_f, gx, gh, h_prev)
+                dgx, dgh, dh_direct = f_vjp(d_above + carry[l])
+                new_carry[l] = dh_direct + jnp.dot(dgh, p["wh"].T)
+                emitted[l] = (dgx, dgh)
+                if l:
+                    d_above = jnp.dot(dgx, p["wx"].T)
+            else:
+                h_prev, c_prev = prev_ts[l]
+                glin = (
+                    jnp.dot(x_ts[l], p["wx"])
+                    + jnp.dot(h_prev, p["wh"])
+                    + p["b"]
+                )
+                dh_in, dc_in = carry[l]
+                _, f_vjp = jax.vjp(_lstm_f, glin, c_prev)
+                dglin, dc_prev = f_vjp((d_above + dh_in, dc_in))
+                new_carry[l] = (jnp.dot(dglin, p["wh"].T), dc_prev)
+                emitted[l] = dglin
+                if l:
+                    d_above = jnp.dot(dglin, p["wx"].T)
+        return tuple(new_carry), tuple(emitted)
+
+    def zero(u):
+        z = jnp.zeros((s, u), dtype)
+        return (z, z) if cell == "lstm" else z
+
+    init = tuple(zero(p["wh"].shape[0]) for p in rnn_params)
+    _, dgates = jax.lax.scan(body, init, (tuple(xs), tuple(prevs), dout),
+                             reverse=True)
+    return list(dgates)
+
+
+# ---------------------------------------------------------------------------
+# contraction: gate cotangents -> per-sample weight rows (MXU einsums)
+# ---------------------------------------------------------------------------
+
+
+def _contract_layer(cell: str, x: jax.Array, prev: Any, dg: Any) -> Any:
+    if cell == "gru":
+        dgx, dgh = dg
+        return {
+            "wx": jnp.einsum("tsi,tsg->sig", x, dgx),
+            "wh": jnp.einsum("tsu,tsg->sug", prev, dgh),
+            "bx": jnp.sum(dgx, axis=0),
+            "bh": jnp.sum(dgh, axis=0),
+        }
+    h_prev = prev[0]
+    return {
+        "wx": jnp.einsum("tsi,tsg->sig", x, dg),
+        "wh": jnp.einsum("tsu,tsg->sug", h_prev, dg),
+        "b": jnp.sum(dg, axis=0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PRNN1D (plain / parity / snake-2D): per-sample rows of log p
+# ---------------------------------------------------------------------------
+
+
+def _prnn1d_log_prob_rows(
+    ansatz: Any, params: Any, samples: jax.Array
+) -> Tuple[jax.Array, Any]:
+    """(log p(sigma), per-sample grad-of-log-p pytree with (S, ...) leaves)
+    for the plain (non-symmetrized) autoregressive density
+    (``models/prnn1d.PRNN1D._log_prob_plain_jnp`` is the primal twin)."""
+    d = ansatz.local_dim
+    s = samples.shape[0]
+    dtype = ansatz.dtype
+    onehot = jax.nn.one_hot(samples.T, d, dtype=dtype)  # (N, S, d)
+    inputs = jnp.concatenate(
+        [jnp.zeros((1, s, d), dtype), onehot[:-1]], axis=0
+    )
+
+    prevs, finals, top_out = _rollout(params["rnn"], ansatz.cell, inputs)
+    xs = _layer_inputs(inputs, prevs, finals, ansatz.cell)
+
+    # head: site_logp_t = log_softmax(out_t W + b)[target_t]
+    logits = jnp.dot(top_out, params["head"]["w"]) + params["head"]["b"]
+    logp_site = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(
+        logp_site, samples.T[..., None], axis=-1
+    )[..., 0]
+    log_prob = jnp.sum(picked.astype(ansatz.accum_dtype), axis=0).astype(dtype)
+
+    # d site_logp / d logits = onehot(target) - softmax(logits)
+    dlogits = onehot - jnp.exp(logp_site)  # (N, S, d); onehot == one_hot(tgt)
+    dout = jnp.dot(dlogits, params["head"]["w"].T)
+
+    dgates = _bptt(params["rnn"], ansatz.cell, xs, prevs, dout)
+    rows = {
+        "rnn": [
+            _contract_layer(ansatz.cell, x, pv, dg)
+            for x, pv, dg in zip(xs, prevs, dgates)
+        ],
+        "head": {
+            "w": jnp.einsum("tsu,tsd->sud", top_out, dlogits),
+            "b": jnp.sum(dlogits, axis=0),
+        },
+    }
+    return log_prob, rows
+
+
+def prnn1d_log_amp_rows(ansatz: Any, params: Any, samples: jax.Array) -> Any:
+    """Per-sample grad rows of log psi = 0.5 log p for a PRNN1D (plain,
+    parity-symmetrized, or snake-2D flat), as a pytree of (S, ...) leaves
+    matching the params structure."""
+    lp1, g1 = _prnn1d_log_prob_rows(ansatz, params, samples)
+    if not ansatz.parity:
+        return jax.tree.map(lambda g: 0.5 * g, g1)
+    # d log((p + p_rev)/2) = w d log p + (1-w) d log p_rev,
+    # w = p/(p + p_rev) = sigmoid(lp - lp_rev)
+    # (primal twin: models/prnn1d.PRNN1D.log_prob's logaddexp form)
+    lp2, g2 = _prnn1d_log_prob_rows(ansatz, params, samples[:, ::-1])
+    w = jax.nn.sigmoid(lp1 - lp2)
+
+    def mix(a, b):
+        wv = w.reshape((-1,) + (1,) * (a.ndim - 1)).astype(a.dtype)
+        return 0.5 * (wv * a + (1.0 - wv) * b)
+
+    return jax.tree.map(mix, g1, g2)
+
+
+def supports(ansatz: Any) -> bool:
+    """Fast-jacobian coverage: built-in GRU/LSTM stacked PRNN1D ansatze
+    (incl. parity and snake-2D).  Everything else keeps the generic
+    vmap-of-grad path in ``vmc/minsr.py``."""
+    from ..models.prnn1d import PRNN1D
+
+    return (
+        type(ansatz) is PRNN1D
+        and ansatz.cell in ("gru", "lstm")
+        and ansatz.local_dim == 2
+    )

@@ -85,6 +85,16 @@ def per_sample_log_amp_grads(
     """
     a = _jnp_twin(ansatz)
     _, unravel = ravel_pytree(params)
+
+    from . import jacobian
+
+    if jacobian.supports(a):
+        # stash-and-contract BPTT rows (vmc/jacobian.py): same values,
+        # ~N-fold less HBM traffic than the vmap-of-grad scan below (whose
+        # backward carries the (S, P) accumulator through every step)
+        rows = jacobian.prnn1d_log_amp_rows(a, params, samples)
+        return _flatten_rows(rows, 1), None, unravel
+
     if getattr(a, "is_complex", False):
 
         def f2(p, s):

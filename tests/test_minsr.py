@@ -107,6 +107,58 @@ def test_minsr_large_damping_limit_is_surrogate_gradient():
     )
 
 
+def _vmap_grad_rows(ansatz, params, samples):
+    """The definitional per-sample jacobian (what vmc/jacobian.py must
+    reproduce): vmap of grad over the jnp scan path."""
+    a = dataclasses.replace(ansatz, impl="jnp")
+
+    def f(p, s):
+        return a.log_amp(p, s[None])[0]
+
+    jac = jax.vmap(jax.grad(f), in_axes=(None, 0))(params, samples)
+    leaves = jax.tree.leaves(jac)
+    return jnp.concatenate([l.reshape(l.shape[0], -1) for l in leaves], -1)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"units": (6,)},
+        {"units": (6, 4)},  # non-uniform stack
+        {"units": (5,), "parity": True},
+        {"units": (6,), "cell": "lstm"},
+        {"units": (4, 4), "cell": "lstm", "parity": True},
+    ],
+    ids=["gru", "gru-stack", "gru-parity", "lstm", "lstm-stack-parity"],
+)
+def test_fast_jacobian_rows_match_vmap_grad(kwargs):
+    """The stash-and-contract BPTT jacobian (vmc/jacobian.py) is row-for-row
+    the vmap-of-grad jacobian on every PRNN1D variant it claims."""
+    from rnnwavefunctions_tpu.vmc import jacobian
+
+    ansatz = PRNN1D(num_sites=7, **kwargs)
+    assert jacobian.supports(ansatz)
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.5, (9, 7)
+    ).astype(jnp.int32)
+    got, o_im, _ = minsr.per_sample_log_amp_grads(ansatz, params, samples)
+    assert o_im is None
+    want = _vmap_grad_rows(ansatz, params, samples)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        got, want, atol=1e-5 * float(jnp.abs(want).max())
+    )
+
+
+def test_fast_jacobian_declines_custom_cells():
+    from rnnwavefunctions_tpu.models.cells import ElmanCell
+    from rnnwavefunctions_tpu.vmc import jacobian
+
+    assert not jacobian.supports(PRNN1D(num_sites=4, cell=ElmanCell()))
+    assert not jacobian.supports(CRNNU1(num_sites=4))
+
+
 def test_minsr_trainer_converges_tfim():
     """Public-API training with optimizer='minsr' on the 8-device mesh:
     N=8 TFIM reaches well under 1% relative error in 30 steps (Adam needs
