@@ -277,14 +277,104 @@ def prnn1d_log_amp_rows(ansatz: Any, params: Any, samples: jax.Array) -> Any:
     return jax.tree.map(mix, g1, g2)
 
 
+# ---------------------------------------------------------------------------
+# CRNNU1 (complex, U(1)-masked two-head): per-sample rows of (Re, Im) log psi
+# ---------------------------------------------------------------------------
+
+
+def crnn_log_amp_rows(
+    ansatz: Any, params: Any, samples: jax.Array
+) -> Tuple[Any, Any]:
+    """Per-sample grad rows of (Re log psi, Im log psi) for a CRNNU1, as two
+    pytrees of (S, ...) leaves matching the params structure
+    (``models/crnn_u1.CRNNU1._log_amp_parts_jnp`` is the primal twin).
+
+    The two heads are independent functions of the trunk output (Re flows
+    only through the sqsoftmax+U(1)-mask amplitude head, Im only through
+    the pi*softsign phase head), so each part seeds its own trunk backward
+    sweep.  Like the jnp VJP, gradients are only defined for in-sector
+    configurations (the off-sector forward is log 0; see
+    ops/fused_crnn.py's docstring caveat) — the sampler never draws those.
+    """
+    d = ansatz.local_dim
+    s = samples.shape[0]
+    n = ansatz.num_sites
+    dtype = ansatz.dtype
+    targets = samples.T  # (N, S)
+    onehot = jax.nn.one_hot(targets, d, dtype=dtype)
+    inputs = jnp.concatenate(
+        [jnp.zeros((1, s, d), dtype), onehot[:-1]], axis=0
+    )
+    cum_up = jnp.concatenate(
+        [jnp.zeros((1, s), jnp.int32), jnp.cumsum(targets, axis=0)[:-1]],
+        axis=0,
+    )
+    ns = jnp.arange(n)
+
+    prevs, finals, top_out = _rollout(params["rnn"], ansatz.cell, inputs)
+    xs = _layer_inputs(inputs, prevs, finals, ansatz.cell)
+
+    logits_a = jnp.dot(top_out, params["head_ampl"]["w"]) + params["head_ampl"]["b"]
+    logits_p = jnp.dot(top_out, params["head_phase"]["w"]) + params["head_phase"]["b"]
+
+    def re_from_logits(la):
+        ampl = jnp.sqrt(jax.nn.softmax(la, axis=-1))  # sqsoftmax
+        masked = jax.vmap(ansatz._masked_ampl)(ampl, ns, cum_up)
+        a = jnp.take_along_axis(masked, targets[..., None], axis=-1)[..., 0]
+        return jnp.log(a)
+
+    def im_from_logits(lp):
+        phase = jnp.pi * jax.nn.soft_sign(lp)
+        return jnp.take_along_axis(phase, targets[..., None], axis=-1)[..., 0]
+
+    ones = jnp.ones((n, s), dtype)
+    _, vjp_a = jax.vjp(re_from_logits, logits_a)
+    (dlogits_a,) = vjp_a(ones)
+    _, vjp_p = jax.vjp(im_from_logits, logits_p)
+    (dlogits_p,) = vjp_p(ones)
+
+    def head_zeros(p):
+        return jax.tree.map(
+            lambda w: jnp.zeros((s,) + w.shape, w.dtype), p
+        )
+
+    def part(dlogits, w_head):
+        dout = jnp.dot(dlogits, w_head.T)
+        dgates = _bptt(params["rnn"], ansatz.cell, xs, prevs, dout)
+        rnn_rows = [
+            _contract_layer(ansatz.cell, x, pv, dg)
+            for x, pv, dg in zip(xs, prevs, dgates)
+        ]
+        head_rows = {
+            "w": jnp.einsum("tsu,tsd->sud", top_out, dlogits),
+            "b": jnp.sum(dlogits, axis=0),
+        }
+        return rnn_rows, head_rows
+
+    rnn_re, head_re = part(dlogits_a, params["head_ampl"]["w"])
+    rnn_im, head_im = part(dlogits_p, params["head_phase"]["w"])
+    rows_re = {
+        "rnn": rnn_re,
+        "head_ampl": head_re,
+        "head_phase": head_zeros(params["head_phase"]),
+    }
+    rows_im = {
+        "rnn": rnn_im,
+        "head_ampl": head_zeros(params["head_ampl"]),
+        "head_phase": head_im,
+    }
+    return rows_re, rows_im
+
+
 def supports(ansatz: Any) -> bool:
     """Fast-jacobian coverage: built-in GRU/LSTM stacked PRNN1D ansatze
-    (incl. parity and snake-2D).  Everything else keeps the generic
-    vmap-of-grad path in ``vmc/minsr.py``."""
+    (incl. parity and snake-2D) and CRNNU1.  Everything else keeps the
+    generic vmap-of-grad path in ``vmc/minsr.py``."""
+    from ..models.crnn_u1 import CRNNU1
     from ..models.prnn1d import PRNN1D
 
     return (
-        type(ansatz) is PRNN1D
+        type(ansatz) in (PRNN1D, CRNNU1)
         and ansatz.cell in ("gru", "lstm")
         and ansatz.local_dim == 2
     )

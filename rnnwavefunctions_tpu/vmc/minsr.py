@@ -90,8 +90,13 @@ def per_sample_log_amp_grads(
 
     if jacobian.supports(a):
         # stash-and-contract BPTT rows (vmc/jacobian.py): same values,
-        # ~N-fold less HBM traffic than the vmap-of-grad scan below (whose
+        # ~N-fold less HBM traffic than the vmap-of-grad scans below (whose
         # backward carries the (S, P) accumulator through every step)
+        if getattr(a, "is_complex", False):
+            rows_re, rows_im = jacobian.crnn_log_amp_rows(a, params, samples)
+            return (
+                _flatten_rows(rows_re, 1), _flatten_rows(rows_im, 1), unravel
+            )
         rows = jacobian.prnn1d_log_amp_rows(a, params, samples)
         return _flatten_rows(rows, 1), None, unravel
 

@@ -151,12 +151,53 @@ def test_fast_jacobian_rows_match_vmap_grad(kwargs):
     )
 
 
+def _vmap_jacrev_rows_complex(ansatz, params, samples):
+    """Definitional complex jacobian: vmap of jacrev over (Re, Im) log psi
+    on the jnp scan path (the generic path in vmc/minsr.py)."""
+    a = dataclasses.replace(ansatz, impl="jnp")
+
+    def f2(p, s):
+        re, im = a.log_amp_parts(p, s[None])
+        return jnp.stack([re[0], im[0]])
+
+    jac = jax.vmap(jax.jacrev(f2), in_axes=(None, 0))(params, samples)
+    leaves = jax.tree.leaves(jac)
+    o = jnp.concatenate([l.reshape(l.shape[0], 2, -1) for l in leaves], -1)
+    return o[:, 0, :], o[:, 1, :]
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"units": (8,)},
+        {"units": (6, 5), "u1": False},
+        {"units": (6,), "cell": "lstm"},
+    ],
+    ids=["gru-u1", "gru-stack-nou1", "lstm-u1"],
+)
+def test_fast_jacobian_crnn_rows_match_vmap_jacrev(kwargs):
+    """The cRNN fast jacobian (two-head seeding through the shared trunk)
+    is row-for-row the vmap-of-jacrev jacobian, Re and Im parts, on
+    in-sector samples."""
+    from rnnwavefunctions_tpu.vmc import jacobian
+
+    ansatz = CRNNU1(num_sites=6, **kwargs)
+    assert jacobian.supports(ansatz)
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 10)
+    got_re, got_im, _ = minsr.per_sample_log_amp_grads(ansatz, params, samples)
+    want_re, want_im = _vmap_jacrev_rows_complex(ansatz, params, samples)
+    scale = float(jnp.abs(want_re).max())
+    np.testing.assert_allclose(got_re, want_re, atol=1e-5 * scale)
+    np.testing.assert_allclose(got_im, want_im, atol=1e-5 * scale)
+
+
 def test_fast_jacobian_declines_custom_cells():
     from rnnwavefunctions_tpu.models.cells import ElmanCell
     from rnnwavefunctions_tpu.vmc import jacobian
 
     assert not jacobian.supports(PRNN1D(num_sites=4, cell=ElmanCell()))
-    assert not jacobian.supports(CRNNU1(num_sites=4))
+    assert not jacobian.supports(CRNNU1(num_sites=4, cell=ElmanCell()))
 
 
 def test_minsr_trainer_converges_tfim():
