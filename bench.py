@@ -301,16 +301,21 @@ def main():
         ("j1j2_n1000_s64", CRNNU1(num_sites=1000, units=(50,)),
          J1J2(num_sites=1000, j2=0.2), 64, SLOW_STEPS_PER_TRIAL,
          flops_j1j2(1000, 50, 64, group=8)),  # resident regime group
-        # minSR optimizer on the flagship shape: regresses the per-sample
-        # jacobian path (vmap-of-grad jnp scan) + sample-space solve
-        # (vmc/minsr.py).  FLOPs model = the model's useful work (as every
-        # row), so mfu here is goodput — the jacobian is optimizer overhead
-        # by construction; the row's value is steps/s (convergence per step
-        # is the feature: ~4x fewer steps to 1e-3, BENCHMARKS.md).  The
-        # optional 7th tuple element carries TrainConfig overrides.
+        # minSR optimizer rows: regress the stash-and-contract per-sample
+        # jacobian paths (vmc/jacobian.py — real PRNN1D and complex CRNNU1
+        # two-head seeding) + the sample-space solve (vmc/minsr.py).
+        # FLOPs model = the model's useful work (as every row), so mfu here
+        # is goodput — the jacobian is optimizer overhead by construction;
+        # the rows' value is steps/s (convergence per step is the feature:
+        # 5-6x fewer steps to 1e-3, BENCHMARKS.md).  The optional 7th tuple
+        # element carries TrainConfig overrides.
         ("1dtfim_n100_minsr", PRNN1D(num_sites=100, units=(50,)),
          TFIM1D(num_sites=100, bx=1.0), NUM_SAMPLES, SLOW_STEPS_PER_TRIAL,
          flops_tfim_plain(100, 50, NUM_SAMPLES),
+         {"optimizer": "minsr", "learning_rate": 5e-2}),
+        ("j1j2_n100_minsr", CRNNU1(num_sites=100, units=(50,)),
+         J1J2(num_sites=100, j2=0.2), NUM_SAMPLES, SLOW_STEPS_PER_TRIAL,
+         flops_j1j2(100, 50, NUM_SAMPLES),
          {"optimizer": "minsr", "learning_rate": 5e-2}),
     ]
 
