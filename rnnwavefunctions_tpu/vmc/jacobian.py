@@ -278,6 +278,130 @@ def prnn1d_log_amp_rows(ansatz: Any, params: Any, samples: jax.Array) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# MDRNN2D (boustrophedon 2D sweep): per-sample rows of log psi
+# ---------------------------------------------------------------------------
+
+
+def _flip_if(flag, x, axis):
+    return jnp.where(flag, jnp.flip(x, axis=axis), x)
+
+
+def mdrnn2d_log_amp_rows(ansatz: Any, params: Any, samples: jax.Array) -> Any:
+    """Per-sample grad rows of log psi = 0.5 log p for an MDRNN2D, as a
+    pytree of (S, ...) leaves (``models/mdrnn2d.MDRNN2D._log_prob_jnp`` is
+    the primal twin).
+
+    The cell is linear + elu (``cells.mdrnn_apply``), so the per-sample
+    weight rows factorize through the per-site pre-activation cotangent
+    ``dacc``:  O_Wh[s] = sum_sites hh (x) dacc  etc.  The backward is a
+    reverse boustrophedon sweep: within a row the cotangent flows to the
+    visit-order predecessor through Wh, across rows to the same column
+    through Wv; elu' is recovered from the stashed hidden state
+    (elu'(acc) = 1 for h > 0 else h + 1 — exact for alpha = 1).
+    """
+    from ..models import cells
+
+    d = ansatz.local_dim
+    u = ansatz.units
+    s = samples.shape[0]
+    dtype = ansatz.dtype
+    targets = jnp.transpose(samples, (2, 1, 0))  # (S,Nx,Ny) -> (Ny,Nx,S)
+    onehot = jax.nn.one_hot(targets, d, dtype=dtype)  # (Ny, Nx, S, d)
+    flags = (jnp.arange(ansatz.ny) % 2).astype(bool)
+
+    # ---- forward sweep, stashing every site's hidden state --------------
+    def fwd_row(carry, xs):
+        v_states, v_inputs = carry  # (S, Nx, U), (S, Nx, d) lattice order
+        x_row, flag = xs  # (Nx, S, d) one-hots of this row's spins
+        vs = _flip_if(flag, v_states, 1)
+        vi = _flip_if(flag, v_inputs, 1)
+        xr = _flip_if(flag, x_row, 0)
+
+        def step(c, xs_c):
+            h_prev, x_prev = c
+            h_up, x_up, x_self = xs_c
+            h = cells.mdrnn_apply(
+                params["cell"], (x_prev, x_up), (h_prev, h_up)
+            )
+            return (h, x_self), h
+
+        h0 = jnp.zeros((s, u), dtype)
+        x0 = jnp.zeros((s, d), dtype)
+        _, hs = jax.lax.scan(
+            step, (h0, x0),
+            (jnp.moveaxis(vs, 1, 0), jnp.moveaxis(vi, 1, 0), xr),
+        )
+        hs_lat = _flip_if(flag, hs, 0)  # (Nx, S, U) lattice order
+        return (jnp.moveaxis(hs_lat, 0, 1), jnp.moveaxis(x_row, 0, 1)), hs_lat
+
+    carry0 = (
+        jnp.zeros((s, ansatz.nx, u), dtype),
+        jnp.zeros((s, ansatz.nx, d), dtype),
+    )
+    _, h_all = jax.lax.scan(fwd_row, carry0, (onehot, flags))
+    # h_all: (Ny, Nx, S, U)
+
+    # ---- head seeds ------------------------------------------------------
+    logits = jnp.dot(h_all, params["head"]["w"]) + params["head"]["b"]
+    dlogits = onehot - jax.nn.softmax(logits, axis=-1)
+    dhead = jnp.dot(dlogits, params["head"]["w"].T)  # (Ny, Nx, S, U)
+
+    # ---- reverse boustrophedon sweep: emit per-site dacc ------------------
+    wh_t = params["cell"]["wh"].T
+    wv_t = params["cell"]["wv"].T
+
+    def bwd_row(dvert, xs):
+        dhead_row, h_row, flag = xs  # (Nx, S, U) lattice order
+        db = _flip_if(flag, dhead_row + dvert, 0)
+        hv_row = _flip_if(flag, h_row, 0)
+
+        def col_step(c, xs_c):
+            db_t, h_t = xs_c
+            dh = db_t + c
+            dacc = dh * jnp.where(h_t > 0, 1.0, h_t + 1.0)
+            return jnp.dot(dacc, wh_t), dacc
+
+        _, dacc_v = jax.lax.scan(
+            col_step, jnp.zeros((s, u), dtype), (db, hv_row), reverse=True
+        )
+        dacc_row = _flip_if(flag, dacc_v, 0)  # lattice order
+        return jnp.dot(dacc_row, wv_t), dacc_row
+
+    _, dacc = jax.lax.scan(
+        bwd_row, jnp.zeros((ansatz.nx, s, u), dtype),
+        (dhead, h_all, flags), reverse=True,
+    )  # (Ny, Nx, S, U)
+
+    # ---- neighbour arrays (lattice order) and the contraction -------------
+    def shift_h(a):  # horizontal visit-order predecessor
+        right = jnp.pad(a[:, :-1], ((0, 0), (1, 0)) + ((0, 0),) * (a.ndim - 2))
+        left = jnp.pad(a[:, 1:], ((0, 0), (0, 1)) + ((0, 0),) * (a.ndim - 2))
+        f = flags.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(f, left, right)
+
+    def shift_v(a):  # vertical neighbour = previous row, same column
+        return jnp.pad(a[:-1], ((1, 0),) + ((0, 0),) * (a.ndim - 1))
+
+    def con(a, dg):
+        return jnp.einsum("yxsi,yxsg->sig", a, dg)
+
+    rows = {
+        "cell": {
+            "uh": con(shift_h(onehot), dacc),
+            "uv": con(shift_v(onehot), dacc),
+            "wh": con(shift_h(h_all), dacc),
+            "wv": con(shift_v(h_all), dacc),
+            "b": jnp.sum(dacc, axis=(0, 1)),
+        },
+        "head": {
+            "w": jnp.einsum("yxsu,yxsd->sud", h_all, dlogits),
+            "b": jnp.sum(dlogits, axis=(0, 1)),
+        },
+    }
+    return jax.tree.map(lambda g: 0.5 * g, rows)  # log psi = 0.5 log p
+
+
+# ---------------------------------------------------------------------------
 # CRNNU1 (complex, U(1)-masked two-head): per-sample rows of (Re, Im) log psi
 # ---------------------------------------------------------------------------
 
@@ -366,13 +490,26 @@ def crnn_log_amp_rows(
     return rows_re, rows_im
 
 
+def log_amp_rows(ansatz: Any, params: Any, samples: jax.Array) -> Any:
+    """Per-sample grad rows of (real) log psi for any supported real
+    ansatz, as a params-shaped pytree of (S, ...) leaves."""
+    from ..models.mdrnn2d import MDRNN2D
+
+    if type(ansatz) is MDRNN2D:
+        return mdrnn2d_log_amp_rows(ansatz, params, samples)
+    return prnn1d_log_amp_rows(ansatz, params, samples)
+
+
 def supports(ansatz: Any) -> bool:
     """Fast-jacobian coverage: built-in GRU/LSTM stacked PRNN1D ansatze
-    (incl. parity and snake-2D) and CRNNU1.  Everything else keeps the
-    generic vmap-of-grad path in ``vmc/minsr.py``."""
+    (incl. parity and snake-2D), CRNNU1, and MDRNN2D.  Everything else
+    keeps the generic vmap-of-grad path in ``vmc/minsr.py``."""
     from ..models.crnn_u1 import CRNNU1
+    from ..models.mdrnn2d import MDRNN2D
     from ..models.prnn1d import PRNN1D
 
+    if type(ansatz) is MDRNN2D:
+        return ansatz.local_dim == 2
     return (
         type(ansatz) in (PRNN1D, CRNNU1)
         and ansatz.cell in ("gru", "lstm")

@@ -97,7 +97,7 @@ def per_sample_log_amp_grads(
             return (
                 _flatten_rows(rows_re, 1), _flatten_rows(rows_im, 1), unravel
             )
-        rows = jacobian.prnn1d_log_amp_rows(a, params, samples)
+        rows = jacobian.log_amp_rows(a, params, samples)
         return _flatten_rows(rows, 1), None, unravel
 
     if getattr(a, "is_complex", False):

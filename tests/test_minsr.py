@@ -192,6 +192,31 @@ def test_fast_jacobian_crnn_rows_match_vmap_jacrev(kwargs):
     np.testing.assert_allclose(got_im, want_im, atol=1e-5 * scale)
 
 
+@pytest.mark.parametrize(
+    "nx,ny", [(3, 3), (2, 4), (4, 3)], ids=["3x3", "2x4-even", "4x3-odd"]
+)
+def test_fast_jacobian_mdrnn2d_rows_match_vmap_grad(nx, ny):
+    """The 2D fast jacobian (reverse boustrophedon sweep) is row-for-row
+    the vmap-of-grad jacobian on square and non-square lattices, even and
+    odd row counts (exercising the visit-order flips)."""
+    from rnnwavefunctions_tpu import MDRNN2D
+    from rnnwavefunctions_tpu.vmc import jacobian
+
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=7)
+    assert jacobian.supports(ansatz)
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.5, (9, nx, ny)
+    ).astype(jnp.int32)
+    got, o_im, _ = minsr.per_sample_log_amp_grads(ansatz, params, samples)
+    assert o_im is None
+    want = _vmap_grad_rows(ansatz, params, samples)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        got, want, atol=1e-5 * float(jnp.abs(want).max())
+    )
+
+
 def test_fast_jacobian_declines_custom_cells():
     from rnnwavefunctions_tpu.models.cells import ElmanCell
     from rnnwavefunctions_tpu.vmc import jacobian
