@@ -317,6 +317,10 @@ def main():
          J1J2(num_sites=100, j2=0.2), NUM_SAMPLES, SLOW_STEPS_PER_TRIAL,
          flops_j1j2(100, 50, NUM_SAMPLES),
          {"optimizer": "minsr", "learning_rate": 5e-2}),
+        ("mdrnn_8x8_minsr", MDRNN2D(nx=8, ny=8, units=50),
+         TFIM2D(nx=8, ny=8, bx=3.0, encoding="grid"), NUM_SAMPLES,
+         SLOW_STEPS_PER_TRIAL, flops_mdrnn(8, 8, 50, NUM_SAMPLES),
+         {"optimizer": "minsr", "learning_rate": 5e-2}),
     ]
 
     # Best-effort per-row SIGALRM watchdog: it fires on interruptible
