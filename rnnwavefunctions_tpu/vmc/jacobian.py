@@ -137,15 +137,25 @@ def _bptt(
     """Reverse-time sweep producing the stacked gate cotangents.
 
     ``dout`` (N, S, U_top) is the cotangent on the top-layer output at each
-    step (head seeds).  Returns, per layer, ``(dgx, dgh)`` (N, S, 3U) for
-    GRU or ``dglin`` (N, S, 4U) for LSTM.
+    step (head seeds), or (P, N, S, U_top) for P independent seed sets that
+    share one primal linearization (the cRNN's Re/Im heads): the per-step
+    pre-activations and the ``jax.vjp`` of the gate nonlinearity are
+    computed ONCE, with the cotangent-linear half vmapped over the P axis —
+    one N-step serial scan instead of P.
+
+    Returns, per layer, ``(dgx, dgh)`` (N, S, 3U) for GRU or ``dglin``
+    (N, S, 4U) for LSTM; with a parts axis the shapes gain a leading
+    (N, P, ...) pair in scan-emission order.
     """
+    multi = dout.ndim == 4
+    dparts = dout if multi else dout[None]
+    n_parts = dparts.shape[0]
     n_layers = len(rnn_params)
-    s = dout.shape[1]
-    dtype = dout.dtype
+    s = dparts.shape[2]
+    dtype = dparts.dtype
 
     def body(carry, xs_t):
-        x_ts, prev_ts, dout_t = xs_t
+        x_ts, prev_ts, dout_t = xs_t  # dout_t: (P, S, U_top)
         new_carry = [None] * n_layers
         emitted = [None] * n_layers
         d_above = dout_t  # cotangent on layer l's output at this step
@@ -156,7 +166,7 @@ def _bptt(
                 gx = jnp.dot(x_ts[l], p["wx"]) + p["bx"]
                 gh = jnp.dot(h_prev, p["wh"]) + p["bh"]
                 _, f_vjp = jax.vjp(_gru_f, gx, gh, h_prev)
-                dgx, dgh, dh_direct = f_vjp(d_above + carry[l])
+                dgx, dgh, dh_direct = jax.vmap(f_vjp)(d_above + carry[l])
                 new_carry[l] = dh_direct + jnp.dot(dgh, p["wh"].T)
                 emitted[l] = (dgx, dgh)
                 if l:
@@ -170,7 +180,7 @@ def _bptt(
                 )
                 dh_in, dc_in = carry[l]
                 _, f_vjp = jax.vjp(_lstm_f, glin, c_prev)
-                dglin, dc_prev = f_vjp((d_above + dh_in, dc_in))
+                dglin, dc_prev = jax.vmap(f_vjp)((d_above + dh_in, dc_in))
                 new_carry[l] = (jnp.dot(dglin, p["wh"].T), dc_prev)
                 emitted[l] = dglin
                 if l:
@@ -178,13 +188,20 @@ def _bptt(
         return tuple(new_carry), tuple(emitted)
 
     def zero(u):
-        z = jnp.zeros((s, u), dtype)
+        z = jnp.zeros((n_parts, s, u), dtype)
         return (z, z) if cell == "lstm" else z
 
     init = tuple(zero(p["wh"].shape[0]) for p in rnn_params)
-    _, dgates = jax.lax.scan(body, init, (tuple(xs), tuple(prevs), dout),
-                             reverse=True)
-    return list(dgates)
+    _, dgates = jax.lax.scan(
+        body, init,
+        (tuple(xs), tuple(prevs), jnp.moveaxis(dparts, 0, 1)),
+        reverse=True,
+    )
+    if multi:
+        return list(dgates)
+    return [
+        jax.tree.map(lambda a: a[:, 0], dg) for dg in dgates
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -462,11 +479,21 @@ def crnn_log_amp_rows(
             lambda w: jnp.zeros((s,) + w.shape, w.dtype), p
         )
 
-    def part(dlogits, w_head):
-        dout = jnp.dot(dlogits, w_head.T)
-        dgates = _bptt(params["rnn"], ansatz.cell, xs, prevs, dout)
+    # Both head seeds share the trunk primal: one joint backward sweep
+    # (parts axis in _bptt) instead of two N-step serial scans.
+    dout = jnp.stack(
+        [
+            jnp.dot(dlogits_a, params["head_ampl"]["w"].T),
+            jnp.dot(dlogits_p, params["head_phase"]["w"].T),
+        ]
+    )  # (2, N, S, U_top)
+    dgates = _bptt(params["rnn"], ansatz.cell, xs, prevs, dout)
+
+    def part(idx, dlogits):
         rnn_rows = [
-            _contract_layer(ansatz.cell, x, pv, dg)
+            _contract_layer(
+                ansatz.cell, x, pv, jax.tree.map(lambda a: a[:, idx], dg)
+            )
             for x, pv, dg in zip(xs, prevs, dgates)
         ]
         head_rows = {
@@ -475,8 +502,8 @@ def crnn_log_amp_rows(
         }
         return rnn_rows, head_rows
 
-    rnn_re, head_re = part(dlogits_a, params["head_ampl"]["w"])
-    rnn_im, head_im = part(dlogits_p, params["head_phase"]["w"])
+    rnn_re, head_re = part(0, dlogits_a)
+    rnn_im, head_im = part(1, dlogits_p)
     rows_re = {
         "rnn": rnn_re,
         "head_ampl": head_re,
