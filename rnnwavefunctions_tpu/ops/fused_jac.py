@@ -1,0 +1,692 @@
+"""Pallas TPU kernel: fused per-sample jacobian sweep for minSR rows.
+
+``vmc/jacobian.py`` computes the minSR O matrix with two jnp ``lax.scan``s
+(forward rollout stashing every pre-step state, reverse sweep emitting the
+per-step gate cotangents) followed by MXU einsums.  The scans are the
+latency floor of a minSR step: N sequential small-matmul steps each paying
+XLA per-step scan overhead, twice — measured as the bulk of the ~1.2x-1.5x
+minSR-vs-Adam per-step premium at the flagship shapes (BENCHMARKS.md
+"stash-and-contract minSR jacobian").
+
+This kernel fuses both sweeps into one launch per batch tile (the same
+forward-replay / reverse-sweep skeleton as the fused BPTT kernel,
+``ops/fused_gru_bwd.run_history_bptt``), with two differences:
+
+* the state history is written to an OUTPUT (the per-sample weight-row
+  einsums outside need every pre-step state), not a private scratch;
+* the reverse sweep EMITS per-site gate cotangents instead of accumulating
+  batch-reduced weight cotangents (batch reduction is exactly what minSR
+  must not do — it needs one row per sample).
+
+Per site the emitted block packs, per GRU layer, ``[da (3U); dgh_c (U)]``
+(``da``/``dgh`` share their first 2U rows, so only 4U rows are stored, not
+6U) and per LSTM layer ``da (4U)``; the 2-class head cotangent is the
+single ``dl1`` row (``dlogits = [-dl1; dl1]``).  The per-sample weight rows
+then come from one batched site-axis contraction per weight tensor on the
+MXU (``_contract``), identical in value and layout to
+``vmc/jacobian._contract_layer``.
+
+Gate math mirrors ``ops/fused_gru_bwd.gru_trunk_bwd_site`` /
+``lstm_trunk_bwd_site`` (the semantics source — keep in sync); equality
+with the jnp rows is pinned row-for-row in tests/test_fused_jac.py and
+tests/test_minsr.py's vmap-of-grad oracles.
+
+Reference context: none — the reference has no natural-gradient method
+(Adam only, ``/root/reference/1DTFIM/TrainingRNN_1DTFIM.py:113``); this
+kernel serves the beyond-reference minSR optimizer (``vmc/minsr.py``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_gru import (
+    GATE_ROWS,
+    STATE_ROWS,
+    _cell_kind,
+    _round_up,
+    _split_cells,
+    _weightsT,
+    _weightT_specs,
+)
+from .fused_gru_bwd import (
+    _dotT_lhs,
+    _weight_bytes,
+    gru_gates_recompute,
+    gru_trunk_fwd_site,
+    lstm_gates_recompute,
+    lstm_trunk_fwd_site,
+    run_history_bptt,
+)
+from .tiling import MIN_TILE as _MIN_TILE
+from .tiling import cap_tile
+
+# The jacobian tile budget rides the scoped-VMEM unlock
+# (ops/tiling.tpu_compiler_options, 64 MiB scoped): history + dgates blocks
+# are large, and Pallas double-buffers in/out blocks across grid steps.
+_VMEM_BUDGET = 44 * 1024 * 1024
+_MAX_TILE = 256
+
+
+def _dg_rows(units, kind: str) -> int:
+    """Emitted cotangent rows per site: 4U per layer for both kinds
+    (GRU [da(3U); dgh_c(U)], LSTM da(4U))."""
+    return 4 * sum(units)
+
+
+def _resident_bytes(n: int, units, tile: int, kind: str) -> int:
+    """Joint VMEM footprint at one tile: double-buffered in/out blocks
+    (samples, history, dgates, dl1) + weights (input refs + the fori-loop
+    carry copy) + the state/cotangent carries."""
+    lu = STATE_ROWS[kind] * sum(units)
+    blocks = (
+        n * tile * 4  # samples
+        + n * lu * tile * 4  # history out
+        + n * _dg_rows(units, kind) * tile * 4  # dgates out
+        + n * tile * 4  # dl1 out
+    )
+    return 2 * blocks + 2 * _weight_bytes(units, 1, kind) + 4 * lu * tile * 4
+
+
+def _pick_tile(n: int, units, batch: int, kind: str) -> int:
+    tile = cap_tile(batch, _MAX_TILE)
+    while tile > _MIN_TILE and _resident_bytes(n, units, tile, kind) > _VMEM_BUDGET:
+        tile //= 2
+    return tile
+
+
+def supports(n: int, units, kind: str = "gru") -> bool:
+    """True when the fused jacobian sweep fits VMEM at the minimum tile
+    (no spill variant: beyond-reach shapes keep the jnp scans, which remain
+    the equality oracle)."""
+    return (
+        len(set(units)) == 1
+        and _resident_bytes(n, units, _MIN_TILE, kind) <= _VMEM_BUDGET
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _gru_trunk_bwd_rows(cells, u, num_layers, x_row, x_scale,
+                        hist_n, hist_p, d_top, dh_carry, emit):
+    """Backward through the stacked GRU trunk at one site, emitting
+    ``(l, da, dgh_c)`` per layer instead of accumulating weight cotangents
+    (gradient math: ops/fused_gru_bwd.gru_trunk_bwd_site)."""
+    d_inp = None
+    new_dh = []
+    for l in range(num_layers - 1, -1, -1):
+        wxT, whT, _, _ = cells[l]
+        h_prev = hist_p[l * u : (l + 1) * u]
+        inp = hist_n[(l - 1) * u : l * u] if l > 0 else None
+        r, z, c, gh_c = gru_gates_recompute(
+            cells, u, l, x_row, inp, x_scale, h_prev
+        )
+
+        dh = dh_carry[l * u : (l + 1) * u]
+        if l == num_layers - 1:
+            dh = dh + d_top
+        if d_inp is not None:
+            dh = dh + d_inp
+
+        dz = dh * (h_prev - c)
+        dc = dh * (1.0 - z)
+        dac = dc * (1.0 - c * c)
+        dr = dac * gh_c
+        dgh_c = dac * r
+        da_r = dr * r * (1.0 - r)
+        da_z = dz * z * (1.0 - z)
+        da = jnp.concatenate([da_r, da_z, dac], axis=0)     # (3U, T)
+        dgh = jnp.concatenate([da_r, da_z, dgh_c], axis=0)  # (3U, T)
+
+        new_dh.append(dh * z + _dotT_lhs(whT, dgh))
+        if l:
+            d_inp = _dotT_lhs(wxT, da)
+        emit(l, da, dgh_c)
+
+    new_dh.reverse()
+    return new_dh[0] if num_layers == 1 else jnp.concatenate(new_dh, axis=0)
+
+
+def _lstm_trunk_bwd_rows(cells, u, num_layers, x_row, x_scale,
+                         hist_n, hist_p, d_top, dhc_carry, emit):
+    """LSTM twin of ``_gru_trunk_bwd_rows`` emitting ``(l, da, None)``
+    (gradient math: ops/fused_gru_bwd.lstm_trunk_bwd_site)."""
+    d_inp = None
+    new_dh, new_dc = [], []
+    for l in range(num_layers - 1, -1, -1):
+        wxT, whT, _, _ = cells[l]
+        h_prev = hist_p[2 * l * u : (2 * l + 1) * u]
+        c_prev = hist_p[(2 * l + 1) * u : (2 * l + 2) * u]
+        c_new = hist_n[(2 * l + 1) * u : (2 * l + 2) * u]
+        inp = hist_n[2 * (l - 1) * u : (2 * l - 1) * u] if l > 0 else None
+        si, tj, sf, so = lstm_gates_recompute(
+            cells, u, l, x_row, inp, x_scale, h_prev
+        )
+
+        dh = dhc_carry[2 * l * u : (2 * l + 1) * u]
+        dc = dhc_carry[(2 * l + 1) * u : (2 * l + 2) * u]
+        if l == num_layers - 1:
+            dh = dh + d_top
+        if d_inp is not None:
+            dh = dh + d_inp
+
+        tc = jnp.tanh(c_new)
+        da_o = dh * tc * so * (1.0 - so)
+        dc = dc + dh * so * (1.0 - tc * tc)
+        da_f = dc * c_prev * sf * (1.0 - sf)
+        da_i = dc * tj * si * (1.0 - si)
+        da_j = dc * si * (1.0 - tj * tj)
+        da = jnp.concatenate([da_i, da_j, da_f, da_o], axis=0)  # (4U, T)
+
+        new_dh.append(_dotT_lhs(whT, da))
+        new_dc.append(dc * sf)
+        if l:
+            d_inp = _dotT_lhs(wxT, da)
+        emit(l, da, None)
+
+    new_dh.reverse()
+    new_dc.reverse()
+    return jnp.concatenate(
+        [r for pair in zip(new_dh, new_dc) for r in pair], axis=0
+    )
+
+
+def _make_jac_kernel(num_layers: int, kind: str):
+    nw = 4 * num_layers + 2
+    sr = STATE_ROWS[kind]
+
+    def kernel(samples_ref, *rest):
+        wrefs = rest[:nw]
+        hist_ref, dg_ref, dl1_ref = rest[nw : nw + 3]
+        n_sites = samples_ref.shape[0]
+        t = samples_ref.shape[1]
+        cells, hwT, hbT = _split_cells(wrefs, num_layers)
+        u = hwT.shape[1]
+        lu = sr * num_layers * u
+
+        def read_s(n):
+            return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)  # (1, T)
+
+        def fwd_site(n, carry):
+            hs, x_row = carry
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+            if kind == "gru":
+                new_hs = gru_trunk_fwd_site(
+                    cells, u, num_layers, x_row, x_scale, hs
+                )
+                blocks = new_hs
+            else:
+                new_hs = lstm_trunk_fwd_site(
+                    cells, u, num_layers, x_row, x_scale, hs
+                )
+                blocks = [r for (h, c) in new_hs for r in (h, c)]
+            h_cat = (
+                blocks[0] if len(blocks) == 1
+                else jnp.concatenate(blocks, axis=0)
+            )
+            return h_cat, (new_hs, read_s(n))
+
+        def bwd_site(n, hist_n, hist_p, dh_carry):
+            s_n = read_s(n)
+            x_row = jnp.where(n > 0, read_s(jnp.maximum(n - 1, 0)), 0.0)
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+
+            if kind == "gru":
+                h_top = hist_n[(num_layers - 1) * u :]
+            else:
+                h_top = hist_n[
+                    2 * (num_layers - 1) * u : (2 * num_layers - 1) * u
+                ]
+            logits = jnp.dot(
+                hwT, h_top, preferred_element_type=jnp.float32
+            ) + hbT
+            p1 = jax.nn.sigmoid(logits[1:2] - logits[0:1])
+            dl1 = s_n - p1                                  # (1, T)
+            d_top = (hwT[1:2] - hwT[0:1]).T * dl1           # (U, T)
+            dl1_ref[pl.ds(n, 1), :] = dl1
+
+            def emit(l, da, dgh_c):
+                base = 4 * u * l
+                if dgh_c is None:  # lstm: da is the full 4U block
+                    dg_ref[pl.ds(n, 1), base : base + 4 * u, :] = da[None]
+                else:
+                    dg_ref[pl.ds(n, 1), base : base + 3 * u, :] = da[None]
+                    dg_ref[pl.ds(n, 1), base + 3 * u : base + 4 * u, :] = (
+                        dgh_c[None]
+                    )
+
+            trunk = _gru_trunk_bwd_rows if kind == "gru" else _lstm_trunk_bwd_rows
+            return trunk(
+                cells, u, num_layers, x_row, x_scale,
+                hist_n, hist_p, d_top, dh_carry, emit,
+            )
+
+        if kind == "gru":
+            hs0 = tuple(
+                jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
+            )
+        else:
+            z = jnp.zeros((u, t), jnp.float32)
+            hs0 = tuple((z, z) for _ in range(num_layers))
+        fwd0 = (hs0, jnp.zeros((1, t), jnp.float32))
+        bwd0 = jnp.zeros((lu, t), jnp.float32)
+        run_history_bptt(
+            n_sites, lu, fwd_site, fwd0, bwd_site, bwd0, hist_ref, None
+        )
+
+    return kernel
+
+
+def jac_sweep(params, samples: jax.Array):
+    """Run the fused sweep: ``(hist, dgates, dl1)`` with shapes
+    (N, STATE_ROWS*L*U, B), (N, 4*L*U, B), (N, B) — feature-major, batch on
+    lanes, B the padded batch.  ``hist[n]`` holds the POST-step states of
+    site n; the site-n PRE-step state is ``hist[n-1]`` (zeros at n=0)."""
+    num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
+    b, n = samples.shape
+    u = params["rnn"][0]["wh"].shape[0]
+    units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+    assert supports(n, units, kind), (
+        f"fused jacobian sweep unsupported for N={n}, units={units} "
+        "(resident blocks exceed the VMEM budget)"
+    )
+    tile = _pick_tile(n, units, b, kind)
+    b_pad = _round_up(max(b, 8), tile)
+    seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+
+    lu = STATE_ROWS[kind] * num_layers * u
+    dgr = _dg_rows(units, kind)
+    wspecs = _weightT_specs(u, num_layers, kind)
+
+    hist, dg, dl1 = pl.pallas_call(
+        _make_jac_kernel(num_layers, kind),
+        grid=(b_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ] + wspecs,
+        out_specs=(
+            pl.BlockSpec((n, lu, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, dgr, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, lu, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, dgr, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, b_pad), jnp.float32),
+        ),
+    )(seq, *_weightsT(params))
+    return hist[:, :, :b], dg[:, :, :b], dl1[:, :b]
+
+
+# ---------------------------------------------------------------------------
+# split kernels for multi-head trunks (CRNNU1): rollout-only + dout-seeded
+# reverse sweep.  The head seeds need the trunk outputs (chicken-and-egg for
+# a single launch) and carry the U(1)-mask vjp, which stays in jnp
+# (vmc/jacobian.crnn_head_seeds); the two seed sets are stacked along the
+# batch LANES for the sweep — each lane's reverse recursion is independent,
+# so the joint two-part sweep costs one kernel pass.
+# ---------------------------------------------------------------------------
+
+
+def _weightsT_trunk(params):
+    """Per-layer transposed trunk weights (no head — CRNNU1 params carry
+    ``head_ampl``/``head_phase`` instead of ``head``)."""
+    out = []
+    for cell in params["rnn"]:
+        if "b" in cell:  # lstm packing
+            out += [cell["wx"].T, cell["wh"].T, cell["b"][:, None],
+                    jnp.zeros((cell["b"].shape[0], 1), cell["b"].dtype)]
+        else:
+            out += [cell["wx"].T, cell["wh"].T,
+                    cell["bx"][:, None], cell["bh"][:, None]]
+    return tuple(out)
+
+
+def _trunk_specs(u, num_layers, kind):
+    full = lambda a, b: pl.BlockSpec(
+        (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    gr = GATE_ROWS[kind]
+    specs = []
+    for l in range(num_layers):
+        in_dim = 2 if l == 0 else u
+        specs += [full(gr * u, in_dim), full(gr * u, u),
+                  full(gr * u, 1), full(gr * u, 1)]
+    return specs
+
+
+def _split_trunk(wrefs, num_layers):
+    return [
+        tuple(r[:] for r in wrefs[4 * l : 4 * l + 4])
+        for l in range(num_layers)
+    ]
+
+
+def _make_rollout_kernel(num_layers: int, kind: str):
+    nt = 4 * num_layers
+
+    def kernel(samples_ref, *rest):
+        wrefs = rest[:nt]
+        hist_ref = rest[nt]
+        t = samples_ref.shape[1]
+        cells = _split_trunk(wrefs, num_layers)
+        u = cells[0][1].shape[1]
+
+        def read_s(n):
+            return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
+
+        def fbody(n, carry):
+            hs, x_row = carry
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+            if kind == "gru":
+                new_hs = gru_trunk_fwd_site(
+                    cells, u, num_layers, x_row, x_scale, hs
+                )
+                blocks = new_hs
+            else:
+                new_hs = lstm_trunk_fwd_site(
+                    cells, u, num_layers, x_row, x_scale, hs
+                )
+                blocks = [r for (h, c) in new_hs for r in (h, c)]
+            h_cat = (
+                blocks[0] if len(blocks) == 1
+                else jnp.concatenate(blocks, axis=0)
+            )
+            hist_ref[pl.ds(n, 1)] = h_cat[None]
+            return new_hs, read_s(n)
+
+        if kind == "gru":
+            hs0 = tuple(
+                jnp.zeros((u, t), jnp.float32) for _ in range(num_layers)
+            )
+        else:
+            z = jnp.zeros((u, t), jnp.float32)
+            hs0 = tuple((z, z) for _ in range(num_layers))
+        jax.lax.fori_loop(
+            0, samples_ref.shape[0], fbody,
+            (hs0, jnp.zeros((1, t), jnp.float32)),
+        )
+
+    return kernel
+
+
+def _make_sweep_kernel(num_layers: int, kind: str):
+    nt = 4 * num_layers
+    sr = STATE_ROWS[kind]
+
+    def kernel(samples_ref, dout_ref, *rest):
+        wrefs = rest[:nt]
+        hist_ref, dg_ref = rest[nt : nt + 2]
+        n_sites = samples_ref.shape[0]
+        t = samples_ref.shape[1]
+        cells = _split_trunk(wrefs, num_layers)
+        u = cells[0][1].shape[1]
+        lu = sr * num_layers * u
+
+        def read_s(n):
+            return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
+
+        def bbody(i, dh_carry):
+            n = n_sites - 1 - i
+            hist_n = hist_ref[pl.ds(n, 1)][0]
+            hist_p = jnp.where(
+                n > 0, hist_ref[pl.ds(jnp.maximum(n - 1, 0), 1)][0], 0.0
+            )
+            d_top = dout_ref[pl.ds(n, 1)][0]  # (U, T)
+            x_row = jnp.where(n > 0, read_s(jnp.maximum(n - 1, 0)), 0.0)
+            x_scale = jnp.where(n > 0, 1.0, 0.0)
+
+            def emit(l, da, dgh_c):
+                base = 4 * u * l
+                if dgh_c is None:
+                    dg_ref[pl.ds(n, 1), base : base + 4 * u, :] = da[None]
+                else:
+                    dg_ref[pl.ds(n, 1), base : base + 3 * u, :] = da[None]
+                    dg_ref[pl.ds(n, 1), base + 3 * u : base + 4 * u, :] = (
+                        dgh_c[None]
+                    )
+
+            trunk = _gru_trunk_bwd_rows if kind == "gru" else _lstm_trunk_bwd_rows
+            return trunk(
+                cells, u, num_layers, x_row, x_scale,
+                hist_n, hist_p, d_top, dh_carry, emit,
+            )
+
+        jax.lax.fori_loop(
+            0, n_sites, bbody, jnp.zeros((lu, t), jnp.float32)
+        )
+
+    return kernel
+
+
+def _sweep_bytes(n: int, units, tile: int, kind: str) -> int:
+    """Joint VMEM footprint of the reverse-sweep kernel at one tile."""
+    u = units[0]
+    lu = STATE_ROWS[kind] * sum(units)
+    blocks = (
+        n * tile * 4  # samples
+        + n * u * tile * 4  # dout
+        + n * lu * tile * 4  # hist in
+        + n * _dg_rows(units, kind) * tile * 4  # dgates out
+    )
+    return 2 * blocks + 2 * _weight_bytes(units, 1, kind) + 4 * lu * tile * 4
+
+
+def supports_split(n: int, units, kind: str = "gru") -> bool:
+    """VMEM reach of the rollout + dout-seeded sweep pair (the CRNNU1
+    jacobian path; the rollout kernel is strictly smaller than the sweep)."""
+    return (
+        len(set(units)) == 1
+        and _sweep_bytes(n, units, _MIN_TILE, kind) <= _VMEM_BUDGET
+    )
+
+
+def rollout_hist(params, samples: jax.Array) -> jax.Array:
+    """Fused teacher-forced rollout: the (N, STATE_ROWS*L*U, S) post-step
+    state history of every site (the jnp twin is vmc/jacobian._rollout)."""
+    num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
+    b, n = samples.shape
+    u = params["rnn"][0]["wh"].shape[0]
+    units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+    assert supports_split(n, units, kind)
+    tile = _pick_tile(n, units, b, kind)
+    b_pad = _round_up(max(b, 8), tile)
+    seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
+    lu = STATE_ROWS[kind] * num_layers * u
+
+    hist = pl.pallas_call(
+        _make_rollout_kernel(num_layers, kind),
+        grid=(b_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ] + _trunk_specs(u, num_layers, kind),
+        out_specs=pl.BlockSpec(
+            (n, lu, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, lu, b_pad), jnp.float32),
+    )(seq, *_weightsT_trunk(params))
+    return hist[:, :, :b]
+
+
+def sweep_dgates(params, samples: jax.Array, hist: jax.Array, douts):
+    """Reverse sweep for one or more top-output cotangent sets.
+
+    ``douts`` is a list of (N, U_top, S) feature-major seed blocks sharing
+    the primal ``hist``; the parts are packed side-by-side on the batch
+    lanes (each lane's reverse recursion is independent) so P parts cost
+    one kernel pass.  Returns one (N, 4*L*U, S) dgates block per part
+    (row packing as in ``jac_sweep``)."""
+    num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
+    b, n = samples.shape
+    u = params["rnn"][0]["wh"].shape[0]
+    units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+    assert supports_split(n, units, kind)
+    p_parts = len(douts)
+
+    tile = cap_tile(p_parts * b, _MAX_TILE)
+    while tile > _MIN_TILE and _sweep_bytes(n, units, tile, kind) > _VMEM_BUDGET:
+        tile //= 2
+    s_pad = _round_up(max(b, 8), tile)
+    total = p_parts * s_pad
+
+    lu = STATE_ROWS[kind] * num_layers * u
+    dgr = _dg_rows(units, kind)
+
+    seq1 = jnp.zeros((n, s_pad), jnp.int32).at[:, :b].set(samples.T)
+    seq = jnp.concatenate([seq1] * p_parts, axis=1)
+    hist1 = jnp.zeros((n, lu, s_pad), jnp.float32).at[:, :, :b].set(hist)
+    hist_in = jnp.concatenate([hist1] * p_parts, axis=2)
+    dout_in = jnp.concatenate(
+        [
+            jnp.zeros((n, u, s_pad), jnp.float32).at[:, :, :b].set(d)
+            for d in douts
+        ],
+        axis=2,
+    )
+
+    dg = pl.pallas_call(
+        _make_sweep_kernel(num_layers, kind),
+        grid=(total // tile,),
+        in_specs=[
+            pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, u, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ] + _trunk_specs(u, num_layers, kind) + [
+            pl.BlockSpec((n, lu, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, dgr, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, dgr, total), jnp.float32),
+    )(seq, dout_in, *_weightsT_trunk(params), hist_in)
+    return [
+        dg[:, :, p * s_pad : p * s_pad + b] for p in range(p_parts)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# outside contraction: emitted blocks -> per-sample rows (MXU)
+# ---------------------------------------------------------------------------
+
+
+def _con(x, dg):
+    """Site-axis contraction: (N, I, S), (N, G, S) -> (S, I, G) per-sample
+    rows (the feature-major twin of vmc/jacobian._contract_layer's
+    ``einsum('tsi,tsg->sig')``)."""
+    return jnp.einsum("nis,ngs->sig", x, dg)
+
+
+def _shift_sites(a):
+    """Site n -> its predecessor's block (zeros at n=0)."""
+    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+
+def input_onehot_rows(samples: jax.Array) -> jax.Array:
+    """Layer-0 input one-hots, feature-major (N, 2, S): the one-hot of the
+    previous site's spin, zeros at site 0."""
+    b, n = samples.shape
+    s_f = samples.T.astype(jnp.float32)  # (N, S)
+    x_prev = _shift_sites(s_f[:, None, :])[:, 0]  # (N, S)
+    scale = jnp.concatenate(
+        [jnp.zeros((1, b), jnp.float32), jnp.ones((n - 1, b), jnp.float32)]
+    )
+    return jnp.stack([(1.0 - x_prev) * scale, x_prev * scale], axis=1)
+
+
+def trunk_rows_from_sweep(params, hist: jax.Array, dg: jax.Array,
+                          x0: jax.Array):
+    """Per-sample trunk weight rows from one sweep's emitted blocks: the
+    list of per-layer dicts matching ``vmc/jacobian._contract_layer``'s
+    values and layout."""
+    num_layers = len(params["rnn"])
+    kind = _cell_kind(params)
+    u = params["rnn"][0]["wh"].shape[0]
+    hist_p = _shift_sites(hist)
+    rows = []
+    for l in range(num_layers):
+        base = 4 * u * l
+        if kind == "gru":
+            h_prev = hist_p[:, l * u : (l + 1) * u]
+            da = dg[:, base : base + 3 * u]
+            dgh_c = dg[:, base + 3 * u : base + 4 * u]
+            x = x0 if l == 0 else hist[:, (l - 1) * u : l * u]
+            # dgh = [da_r; da_z; dgh_c]: contract its shared 2U block from
+            # da and the c-gate block from dgh_c, concatenated on the g axis
+            wh = jnp.concatenate(
+                [_con(h_prev, da[:, : 2 * u]), _con(h_prev, dgh_c)], axis=-1
+            )
+            rows.append({
+                "wx": _con(x, da),
+                "wh": wh,
+                "bx": jnp.sum(da, axis=0).T,
+                "bh": jnp.concatenate(
+                    [jnp.sum(da[:, : 2 * u], axis=0),
+                     jnp.sum(dgh_c, axis=0)], axis=0
+                ).T,
+            })
+        else:
+            h_prev = hist_p[:, 2 * l * u : (2 * l + 1) * u]
+            da = dg[:, base : base + 4 * u]
+            x = x0 if l == 0 else hist[:, 2 * (l - 1) * u : (2 * l - 1) * u]
+            rows.append({
+                "wx": _con(x, da),
+                "wh": _con(h_prev, da),
+                "b": jnp.sum(da, axis=0).T,
+            })
+    return rows
+
+
+def top_rows(params, hist: jax.Array) -> jax.Array:
+    """The top layer's post-step h rows, (N, U, S)."""
+    num_layers = len(params["rnn"])
+    u = params["rnn"][0]["wh"].shape[0]
+    if _cell_kind(params) == "gru":
+        return hist[:, (num_layers - 1) * u :]
+    return hist[:, 2 * (num_layers - 1) * u : (2 * num_layers - 1) * u]
+
+
+def prnn1d_rows(ansatz, params, samples: jax.Array):
+    """Fused twin of ``vmc/jacobian._prnn1d_log_prob_rows``: the plain
+    autoregressive density's ``(log_prob, per-sample grad rows)`` with the
+    two jnp scans replaced by one ``jac_sweep`` launch (same values, same
+    row layout; equality pinned in tests/test_fused_jac.py)."""
+    hist, dg, dl1 = jac_sweep(params, samples)
+    rnn_rows = trunk_rows_from_sweep(
+        params, hist, dg, input_onehot_rows(samples)
+    )
+
+    top = top_rows(params, hist)
+    s_f = samples.T.astype(jnp.float32)  # (N, S)
+    dlogits = jnp.stack([-dl1, dl1], axis=1)  # (N, 2, S)
+    head_rows = {
+        "w": _con(top, dlogits),
+        "b": jnp.sum(dlogits, axis=0).T,
+    }
+
+    # log p from the stashed top states (one MXU matmul + the same
+    # accum-dtype site sum as the jnp path)
+    logits = jnp.einsum("nus,ud->nds", top, params["head"]["w"]) + params[
+        "head"
+    ]["b"][None, :, None]
+    l0, l1 = logits[:, 0], logits[:, 1]
+    m = jnp.maximum(l0, l1)
+    lse = m + jnp.log(jnp.exp(l0 - m) + jnp.exp(l1 - m))
+    lp_site = jnp.where(s_f > 0.5, l1, l0) - lse  # (N, S)
+    log_prob = jnp.sum(
+        lp_site.astype(ansatz.accum_dtype), axis=0
+    ).astype(ansatz.dtype)
+
+    return log_prob, {"rnn": rnn_rows, "head": head_rows}

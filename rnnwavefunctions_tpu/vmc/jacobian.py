@@ -231,12 +231,40 @@ def _contract_layer(cell: str, x: jax.Array, prev: Any, dg: Any) -> Any:
 # ---------------------------------------------------------------------------
 
 
+def _use_fused_sweep(
+    ansatz: Any, params: Any, n: int, split: bool = False
+) -> bool:
+    """Take the fused Pallas jacobian sweep (ops/fused_jac.py) when the
+    ansatz rides kernels at all (impl != "jnp"), the backend is TPU, and
+    the sweep's VMEM accounting admits the shape; otherwise the jnp scans
+    below remain both the implementation and the equality oracle.
+    ``split`` selects the rollout + dout-seeded sweep pair's accounting
+    (the CRNNU1 path)."""
+    if getattr(ansatz, "impl", "jnp") == "jnp":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if ansatz.local_dim != 2 or ansatz.cell not in ("gru", "lstm"):
+        return False
+    if jnp.dtype(ansatz.dtype) != jnp.float32:
+        return False
+    from ..ops import fused_jac
+
+    units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
+    sup = fused_jac.supports_split if split else fused_jac.supports
+    return sup(n, units, ansatz.cell)
+
+
 def _prnn1d_log_prob_rows(
     ansatz: Any, params: Any, samples: jax.Array
 ) -> Tuple[jax.Array, Any]:
     """(log p(sigma), per-sample grad-of-log-p pytree with (S, ...) leaves)
     for the plain (non-symmetrized) autoregressive density
     (``models/prnn1d.PRNN1D._log_prob_plain_jnp`` is the primal twin)."""
+    if _use_fused_sweep(ansatz, params, samples.shape[1]):
+        from ..ops import fused_jac
+
+        return fused_jac.prnn1d_rows(ansatz, params, samples)
     d = ansatz.local_dim
     s = samples.shape[0]
     dtype = ansatz.dtype
@@ -423,38 +451,18 @@ def mdrnn2d_log_amp_rows(ansatz: Any, params: Any, samples: jax.Array) -> Any:
 # ---------------------------------------------------------------------------
 
 
-def crnn_log_amp_rows(
-    ansatz: Any, params: Any, samples: jax.Array
-) -> Tuple[Any, Any]:
-    """Per-sample grad rows of (Re log psi, Im log psi) for a CRNNU1, as two
-    pytrees of (S, ...) leaves matching the params structure
-    (``models/crnn_u1.CRNNU1._log_amp_parts_jnp`` is the primal twin).
-
-    The two heads are independent functions of the trunk output (Re flows
-    only through the sqsoftmax+U(1)-mask amplitude head, Im only through
-    the pi*softsign phase head), so each part seeds its own trunk backward
-    sweep.  Like the jnp VJP, gradients are only defined for in-sector
-    configurations (the off-sector forward is log 0; see
-    ops/fused_crnn.py's docstring caveat) — the sampler never draws those.
-    """
-    d = ansatz.local_dim
-    s = samples.shape[0]
-    n = ansatz.num_sites
-    dtype = ansatz.dtype
-    targets = samples.T  # (N, S)
-    onehot = jax.nn.one_hot(targets, d, dtype=dtype)
-    inputs = jnp.concatenate(
-        [jnp.zeros((1, s, d), dtype), onehot[:-1]], axis=0
-    )
-    cum_up = jnp.concatenate(
-        [jnp.zeros((1, s), jnp.int32), jnp.cumsum(targets, axis=0)[:-1]],
-        axis=0,
-    )
+def crnn_head_seeds(
+    ansatz: Any, params: Any, top_out: jax.Array,
+    targets: jax.Array, cum_up: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-site logit cotangents ``(dlogits_a, dlogits_p)``, each (N, S, 2),
+    of Re/Im log psi w.r.t. the two heads' logits — the U(1)-masked
+    sqsoftmax amplitude head and the pi*softsign phase head
+    (``models/crnn_u1.CRNNU1`` semantics; shared by the jnp and fused
+    jacobian paths)."""
+    n, s = targets.shape
+    dtype = top_out.dtype
     ns = jnp.arange(n)
-
-    prevs, finals, top_out = _rollout(params["rnn"], ansatz.cell, inputs)
-    xs = _layer_inputs(inputs, prevs, finals, ansatz.cell)
-
     logits_a = jnp.dot(top_out, params["head_ampl"]["w"]) + params["head_ampl"]["b"]
     logits_p = jnp.dot(top_out, params["head_phase"]["w"]) + params["head_phase"]["b"]
 
@@ -473,6 +481,95 @@ def crnn_log_amp_rows(
     (dlogits_a,) = vjp_a(ones)
     _, vjp_p = jax.vjp(im_from_logits, logits_p)
     (dlogits_p,) = vjp_p(ones)
+    return dlogits_a, dlogits_p
+
+
+def _crnn_zero_head_rows(p: Any, s: int) -> Any:
+    return jax.tree.map(lambda w: jnp.zeros((s,) + w.shape, w.dtype), p)
+
+
+def _crnn_rows_fused(ansatz: Any, params: Any, samples: jax.Array):
+    """Fused-kernel twin of the jnp path below: one ``rollout_hist`` launch
+    for the trunk primal, head seeds in jnp (``crnn_head_seeds`` — the
+    U(1)-mask vjp stays autodiff), then ONE ``sweep_dgates`` launch with
+    the Re/Im seed sets stacked along the batch lanes, and the shared MXU
+    contractions.  Row equality pinned in tests/test_fused_jac.py."""
+    from ..ops import fused_jac
+
+    s = samples.shape[0]
+    targets = samples.T  # (N, S)
+    cum_up = jnp.concatenate(
+        [jnp.zeros((1, s), jnp.int32), jnp.cumsum(targets, axis=0)[:-1]],
+        axis=0,
+    )
+
+    hist = fused_jac.rollout_hist(params, samples)
+    top_fm = fused_jac.top_rows(params, hist)  # (N, U, S)
+    top_sm = jnp.moveaxis(top_fm, 1, 2)  # (N, S, U)
+    dla, dlp = crnn_head_seeds(ansatz, params, top_sm, targets, cum_up)
+    dout_a = jnp.moveaxis(jnp.dot(dla, params["head_ampl"]["w"].T), 1, 2)
+    dout_p = jnp.moveaxis(jnp.dot(dlp, params["head_phase"]["w"].T), 1, 2)
+
+    dg_a, dg_p = fused_jac.sweep_dgates(
+        params, samples, hist, [dout_a, dout_p]
+    )
+    x0 = fused_jac.input_onehot_rows(samples)
+
+    def head(dlogits):
+        return {
+            "w": jnp.einsum("tsu,tsd->sud", top_sm, dlogits),
+            "b": jnp.sum(dlogits, axis=0),
+        }
+
+    rows_re = {
+        "rnn": fused_jac.trunk_rows_from_sweep(params, hist, dg_a, x0),
+        "head_ampl": head(dla),
+        "head_phase": _crnn_zero_head_rows(params["head_phase"], s),
+    }
+    rows_im = {
+        "rnn": fused_jac.trunk_rows_from_sweep(params, hist, dg_p, x0),
+        "head_ampl": _crnn_zero_head_rows(params["head_ampl"], s),
+        "head_phase": head(dlp),
+    }
+    return rows_re, rows_im
+
+
+def crnn_log_amp_rows(
+    ansatz: Any, params: Any, samples: jax.Array
+) -> Tuple[Any, Any]:
+    """Per-sample grad rows of (Re log psi, Im log psi) for a CRNNU1, as two
+    pytrees of (S, ...) leaves matching the params structure
+    (``models/crnn_u1.CRNNU1._log_amp_parts_jnp`` is the primal twin).
+
+    The two heads are independent functions of the trunk output (Re flows
+    only through the sqsoftmax+U(1)-mask amplitude head, Im only through
+    the pi*softsign phase head), so each part seeds its own trunk backward
+    sweep.  Like the jnp VJP, gradients are only defined for in-sector
+    configurations (the off-sector forward is log 0; see
+    ops/fused_crnn.py's docstring caveat) — the sampler never draws those.
+    """
+    if _use_fused_sweep(ansatz, params, samples.shape[1], split=True):
+        return _crnn_rows_fused(ansatz, params, samples)
+    d = ansatz.local_dim
+    s = samples.shape[0]
+    n = ansatz.num_sites
+    dtype = ansatz.dtype
+    targets = samples.T  # (N, S)
+    onehot = jax.nn.one_hot(targets, d, dtype=dtype)
+    inputs = jnp.concatenate(
+        [jnp.zeros((1, s, d), dtype), onehot[:-1]], axis=0
+    )
+    cum_up = jnp.concatenate(
+        [jnp.zeros((1, s), jnp.int32), jnp.cumsum(targets, axis=0)[:-1]],
+        axis=0,
+    )
+
+    prevs, finals, top_out = _rollout(params["rnn"], ansatz.cell, inputs)
+    xs = _layer_inputs(inputs, prevs, finals, ansatz.cell)
+
+    dlogits_a, dlogits_p = crnn_head_seeds(
+        ansatz, params, top_out, targets, cum_up
+    )
 
     def head_zeros(p):
         return jax.tree.map(

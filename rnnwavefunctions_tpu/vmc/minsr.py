@@ -91,13 +91,18 @@ def per_sample_log_amp_grads(
     if jacobian.supports(a):
         # stash-and-contract BPTT rows (vmc/jacobian.py): same values,
         # ~N-fold less HBM traffic than the vmap-of-grad scans below (whose
-        # backward carries the (S, P) accumulator through every step)
+        # backward carries the (S, P) accumulator through every step).
+        # The ORIGINAL ansatz is passed so its ``impl`` field can admit the
+        # fused Pallas sweep (jacobian's scans are hand-written — the jnp
+        # twin only matters for the generic autodiff fallback below).
         if getattr(a, "is_complex", False):
-            rows_re, rows_im = jacobian.crnn_log_amp_rows(a, params, samples)
+            rows_re, rows_im = jacobian.crnn_log_amp_rows(
+                ansatz, params, samples
+            )
             return (
                 _flatten_rows(rows_re, 1), _flatten_rows(rows_im, 1), unravel
             )
-        rows = jacobian.log_amp_rows(a, params, samples)
+        rows = jacobian.log_amp_rows(ansatz, params, samples)
         return _flatten_rows(rows, 1), None, unravel
 
     if getattr(a, "is_complex", False):

@@ -1,0 +1,105 @@
+"""Fused minSR jacobian sweep (ops/fused_jac.py) vs the jnp stash-and-
+contract rows (vmc/jacobian.py) — row-for-row equality in interpret mode.
+
+The jnp path is itself pinned against vmap-of-grad in tests/test_minsr.py,
+so equality here chains the kernel to the autodiff ground truth.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rnnwavefunctions_tpu.models.prnn1d import PRNN1D
+from rnnwavefunctions_tpu.ops import fused_jac
+from rnnwavefunctions_tpu.vmc import jacobian
+
+
+def _tree_close(got, want, atol=2e-5):
+    jax.tree.map(
+        lambda a, b: jnp.allclose(a, b, atol=atol, rtol=1e-4) or (_ for _ in ()).throw(
+            AssertionError(f"max |diff| = {jnp.max(jnp.abs(a - b))}")
+        ),
+        got, want,
+    )
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"cell": "gru", "units": (8,)},
+        {"cell": "gru", "units": (8, 8)},
+        {"cell": "lstm", "units": (8,)},
+        {"cell": "lstm", "units": (8, 8)},
+    ],
+)
+def test_fused_jac_rows_match_jnp(kwargs):
+    n = 6
+    ansatz = PRNN1D(num_sites=n, units=kwargs["units"], cell=kwargs["cell"])
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.5, (5, n)
+    ).astype(jnp.int32)
+
+    want_lp, want_rows = jacobian._prnn1d_log_prob_rows(
+        ansatz, params, samples
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_lp, got_rows = fused_jac.prnn1d_rows(ansatz, params, samples)
+
+    assert jnp.allclose(got_lp, want_lp, atol=1e-5)
+    _tree_close(got_rows, want_rows)
+
+
+def test_fused_jac_batch_padding():
+    """Odd batch sizes are padded to the tile and sliced back."""
+    n = 5
+    ansatz = PRNN1D(num_sites=n, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(2))
+    samples = jax.random.bernoulli(
+        jax.random.PRNGKey(3), 0.5, (3, n)
+    ).astype(jnp.int32)
+
+    want_lp, want_rows = jacobian._prnn1d_log_prob_rows(
+        ansatz, params, samples
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_lp, got_rows = fused_jac.prnn1d_rows(ansatz, params, samples)
+
+    assert got_lp.shape == (3,)
+    assert jnp.allclose(got_lp, want_lp, atol=1e-5)
+    _tree_close(got_rows, want_rows)
+
+
+def test_supports_bounds():
+    assert fused_jac.supports(100, (50,), "gru")
+    assert not fused_jac.supports(1000, (50,), "gru")  # jnp fallback
+    assert not fused_jac.supports(10, (8, 16), "gru")  # non-uniform stack
+    assert fused_jac.supports_split(100, (50,), "gru")
+    assert not fused_jac.supports_split(1000, (50,), "gru")
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"cell": "gru", "units": (8,)},
+        {"cell": "gru", "units": (8, 8)},
+        {"cell": "lstm", "units": (8,)},
+    ],
+)
+def test_fused_crnn_rows_match_jnp(kwargs):
+    """Fused rollout + two-seed lane-stacked sweep vs the jnp joint sweep
+    for the U(1) cRNN (in-sector samples only — the gradient contract)."""
+    from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
+
+    n = 6
+    ansatz = CRNNU1(num_sites=n, units=kwargs["units"], cell=kwargs["cell"])
+    params = ansatz.init(jax.random.PRNGKey(4))
+    samples = ansatz.sample(params, jax.random.PRNGKey(5), 5)
+
+    want_re, want_im = jacobian.crnn_log_amp_rows(ansatz, params, samples)
+    with pltpu.force_tpu_interpret_mode():
+        got_re, got_im = jacobian._crnn_rows_fused(ansatz, params, samples)
+
+    _tree_close(got_re, want_re)
+    _tree_close(got_im, want_im)
