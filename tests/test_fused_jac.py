@@ -28,9 +28,11 @@ def _tree_close(got, want, atol=2e-5):
     "kwargs",
     [
         {"cell": "gru", "units": (8,)},
-        {"cell": "gru", "units": (8, 8)},
+        pytest.param({"cell": "gru", "units": (8, 8)},
+                     marks=pytest.mark.slow),
         {"cell": "lstm", "units": (8,)},
-        {"cell": "lstm", "units": (8, 8)},
+        pytest.param({"cell": "lstm", "units": (8, 8)},
+                     marks=pytest.mark.slow),
     ],
 )
 def test_fused_jac_rows_match_jnp(kwargs):
@@ -83,8 +85,10 @@ def test_supports_bounds():
     "kwargs",
     [
         {"cell": "gru", "units": (8,)},
-        {"cell": "gru", "units": (8, 8)},
-        {"cell": "lstm", "units": (8,)},
+        pytest.param({"cell": "gru", "units": (8, 8)},
+                     marks=pytest.mark.slow),
+        pytest.param({"cell": "lstm", "units": (8,)},
+                     marks=pytest.mark.slow),
     ],
 )
 def test_fused_crnn_rows_match_jnp(kwargs):
