@@ -1,17 +1,17 @@
-"""Where does the stash-and-contract minSR jacobian spend its time?
-(experiment harness; run when deciding whether a fused Pallas jacobian
-kernel would pay)
+"""Where does the minSR step's optimizer premium go?  (experiment harness)
 
-Splits the flagship-shape jacobian into separately jitted stages and times
-each on the real chip:
+Every stage is wrapped in a K-iteration device-side ``lax.scan`` before
+timing: a single dispatch through the relay costs a ~5-25 ms RTT, so
+un-amortized stage timings only measure the link (CLAUDE.md "Device-link
+latency varies ~5x").
 
-  1. forward rollout (teacher-forced jnp scan, stashing prevs/top_out)
-  2. head seeding (dlogits / head vjps)
-  3. backward sweep (_bptt jnp scan)
-  4. per-sample weight einsums (_contract_layer)
-  5. row flatten + sample-space solve
+Stages at the flagship shape, timed for both the fused Pallas jacobian
+sweep (ops/fused_jac.py) and the jnp scans (vmc/jacobian.py):
 
-plus the end-to-end jacobian and, for scale, the Adam-path fused BPTT.
+  - per-sample rows end-to-end (PRNN1D and CRNNU1)
+  - rows + flatten (minsr.per_sample_log_amp_grads)
+  - the sample-space solve given O
+  - the Adam-path fused loss gradient, for scale
 
 Run from /root/repo:  timeout 580 python scripts/exp_minsr_jac_split.py
 """
@@ -26,109 +26,99 @@ import jax.numpy as jnp
 from rnnwavefunctions_tpu.models.prnn1d import PRNN1D
 from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
 from rnnwavefunctions_tpu.vmc import jacobian, minsr
+from rnnwavefunctions_tpu.ops import fused_jac
 from rnnwavefunctions_tpu.ops.tiling import tpu_compiler_options
 
-N, U, S = 100, 50, 500
+N, U, S, K = 100, 50, 500, 50
 
 
-def _sync(out):
-    leaf = jax.tree.leaves(out)[0]
-    float(jnp.ravel(leaf)[0].astype(jnp.float32))
+def _sync(x):
+    float(jnp.ravel(jax.tree.leaves(x)[0])[0].astype(jnp.float32))
 
 
 def bench(label, fn, *args):
     _sync(fn(*args))  # compile
     ts = []
-    for _ in range(7):
+    for _ in range(5):
         t0 = time.perf_counter()
         _sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     ts.sort()
     med = ts[len(ts) // 2]
-    print(f"  {label:36s} {med*1e3:8.2f} ms")
-    return med
+    print(f"  {label:40s} {med/K*1e3:8.3f} ms/iter")
+    return med / K
 
 
-def jit(fn):
-    return jax.jit(fn, compiler_options=tpu_compiler_options())
+def scanned(fn):
+    """jit(K-iteration scan of fn), reduced to a scalar to defeat DCE."""
 
+    def run(*args):
+        def body(c, _):
+            out = fn(*args)
+            return c + sum(jnp.sum(l) for l in jax.tree.leaves(out)), None
 
-def split_prnn(ansatz, params, samples):
-    d = ansatz.local_dim
-    s = samples.shape[0]
-    dtype = ansatz.dtype
-    onehot = jax.nn.one_hot(samples.T, d, dtype=dtype)
-    inputs = jnp.concatenate([jnp.zeros((1, s, d), dtype), onehot[:-1]], 0)
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=K
+        )
+        return out
 
-    rollout = jit(lambda p, x: jacobian._rollout(p["rnn"], ansatz.cell, x))
-    prevs, finals, top_out = rollout(params, inputs)
-    t_roll = bench("rollout (stash scan)", rollout, params, inputs)
-
-    def seeds(p, to):
-        logits = jnp.dot(to, p["head"]["w"]) + p["head"]["b"]
-        logp_site = jax.nn.log_softmax(logits, axis=-1)
-        dlogits = onehot - jnp.exp(logp_site)
-        return jnp.dot(dlogits, p["head"]["w"].T), dlogits
-
-    seeds_j = jit(seeds)
-    dout, dlogits = seeds_j(params, top_out)
-    t_seed = bench("head seeds", seeds_j, params, top_out)
-
-    xs = jacobian._layer_inputs(inputs, list(prevs), list(finals), ansatz.cell)
-    bptt = jit(lambda p, x, pv, do: jacobian._bptt(
-        p["rnn"], ansatz.cell, x, pv, do))
-    dgates = bptt(params, xs, list(prevs), dout)
-    t_bptt = bench("backward sweep (_bptt scan)", bptt, params, xs,
-                   list(prevs), dout)
-
-    contract = jit(lambda x, pv, dg: [
-        jacobian._contract_layer(ansatz.cell, xi, pvi, dgi)
-        for xi, pvi, dgi in zip(x, pv, dg)
-    ])
-    contract(xs, list(prevs), dgates)
-    t_con = bench("weight einsums", contract, xs, list(prevs), dgates)
-
-    full = jit(lambda p, sm: jacobian.prnn1d_log_amp_rows(ansatz, p, sm))
-    full(params, samples)
-    t_full = bench("jacobian end-to-end", full, params, samples)
-    print(f"  {'(stages sum)':36s} {(t_roll+t_seed+t_bptt+t_con)*1e3:8.2f} ms")
-    return t_full
+    return jax.jit(run, compiler_options=tpu_compiler_options())
 
 
 def main():
-    key = jax.random.PRNGKey(0)
+    print(f"flagship shape N={N} U={U} S={S}; K={K} iterations per dispatch")
 
-    print(f"PRNN1D  N={N} U={U} S={S}")
     ansatz = PRNN1D(num_sites=N, units=(U,))
-    params = ansatz.init(key)
+    aj = PRNN1D(num_sites=N, units=(U,), impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(1))
     samples = jax.device_put(ansatz.sample(params, jax.random.PRNGKey(2), S))
-    split_prnn(ansatz, params, samples)
 
-    o_fn = jit(lambda p, sm: minsr.per_sample_log_amp_grads(ansatz, p, sm)[0])
-    o_re = o_fn(params, samples)
-    bench("rows + flatten (per_sample_...)", o_fn, params, samples)
+    print("PRNN1D")
+    bench("rows fused (fused_jac.prnn1d_rows)",
+          scanned(lambda p, s: fused_jac.prnn1d_rows(ansatz, p, s)),
+          params, samples)
+    bench("rows jnp (_prnn1d_log_prob_rows)",
+          scanned(lambda p, s: jacobian._prnn1d_log_prob_rows(aj, p, s)),
+          params, samples)
+    bench("rows+flatten (per_sample_log_amp_grads)",
+          scanned(lambda p, s: minsr.per_sample_log_amp_grads(ansatz, p, s)[0]),
+          params, samples)
+
+    o_re = jax.jit(
+        lambda p, s: minsr.per_sample_log_amp_grads(ansatz, p, s)[0],
+        compiler_options=tpu_compiler_options(),
+    )(params, samples)
     e = jnp.ones((S,), jnp.float32)
-    solve = jit(lambda o, ee: minsr.minsr_direction(
-        o, None, ee, None, jnp.mean(ee), None, 1e-3))
-    solve(o_re, e)
-    bench("solve (given O)", solve, o_re, e)
+    bench("solve (minsr_direction given O)",
+          scanned(lambda o, ee: minsr.minsr_direction(
+              o, None, ee, None, jnp.mean(ee), None, 1e-3)),
+          o_re, e)
+    bench("adam loss grad (fused BPTT), for scale",
+          scanned(lambda p, s: jax.grad(
+              lambda q: jnp.sum(ansatz.log_amp(q, s)))(p)),
+          params, samples)
 
-    print(f"\nCRNNU1  N={N} U={U} S={S}")
     cans = CRNNU1(num_sites=N, units=(U,))
-    cparams = cans.init(key)
-    csamples = jax.device_put(cans.sample(cparams, jax.random.PRNGKey(3), S))
-    cfull = jit(lambda p, sm: jacobian.crnn_log_amp_rows(cans, p, sm))
-    cfull(cparams, csamples)
-    bench("jacobian end-to-end (joint sweep)", cfull, cparams, csamples)
+    cj = CRNNU1(num_sites=N, units=(U,), impl="jnp")
+    cp = cans.init(jax.random.PRNGKey(1))
+    cs = jax.device_put(cans.sample(cp, jax.random.PRNGKey(3), S))
 
-    co_fn = jit(lambda p, sm: minsr.per_sample_log_amp_grads(cans, p, sm)[:2])
-    co = co_fn(cparams, csamples)
-    bench("rows + flatten", co_fn, cparams, csamples)
-    csolve = jit(lambda ore, oim, ee: minsr.minsr_direction(
-        ore, oim, ee, jnp.zeros_like(ee), jnp.mean(ee),
-        jnp.asarray(0.0, jnp.float32), 1e-3))
-    csolve(co[0], co[1], e)
-    bench("complex solve (given O)", csolve, co[0], co[1], e)
+    print("CRNNU1")
+    bench("rows fused (rollout + 2-seed sweep)",
+          scanned(lambda p, s: jacobian._crnn_rows_fused(cans, p, s)),
+          cp, cs)
+    bench("rows jnp (joint _bptt sweep)",
+          scanned(lambda p, s: jacobian.crnn_log_amp_rows(cj, p, s)),
+          cp, cs)
+    co = jax.jit(
+        lambda p, s: minsr.per_sample_log_amp_grads(cans, p, s)[:2],
+        compiler_options=tpu_compiler_options(),
+    )(cp, cs)
+    bench("complex solve (stacked Re/Im, given O)",
+          scanned(lambda ore, oim, ee: minsr.minsr_direction(
+              ore, oim, ee, jnp.zeros_like(ee), jnp.mean(ee),
+              jnp.asarray(0.0, jnp.float32), 1e-3)),
+          co[0], co[1], e)
 
 
 if __name__ == "__main__":
