@@ -73,6 +73,22 @@ def test_fused_jac_batch_padding():
     _tree_close(got_rows, want_rows)
 
 
+def test_dispatch_gates():
+    """The fused sweep only engages on the TPU backend for kernel-eligible
+    f32 configs; everything else keeps the jnp scans (the oracle)."""
+    ansatz = PRNN1D(num_sites=10, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(0))
+    # CPU backend (tests force cpu) -> jnp path regardless of impl
+    assert not jacobian._use_fused_sweep(ansatz, params, 10)
+    # explicit jnp opt-out and f64 stay off even if the backend were TPU
+    assert not jacobian._use_fused_sweep(
+        PRNN1D(num_sites=10, units=(8,), impl="jnp"), params, 10
+    )
+    assert not jacobian._use_fused_sweep(
+        PRNN1D(num_sites=10, units=(8,), dtype=jnp.float64), params, 10
+    )
+
+
 def test_supports_bounds():
     assert fused_jac.supports(100, (50,), "gru")
     assert not fused_jac.supports(1000, (50,), "gru")  # jnp fallback
