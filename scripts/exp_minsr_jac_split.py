@@ -50,12 +50,24 @@ def bench(label, fn, *args):
 
 
 def scanned(fn):
-    """jit(K-iteration scan of fn), reduced to a scalar to defeat DCE."""
+    """jit(K-iteration scan of fn), with the carry threaded through the
+    FIRST argument's float leaves (a numerically-invisible +c*1e-30) so XLA
+    cannot hoist the loop-invariant body out of the scan, and the outputs
+    reduced into the carry to defeat DCE."""
 
-    def run(*args):
+    def run(first, *args):
         def body(c, _):
-            out = fn(*args)
-            return c + sum(jnp.sum(l) for l in jax.tree.leaves(out)), None
+            f = jax.tree.map(
+                lambda w: w + c.astype(w.dtype) * 1e-30
+                if jnp.issubdtype(w.dtype, jnp.floating) else w,
+                first,
+            )
+            out = fn(f, *args)
+            return c + sum(
+                jnp.sum(l).astype(jnp.float32)
+                for l in jax.tree.leaves(out)
+                if jnp.issubdtype(l.dtype, jnp.floating)
+            ), None
 
         out, _ = jax.lax.scan(
             body, jnp.zeros((), jnp.float32), None, length=K
