@@ -143,11 +143,14 @@ def _logp_rows(l0, l1, s):
 
 
 
-def _weightsT(params):
-    """Flat tuple of pre-transposed weights: per-layer (wxT, whT, bxT, bhT)
-    then the head (hwT, hbT).  Layer 0's wxT is the (GATE_ROWS*U, 2) one-hot
+def _weightsT_trunk(params):
+    """Flat tuple of pre-transposed trunk weights: per-layer (wxT, whT, bxT,
+    bhT), no head.  Layer 0's wxT is the (GATE_ROWS*U, 2) one-hot
     projection; deeper layers carry a (GATE_ROWS*U, U) input matrix.  LSTM
-    layers map their single fused bias to ``bxT`` and an all-zero ``bhT``."""
+    layers map their single fused bias to ``bxT`` and an all-zero ``bhT``
+    (models/cells.py:lstm_init packing).  The ONE statement of the kernel
+    weight packing — the head-bearing ``_weightsT`` and the jacobian
+    kernels (ops/fused_jac.py) both build on it."""
     out = []
     for cell in params["rnn"]:
         if "b" in cell:  # lstm packing (models/cells.py:lstm_init)
@@ -156,12 +159,17 @@ def _weightsT(params):
         else:
             out += [cell["wx"].T, cell["wh"].T,
                     cell["bx"][:, None], cell["bh"][:, None]]
-    head = params["head"]
-    out += [head["w"].T, head["b"][:, None]]
     return tuple(out)
 
 
-def _weightT_specs(u, num_layers, kind="gru"):
+def _weightsT(params):
+    """``_weightsT_trunk`` plus the trailing 2-logit head (hwT, hbT)."""
+    head = params["head"]
+    return _weightsT_trunk(params) + (head["w"].T, head["b"][:, None])
+
+
+def _trunk_specs(u, num_layers, kind="gru"):
+    """BlockSpecs matching ``_weightsT_trunk``'s flat layout."""
     full = lambda a, b: pl.BlockSpec(
         (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
@@ -171,18 +179,29 @@ def _weightT_specs(u, num_layers, kind="gru"):
         in_dim = 2 if l == 0 else u
         specs += [full(gr * u, in_dim), full(gr * u, u),
                   full(gr * u, 1), full(gr * u, 1)]
-    specs += [full(2, u), full(2, 1)]
     return specs
+
+
+def _weightT_specs(u, num_layers, kind="gru"):
+    full = lambda a, b: pl.BlockSpec(
+        (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return _trunk_specs(u, num_layers, kind) + [full(2, u), full(2, 1)]
+
+
+def _split_trunk(wrefs, num_layers):
+    """Per-layer (wxT, whT, bxT, bhT) ref tuples from the leading trunk
+    entries of a flat kernel weight-ref list."""
+    return [
+        tuple(r[:] for r in wrefs[4 * l : 4 * l + 4])
+        for l in range(num_layers)
+    ]
 
 
 def _split_cells(wrefs, num_layers):
     """Group the flat kernel weight refs back into per-layer tuples + head."""
-    cells = [
-        tuple(r[:] for r in wrefs[4 * l : 4 * l + 4])
-        for l in range(num_layers)
-    ]
     hwT, hbT = wrefs[-2][:], wrefs[-1][:]
-    return cells, hwT, hbT
+    return _split_trunk(wrefs, num_layers), hwT, hbT
 
 
 # ---------------------------------------------------------------------------

@@ -44,12 +44,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gru import (
-    GATE_ROWS,
     STATE_ROWS,
     _cell_kind,
     _round_up,
     _split_cells,
+    _split_trunk,
+    _trunk_specs,
     _weightsT,
+    _weightsT_trunk,
     _weightT_specs,
 )
 from .fused_gru_bwd import (
@@ -63,6 +65,7 @@ from .fused_gru_bwd import (
 )
 from .tiling import MIN_TILE as _MIN_TILE
 from .tiling import cap_tile
+from .tiling import round8 as _round8
 
 # The jacobian tile budget rides the scoped-VMEM unlock
 # (ops/tiling.tpu_compiler_options, 64 MiB scoped): history + dgates blocks
@@ -80,13 +83,15 @@ def _dg_rows(units, kind: str) -> int:
 def _resident_bytes(n: int, units, tile: int, kind: str) -> int:
     """Joint VMEM footprint at one tile: double-buffered in/out blocks
     (samples, history, dgates, dl1) + weights (input refs + the fori-loop
-    carry copy) + the state/cotangent carries."""
-    lu = STATE_ROWS[kind] * sum(units)
+    carry copy) + the state/cotangent carries.  Second-minor dims carry the
+    (8, 128)-unit sublane padding (tiling.round8), matching every other
+    kernel's accounting."""
+    lu = _round8(STATE_ROWS[kind] * sum(units))
     blocks = (
-        n * tile * 4  # samples
+        _round8(n) * tile * 4  # samples (sublane dim n)
         + n * lu * tile * 4  # history out
-        + n * _dg_rows(units, kind) * tile * 4  # dgates out
-        + n * tile * 4  # dl1 out
+        + n * _round8(_dg_rows(units, kind)) * tile * 4  # dgates out
+        + _round8(n) * tile * 4  # dl1 out
     )
     return 2 * blocks + 2 * _weight_bytes(units, 1, kind) + 4 * lu * tile * 4
 
@@ -338,40 +343,6 @@ def jac_sweep(params, samples: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def _weightsT_trunk(params):
-    """Per-layer transposed trunk weights (no head — CRNNU1 params carry
-    ``head_ampl``/``head_phase`` instead of ``head``)."""
-    out = []
-    for cell in params["rnn"]:
-        if "b" in cell:  # lstm packing
-            out += [cell["wx"].T, cell["wh"].T, cell["b"][:, None],
-                    jnp.zeros((cell["b"].shape[0], 1), cell["b"].dtype)]
-        else:
-            out += [cell["wx"].T, cell["wh"].T,
-                    cell["bx"][:, None], cell["bh"][:, None]]
-    return tuple(out)
-
-
-def _trunk_specs(u, num_layers, kind):
-    full = lambda a, b: pl.BlockSpec(
-        (a, b), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
-    gr = GATE_ROWS[kind]
-    specs = []
-    for l in range(num_layers):
-        in_dim = 2 if l == 0 else u
-        specs += [full(gr * u, in_dim), full(gr * u, u),
-                  full(gr * u, 1), full(gr * u, 1)]
-    return specs
-
-
-def _split_trunk(wrefs, num_layers):
-    return [
-        tuple(r[:] for r in wrefs[4 * l : 4 * l + 4])
-        for l in range(num_layers)
-    ]
-
-
 def _make_rollout_kernel(num_layers: int, kind: str):
     nt = 4 * num_layers
 
@@ -470,16 +441,25 @@ def _make_sweep_kernel(num_layers: int, kind: str):
 
 
 def _sweep_bytes(n: int, units, tile: int, kind: str) -> int:
-    """Joint VMEM footprint of the reverse-sweep kernel at one tile."""
-    u = units[0]
-    lu = STATE_ROWS[kind] * sum(units)
+    """Joint VMEM footprint of the reverse-sweep kernel at one tile
+    (sublane dims round8-padded, as in ``_resident_bytes``)."""
+    lu = _round8(STATE_ROWS[kind] * sum(units))
     blocks = (
-        n * tile * 4  # samples
-        + n * u * tile * 4  # dout
+        _round8(n) * tile * 4  # samples
+        + n * _round8(units[0]) * tile * 4  # dout
         + n * lu * tile * 4  # hist in
-        + n * _dg_rows(units, kind) * tile * 4  # dgates out
+        + n * _round8(_dg_rows(units, kind)) * tile * 4  # dgates out
     )
     return 2 * blocks + 2 * _weight_bytes(units, 1, kind) + 4 * lu * tile * 4
+
+
+def _rollout_bytes(n: int, units, tile: int, kind: str) -> int:
+    """Joint VMEM footprint of the rollout-only kernel at one tile: samples
+    in + history out (double-buffered), trunk weights (input refs + the
+    fori-loop carry copy), and the forward state carry."""
+    lu = _round8(STATE_ROWS[kind] * sum(units))
+    blocks = _round8(n) * tile * 4 + n * lu * tile * 4
+    return 2 * blocks + 2 * _weight_bytes(units, 0, kind) + 2 * lu * tile * 4
 
 
 def supports_split(n: int, units, kind: str = "gru") -> bool:
@@ -500,7 +480,9 @@ def rollout_hist(params, samples: jax.Array) -> jax.Array:
     u = params["rnn"][0]["wh"].shape[0]
     units = tuple(cell["wh"].shape[0] for cell in params["rnn"])
     assert supports_split(n, units, kind)
-    tile = _pick_tile(n, units, b, kind)
+    tile = cap_tile(b, _MAX_TILE)
+    while tile > _MIN_TILE and _rollout_bytes(n, units, tile, kind) > _VMEM_BUDGET:
+        tile //= 2
     b_pad = _round_up(max(b, 8), tile)
     seq = jnp.zeros((n, b_pad), jnp.int32).at[:, :b].set(samples.T)
     lu = STATE_ROWS[kind] * num_layers * u
@@ -535,7 +517,10 @@ def sweep_dgates(params, samples: jax.Array, hist: jax.Array, douts):
     assert supports_split(n, units, kind)
     p_parts = len(douts)
 
-    tile = cap_tile(p_parts * b, _MAX_TILE)
+    # Tile caps at ONE part's lane count: each part is padded to s_pad (a
+    # tile multiple) independently, so a tile wider than b can only add
+    # padding lanes — the waste cap_tile exists to prevent.
+    tile = cap_tile(b, _MAX_TILE)
     while tile > _MIN_TILE and _sweep_bytes(n, units, tile, kind) > _VMEM_BUDGET:
         tile //= 2
     s_pad = _round_up(max(b, 8), tile)

@@ -571,11 +571,6 @@ def crnn_log_amp_rows(
         ansatz, params, top_out, targets, cum_up
     )
 
-    def head_zeros(p):
-        return jax.tree.map(
-            lambda w: jnp.zeros((s,) + w.shape, w.dtype), p
-        )
-
     # Both head seeds share the trunk primal: one joint backward sweep
     # (parts axis in _bptt) instead of two N-step serial scans.
     dout = jnp.stack(
@@ -604,11 +599,11 @@ def crnn_log_amp_rows(
     rows_re = {
         "rnn": rnn_re,
         "head_ampl": head_re,
-        "head_phase": head_zeros(params["head_phase"]),
+        "head_phase": _crnn_zero_head_rows(params["head_phase"], s),
     }
     rows_im = {
         "rnn": rnn_im,
-        "head_ampl": head_zeros(params["head_ampl"]),
+        "head_ampl": _crnn_zero_head_rows(params["head_ampl"], s),
         "head_phase": head_im,
     }
     return rows_re, rows_im

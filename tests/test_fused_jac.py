@@ -73,19 +73,31 @@ def test_fused_jac_batch_padding():
     _tree_close(got_rows, want_rows)
 
 
-def test_dispatch_gates():
+def test_dispatch_gates(monkeypatch):
     """The fused sweep only engages on the TPU backend for kernel-eligible
     f32 configs; everything else keeps the jnp scans (the oracle)."""
     ansatz = PRNN1D(num_sites=10, units=(8,))
     params = ansatz.init(jax.random.PRNGKey(0))
     # CPU backend (tests force cpu) -> jnp path regardless of impl
     assert not jacobian._use_fused_sweep(ansatz, params, 10)
-    # explicit jnp opt-out and f64 stay off even if the backend were TPU
+    # Pretend the backend is TPU so the later gates are actually exercised
+    # (without this every negative below would pass vacuously at the
+    # backend check)
+    monkeypatch.setattr(jacobian.jax, "default_backend", lambda: "tpu")
+    assert jacobian._use_fused_sweep(ansatz, params, 10)
+    assert jacobian._use_fused_sweep(ansatz, params, 10, split=True)
+    # explicit jnp opt-out and f64 stay off even on a TPU backend
     assert not jacobian._use_fused_sweep(
         PRNN1D(num_sites=10, units=(8,), impl="jnp"), params, 10
     )
     assert not jacobian._use_fused_sweep(
         PRNN1D(num_sites=10, units=(8,), dtype=jnp.float64), params, 10
+    )
+    # beyond-VMEM chain lengths keep the jnp fallback
+    assert not jacobian._use_fused_sweep(
+        PRNN1D(num_sites=1000, units=(50,)),
+        PRNN1D(num_sites=1000, units=(50,)).init(jax.random.PRNGKey(1)),
+        1000,
     )
 
 
