@@ -22,7 +22,7 @@ from .. import (
 )
 from ..utils.checkpoints import Checkpointer
 from ..vmc.observables import energy_estimate
-from .run_loop import resolve_dtype
+from .run_loop import add_cache_flag, enable_persistent_cache, resolve_dtype
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -72,6 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "structure factor S(k) at commensurate momenta, "
                         "and/or the half-chain second Renyi entanglement "
                         "entropy (two-replica swap estimator)")
+    add_cache_flag(p)
     return p
 
 
@@ -114,6 +115,7 @@ def _num_sites(args) -> int:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    enable_persistent_cache(args.jax_cache_dir)
     if args.fidelity and _num_sites(args) > 24:
         # fail fast, BEFORE the measurement loop and before any 2^N
         # allocation could be attempted (dense eigh to N=16, the C++

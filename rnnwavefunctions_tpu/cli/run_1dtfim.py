@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 
 from .. import PRNN1D, TFIM1D, TrainConfig, VMCTrainer, make_mesh
-from .run_loop import run_training
+from .run_loop import add_cache_flag, enable_persistent_cache, run_training
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -55,11 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", type=str, default="Check_Points/1DTFIM")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", type=str, default=None)
+    add_cache_flag(p)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    enable_persistent_cache(args.jax_cache_dir)
     ansatz = PRNN1D(
         num_sites=args.systemsize,
         units=(args.num_units,) * args.num_layers,

@@ -12,7 +12,12 @@ from __future__ import annotations
 import argparse
 
 from .. import MDRNN2D, TFIM2D, TrainConfig, VMCTrainer, make_mesh
-from .run_loop import resolve_dtype, run_training
+from .run_loop import (
+    add_cache_flag,
+    enable_persistent_cache,
+    resolve_dtype,
+    run_training,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -53,11 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", type=str, default="Check_Points/2DTFIM")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", type=str, default=None)
+    add_cache_flag(p)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    enable_persistent_cache(args.jax_cache_dir)
     dtype = resolve_dtype(args.dtype)
     ansatz = MDRNN2D(
         nx=args.systemsize_x, ny=args.systemsize_y, units=args.num_units,

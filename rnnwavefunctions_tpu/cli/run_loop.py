@@ -30,6 +30,45 @@ from ..utils.metrics import MetricsSeries
 from ..vmc.trainer import VMCTrainer
 
 
+DEFAULT_JAX_CACHE = os.path.join(
+    "~", ".cache", "rnnwavefunctions_tpu", "jax"
+)
+
+
+def enable_persistent_cache(cache_dir: Optional[str]) -> None:
+    """Point JAX's persistent compilation cache at ``cache_dir`` so re-runs
+    skip the 20-40 s per-shape XLA compiles (the reference pays TF graph
+    construction on every start; we can do better than paying compilation
+    on every start).  ``None``/``""``/``"none"`` disables.  The DEFAULT
+    directory defers to a cache dir already configured in-process or via
+    ``JAX_COMPILATION_CACHE_DIR`` (e.g. the test suite's shared cache when
+    CLI mains run in-process); an explicit ``--jax-cache-dir`` wins.
+    Failures are non-fatal: some backends cannot serialize executables, in
+    which case JAX logs a warning per miss and compiles as usual."""
+    if not cache_dir or cache_dir.lower() == "none":
+        return
+    try:
+        if (
+            cache_dir == DEFAULT_JAX_CACHE
+            and getattr(jax.config, "jax_compilation_cache_dir", None)
+        ):
+            return
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - config names shift across jax
+        pass
+
+
+def add_cache_flag(parser) -> None:
+    parser.add_argument(
+        "--jax-cache-dir", type=str, default=DEFAULT_JAX_CACHE,
+        help="persistent XLA compilation cache directory ('none' disables); "
+             "re-runs of the same shapes skip compilation",
+    )
+
+
 def resolve_dtype(name: str):
     """CLI ``--dtype`` -> jnp dtype, enabling the x64 mode float64 needs.
     The reference's 2D families build their whole graph in float64

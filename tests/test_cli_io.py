@@ -286,3 +286,27 @@ def test_cli_evaluate_fidelity_rejects_large_n_fast():
             "/nonexistent-ckpt", "--workload", "1dtfim",
             "--systemsize", "26", "--fidelity",
         ])
+
+
+def test_persistent_cache_flag(tmp_path):
+    """--jax-cache-dir semantics: explicit dir applies, the DEFAULT defers
+    to an already-configured cache (the suite's shared tests/.jax_cache
+    when CLI mains run in-process), 'none' disables."""
+    import jax
+
+    from rnnwavefunctions_tpu.cli import run_loop
+
+    orig = jax.config.jax_compilation_cache_dir
+    try:
+        explicit = str(tmp_path / "c")
+        run_loop.enable_persistent_cache(explicit)
+        assert jax.config.jax_compilation_cache_dir == explicit
+        # the default never clobbers an existing configuration
+        run_loop.enable_persistent_cache(run_loop.DEFAULT_JAX_CACHE)
+        assert jax.config.jax_compilation_cache_dir == explicit
+        # 'none' / empty are no-ops
+        run_loop.enable_persistent_cache("none")
+        run_loop.enable_persistent_cache(None)
+        assert jax.config.jax_compilation_cache_dir == explicit
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig)
