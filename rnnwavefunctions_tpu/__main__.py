@@ -1,0 +1,58 @@
+"""``python -m rnnwavefunctions_tpu <command> ...`` — subcommand dispatcher.
+
+The ``[project.scripts]`` console entries (``run-1dtfim`` etc.) only exist
+after a ``pip install``; an in-tree checkout reaches the same mains here
+without one.  Mirrors the reference's four runner scripts
+(``/root/reference/1DTFIM/run_1dTFIM.py:9``,
+``2DTFIM_1DRNN/run_2dTFIM.py:10``, ``2DTFIM_2DRNN/run_2dTFIM.py:10``,
+``J1J2/run_j1j2.py:11``) plus the evaluation CLI.
+
+Dispatch imports lazily: listing commands or printing usage must not pay
+(or hang on) JAX backend initialization.
+"""
+from __future__ import annotations
+
+import importlib
+import sys
+
+COMMANDS = {
+    "1dtfim": ("rnnwavefunctions_tpu.cli.run_1dtfim",
+               "train a 1D pRNN on the 1D TFIM (reference run_1dTFIM)"),
+    "2dtfim-1drnn": ("rnnwavefunctions_tpu.cli.run_2dtfim_1drnn",
+                     "train a snake-order 1D pRNN on the 2D TFIM"),
+    "2dtfim-2drnn": ("rnnwavefunctions_tpu.cli.run_2dtfim_2drnn",
+                     "train a 2D MDRNN wavefunction on the 2D TFIM"),
+    "j1j2": ("rnnwavefunctions_tpu.cli.run_j1j2",
+             "train a complex U(1) cRNN on the J1-J2 chain"),
+    "evaluate": ("rnnwavefunctions_tpu.cli.evaluate",
+                 "measure a checkpoint: energy, observables, fidelity"),
+}
+
+
+def _usage() -> str:
+    lines = ["usage: python -m rnnwavefunctions_tpu <command> [args...]", "",
+             "commands:"]
+    for name, (_, doc) in COMMANDS.items():
+        lines.append(f"  {name:<14} {doc}")
+    lines.append("")
+    lines.append("run `python -m rnnwavefunctions_tpu <command> --help` "
+                 "for per-command flags")
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(_usage())
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd not in COMMANDS:
+        print(f"unknown command: {cmd!r}\n\n{_usage()}", file=sys.stderr)
+        return 2
+    module = importlib.import_module(COMMANDS[cmd][0])
+    # Runner mains return None; propagate anything explicit.
+    return module.main(rest) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

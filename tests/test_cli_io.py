@@ -310,3 +310,22 @@ def test_persistent_cache_flag(tmp_path):
         assert jax.config.jax_compilation_cache_dir == explicit
     finally:
         jax.config.update("jax_compilation_cache_dir", orig)
+
+
+def test_module_dispatcher(capsys):
+    """``python -m rnnwavefunctions_tpu`` subcommand dispatch: usage on no
+    args, exit code 2 + usage on an unknown command, and real wiring into
+    each runner's argparse (--help must reach the command's own parser)."""
+    from rnnwavefunctions_tpu import __main__ as dispatcher
+
+    assert dispatcher.main([]) == 0
+    assert "commands:" in capsys.readouterr().out
+
+    assert dispatcher.main(["not-a-command"]) == 2
+    assert "unknown command" in capsys.readouterr().err
+
+    for cmd in dispatcher.COMMANDS:
+        with pytest.raises(SystemExit) as e:
+            dispatcher.main([cmd, "--help"])
+        assert e.value.code == 0
+        assert "--help" not in capsys.readouterr().err
