@@ -50,6 +50,9 @@ def main(argv=None) -> int:
         print(f"unknown command: {cmd!r}\n\n{_usage()}", file=sys.stderr)
         return 2
     module = importlib.import_module(COMMANDS[cmd][0])
+    # argparse derives prog from sys.argv[0]; show the real invocation
+    # in per-command --help instead of ".../__main__.py".
+    sys.argv[0] = f"python -m rnnwavefunctions_tpu {cmd}"
     # Runner mains return None; propagate anything explicit.
     return module.main(rest) or 0
 
