@@ -379,6 +379,13 @@ def main():
         "unit": "samples/s",
         "vs_baseline": 0.0,
         "mfu": 0.0,
+        # mfu denominator (see module docstring): round-1/2 records divided
+        # by an incorrect 49.2 TFLOP/s 8-pass-f32 peak — multiply THIS
+        # record's mfu by 4.0 to compare against those rows.  roof_frac
+        # (peak scaled by the K=min(U,128)/128 MXU underfill) is the
+        # shape-honest utilization and is basis-stable across rounds.
+        "mfu_basis_tflops": PEAK_BF16_FLOPS / 1e12,
+        "mfu_r01_r02_basis_tflops": 49.2,
         "workloads": rows,
     }
     if "error" not in flag:
