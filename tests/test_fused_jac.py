@@ -93,8 +93,8 @@ def test_dispatch_gates(monkeypatch):
     assert not jacobian._use_fused_sweep(
         PRNN1D(num_sites=10, units=(8,), dtype=jnp.float64), params, 10
     )
-    # beyond-VMEM chain lengths keep the jnp fallback
-    assert not jacobian._use_fused_sweep(
+    # beyond-VMEM chain lengths now ride the spill variant (round 4)
+    assert jacobian._use_fused_sweep(
         PRNN1D(num_sites=1000, units=(50,)),
         PRNN1D(num_sites=1000, units=(50,)).init(jax.random.PRNGKey(1)),
         1000,
@@ -103,10 +103,25 @@ def test_dispatch_gates(monkeypatch):
 
 def test_supports_bounds():
     assert fused_jac.supports(100, (50,), "gru")
-    assert not fused_jac.supports(1000, (50,), "gru")  # jnp fallback
+    assert fused_jac.supports(1000, (50,), "gru")  # spill variant
     assert not fused_jac.supports(10, (8, 16), "gru")  # non-uniform stack
     assert fused_jac.supports_split(100, (50,), "gru")
-    assert not fused_jac.supports_split(1000, (50,), "gru")
+    assert fused_jac.supports_split(1000, (50,), "gru")  # spill variant
+
+
+def test_plan_picks_spill_for_long_and_wide():
+    """The planner keeps the resident kernel at the flagship shape and
+    switches to the HBM-streamed variant exactly where the resident blocks
+    stop fitting (N=1000 chains) or would force a sub-lane-width tile
+    (U=256 hidden) — VERDICT r3 items 2/8."""
+    v, tile, chunk = fused_jac._plan(100, (50,), 500, "gru")
+    assert v == "resident"
+    v, tile, chunk = fused_jac._plan(1000, (50,), 64, "gru")
+    assert v == "spill" and tile >= 128 and chunk >= 8
+    v, tile, chunk = fused_jac._plan(100, (256,), 500, "gru")
+    assert v == "spill" and tile >= 128
+    v, tile, chunk = fused_jac._plan_split(1000, (50,), 64, "gru")
+    assert v == "spill" and tile >= 128 and chunk >= 8
 
 
 @pytest.mark.parametrize(
@@ -128,6 +143,69 @@ def test_fused_crnn_rows_match_jnp(kwargs):
     ansatz = CRNNU1(num_sites=n, units=kwargs["units"], cell=kwargs["cell"])
     params = ansatz.init(jax.random.PRNGKey(4))
     samples = ansatz.sample(params, jax.random.PRNGKey(5), 5)
+
+    want_re, want_im = jacobian.crnn_log_amp_rows(ansatz, params, samples)
+    with pltpu.force_tpu_interpret_mode():
+        got_re, got_im = jacobian._crnn_rows_fused(ansatz, params, samples)
+
+    _tree_close(got_re, want_re)
+    _tree_close(got_im, want_im)
+
+
+@pytest.mark.parametrize(
+    "kwargs, n, chunk",
+    [
+        ({"cell": "gru", "units": (8,)}, 7, 4),   # partial last chunk
+        ({"cell": "gru", "units": (8,)}, 5, 8),   # single chunk (nchunks=1)
+        pytest.param({"cell": "gru", "units": (8, 8)}, 9, 4,
+                     marks=pytest.mark.slow),
+        pytest.param({"cell": "lstm", "units": (8,)}, 6, 2,
+                     marks=pytest.mark.slow),
+    ],
+)
+def test_fused_jac_spill_matches_jnp(kwargs, n, chunk, monkeypatch):
+    """HBM-streamed (chunk-ring) jacobian sweep == jnp rows.  chunk=2/4/8
+    exercise nchunks = 3 with a partial last chunk, nchunks = 1 (no
+    prefetch at all), and multi-chunk prefetch."""
+    monkeypatch.setattr(
+        fused_jac, "_plan", lambda n_, u_, b_, k_: ("spill", 128, chunk)
+    )
+    ansatz = PRNN1D(num_sites=n, units=kwargs["units"], cell=kwargs["cell"])
+    params = ansatz.init(jax.random.PRNGKey(6))
+    samples = jax.random.bernoulli(
+        jax.random.PRNGKey(7), 0.5, (5, n)
+    ).astype(jnp.int32)
+
+    want_lp, want_rows = jacobian._prnn1d_log_prob_rows(
+        ansatz, params, samples
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_lp, got_rows = fused_jac.prnn1d_rows(ansatz, params, samples)
+
+    assert jnp.allclose(got_lp, want_lp, atol=1e-5)
+    _tree_close(got_rows, want_rows)
+
+
+@pytest.mark.parametrize(
+    "kwargs, n, chunk",
+    [
+        ({"cell": "gru", "units": (8,)}, 10, 4),
+        pytest.param({"cell": "lstm", "units": (8,)}, 6, 2,
+                     marks=pytest.mark.slow),
+    ],
+)
+def test_crnn_split_spill_matches_jnp(kwargs, n, chunk, monkeypatch):
+    """Spilled rollout + spilled two-seed lane-stacked sweep == the jnp
+    joint sweep for the U(1) cRNN (the N=1000 minSR path)."""
+    from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
+
+    monkeypatch.setattr(
+        fused_jac, "_plan_split",
+        lambda n_, u_, b_, k_: ("spill", 128, chunk),
+    )
+    ansatz = CRNNU1(num_sites=n, units=kwargs["units"], cell=kwargs["cell"])
+    params = ansatz.init(jax.random.PRNGKey(8))
+    samples = ansatz.sample(params, jax.random.PRNGKey(9), 5)
 
     want_re, want_im = jacobian.crnn_log_amp_rows(ansatz, params, samples)
     with pltpu.force_tpu_interpret_mode():
