@@ -69,9 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["sigma_x", "structure_factor", "renyi2"],
                    help="extra estimators: per-site <sigma^x_i> via "
                         "single-flip amplitude ratios, the static "
-                        "structure factor S(k) at commensurate momenta, "
-                        "and/or the half-chain second Renyi entanglement "
-                        "entropy (two-replica swap estimator)")
+                        "structure factor at commensurate momenta (S(k) "
+                        "for chains, the S(kx, ky) momentum grid for the "
+                        "2D workloads), and/or the half-chain second Renyi "
+                        "entanglement entropy (two-replica swap estimator)")
     add_cache_flag(p)
     return p
 
@@ -123,15 +124,6 @@ def main(argv=None):
         raise SystemExit(
             f"--fidelity needs an exact 2^N ground vector; "
             f"N={_num_sites(args)} > 24 (Lanczos bound)"
-        )
-    if ("structure_factor" in args.observables
-            and args.workload.startswith("2dtfim")):
-        # S(k) is computed over unit-spaced chain distances; on a
-        # flattened 2D lattice those are not lattice distances
-        raise SystemExit(
-            "--observables structure_factor is a 1D-chain estimator "
-            "(cos(k(i-j)) over chain site indices); it is not defined for "
-            "the 2D workloads' flattened orderings"
         )
     ansatz, ham = build_problem(args)
     trainer = VMCTrainer(
@@ -188,9 +180,9 @@ def main(argv=None):
         result["sigma_x"] = [float(v) for v in sx]
         result["sigma_x_total"] = float(np.sum(sx))
     if sks:
-        result["structure_factor"] = [
-            float(v) for v in np.mean(sks, axis=0)
-        ]
+        # 1D workloads: S(k) list over the N commensurate momenta;
+        # 2D workloads: S(kx, ky) nested (Nx, Ny) momentum-grid lists
+        result["structure_factor"] = np.mean(sks, axis=0).tolist()
     if purities:
         # average the purities across batches, -log once (S2 is a log of a
         # mean, not a mean of logs); scatter of per-batch purities -> error

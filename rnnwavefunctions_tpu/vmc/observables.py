@@ -73,6 +73,69 @@ def structure_factor(
     return s_k / n
 
 
+def structure_factor_2d(
+    samples: jax.Array,
+    nx: Optional[int] = None,
+    ny: Optional[int] = None,
+    kx: Optional[jax.Array] = None,
+    ky: Optional[jax.Array] = None,
+    connected: bool = False,
+) -> jax.Array:
+    """Static structure factor ``S(kx, ky) = (1/N) sum_ij
+    cos(k . (r_i - r_j)) <z_i z_j>`` on an Nx x Ny lattice (z = 2s-1,
+    unit lattice spacing).
+
+    Accepts the two 2D sample encodings of ``hamiltonians/tfim2d.TFIM2D``:
+    grid batches shaped (S, Nx, Ny) indexed [x, y] (the MDRNN family), or
+    flat (S, Nx*Ny) batches in the snake ansatz's y-major order
+    (flat index i = y*Nx + x) with ``nx``/``ny`` given.  Same O(S*K)
+    two-projection form as the 1D ``structure_factor`` (cos(k.(ri-rj)) =
+    cos(k.ri)cos(k.rj) + sin(k.ri)sin(k.rj); everything stays real — the
+    TPU backend has no complex64), never materializing the (K, N, N) phase
+    tensor.  ``kx``/``ky`` default to the commensurate momenta
+    ``2 pi m / Nx`` x ``2 pi m / Ny``; the result is a (len(kx), len(ky))
+    grid.  With ``connected=True`` the ``<z_i><z_j>`` piece is subtracted.
+    Reference context: the 2D TFIM study's physics
+    (``/root/reference/2DTFIM_2DRNN/Training2DRNN_2DTFIM.py:13-83``) — the
+    reference itself measures only energies.
+    """
+    if samples.ndim == 3:
+        s, nx, ny = samples.shape
+        z = 2.0 * samples.reshape(s, nx * ny).astype(jnp.float32) - 1.0
+        i = jnp.arange(nx * ny)
+        xs = (i // ny).astype(jnp.float32)  # [x, y] row-major flatten
+        ys = (i % ny).astype(jnp.float32)
+    else:
+        if nx is None or ny is None:
+            raise ValueError("flat 2D samples need nx and ny")
+        if samples.shape[1] != nx * ny:
+            raise ValueError(
+                f"flat samples have {samples.shape[1]} sites, "
+                f"expected nx*ny = {nx * ny}"
+            )
+        z = 2.0 * samples.astype(jnp.float32) - 1.0
+        i = jnp.arange(nx * ny)
+        xs = (i % nx).astype(jnp.float32)  # y-major flat order (TFIM2D flat)
+        ys = (i // nx).astype(jnp.float32)
+    n = nx * ny
+    if kx is None:
+        kx = 2.0 * jnp.pi * jnp.arange(nx, dtype=jnp.float32) / nx
+    if ky is None:
+        ky = 2.0 * jnp.pi * jnp.arange(ny, dtype=jnp.float32) / ny
+    kx = jnp.atleast_1d(jnp.asarray(kx, jnp.float32))
+    ky = jnp.atleast_1d(jnp.asarray(ky, jnp.float32))
+    kxg = jnp.repeat(kx, ky.shape[0])
+    kyg = jnp.tile(ky, kx.shape[0])
+    phase = xs[:, None] * kxg[None, :] + ys[:, None] * kyg[None, :]
+    ck, sk = jnp.cos(phase), jnp.sin(phase)
+    pc, ps = z @ ck, z @ sk
+    s_k = jnp.mean(pc * pc, axis=0) + jnp.mean(ps * ps, axis=0)
+    if connected:
+        mean_z = jnp.mean(z, axis=0)
+        s_k = s_k - (mean_z @ ck) ** 2 - (mean_z @ sk) ** 2
+    return (s_k / n).reshape(kx.shape[0], ky.shape[0])
+
+
 def _log_amp_of(ansatz: Any, params: Any, samples: jax.Array):
     """(Re, Im) log-amplitude pair for any ansatz head (Im None if real)."""
     if getattr(ansatz, "is_complex", False):

@@ -543,8 +543,19 @@ class VMCTrainer:
                     ansatz, params, samples, log_amp_samples=la_s,
                     chunk_size=self.config.chunk_size))
             if "structure_factor" in extra:
-                out["structure_factor"] = mesh_lib.pmean(
-                    observables_mod.structure_factor(samples))
+                # 2D lattices get S(kx, ky) on the commensurate momentum
+                # grid (grid batches carry their shape; the snake family's
+                # flat y-major batches take it from the ansatz); chains
+                # keep the 1D S(k)
+                lattice = getattr(ansatz, "lattice", None)
+                if samples.ndim == 3:
+                    sf = observables_mod.structure_factor_2d(samples)
+                elif lattice is not None:
+                    sf = observables_mod.structure_factor_2d(
+                        samples, nx=lattice[0], ny=lattice[1])
+                else:
+                    sf = observables_mod.structure_factor(samples)
+                out["structure_factor"] = mesh_lib.pmean(sf)
             if "renyi2" in extra:
                 # half-chain second Renyi entropy via the two-replica swap
                 # estimator: an independent second batch per device, purity
@@ -590,7 +601,8 @@ class VMCTrainer:
         ``observables`` optionally adds off-diagonal / correlation
         estimators to the jitted measurement: ``"sigma_x"`` (per-site
         transverse magnetization via single-flip amplitude ratios),
-        ``"structure_factor"`` (S(k) at the commensurate momenta), and
+        ``"structure_factor"`` (S(k) at the commensurate momenta for
+        chains; the S(kx, ky) momentum grid for 2D lattices), and
         ``"renyi2"`` (half-chain second Renyi entanglement entropy via the
         two-replica swap estimator — also returns ``"renyi2_purity"``, the
         mesh-averaged ``Tr rho_A^2``, which is the quantity to average over

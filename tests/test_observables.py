@@ -351,3 +351,68 @@ def test_spin_spin_same_site_identity():
         ansatz, params, samples, pairs, chunk_size=8))
     assert got[0] == 0.75 and got[2] == 0.75
     assert np.isfinite(got[1]) and abs(got[1]) <= 0.75 + 1e-6
+
+
+def test_structure_factor_2d_matches_double_sum():
+    """The O(SK) 2D projection form == the explicit double sum
+    (1/N) sum_ij cos(k.(ri-rj)) <z_i z_j>, for both sample encodings
+    (grid [x, y] batches and the snake family's y-major flat batches)."""
+    rng = np.random.default_rng(5)
+    nx, ny, s = 3, 4, 40
+    grid = jnp.asarray(rng.integers(0, 2, (s, nx, ny)), jnp.int32)
+    z = 2.0 * np.asarray(grid, np.float64).reshape(s, nx * ny) - 1.0
+    xs = np.arange(nx * ny) // ny
+    ys = np.arange(nx * ny) % ny
+    kxs = 2 * np.pi * np.arange(nx) / nx
+    kys = 2 * np.pi * np.arange(ny) / ny
+    for connected in (False, True):
+        corr = z.T @ z / s
+        if connected:
+            mz = z.mean(axis=0)
+            corr = corr - np.outer(mz, mz)
+        want = np.zeros((nx, ny))
+        for a, kx in enumerate(kxs):
+            for b, ky in enumerate(kys):
+                phase = kx * (xs[:, None] - xs[None, :]) + ky * (
+                    ys[:, None] - ys[None, :]
+                )
+                want[a, b] = np.sum(np.cos(phase) * corr) / (nx * ny)
+        got = np.asarray(
+            observables.structure_factor_2d(grid, connected=connected)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # flat y-major encoding (TFIM2D "flat": i = y*Nx + x) of the SAME
+    # configurations gives the SAME S(kx, ky)
+    flat = jnp.asarray(
+        np.asarray(grid).transpose(0, 2, 1).reshape(s, nx * ny)
+    )
+    got_flat = np.asarray(observables.structure_factor_2d(flat, nx=nx, ny=ny))
+    got_grid = np.asarray(observables.structure_factor_2d(grid))
+    np.testing.assert_allclose(got_flat, got_grid, rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_evaluate_structure_factor_2d():
+    """2D workloads report the S(kx, ky) momentum grid from evaluate()
+    (the round-3 CLI fail-fast is gone) — both the MDRNN grid family and
+    the snake flat family."""
+    from rnnwavefunctions_tpu import MDRNN2D, PRNNSnake2D, TFIM2D
+
+    tr = VMCTrainer(
+        MDRNN2D(nx=3, ny=4, units=8),
+        TFIM2D(nx=3, ny=4, bx=3.0, encoding="grid"),
+        TrainConfig(num_samples=64),
+    )
+    out = tr.evaluate(tr.init(), jax.random.PRNGKey(0),
+                      observables=("structure_factor",))
+    sk = np.asarray(out["structure_factor"])
+    assert sk.shape == (3, 4) and np.all(sk >= -1e-5)
+
+    tr2 = VMCTrainer(
+        PRNNSnake2D(nx=3, ny=4, units=(8,)),
+        TFIM2D(nx=3, ny=4, bx=3.0, encoding="flat"),
+        TrainConfig(num_samples=64),
+    )
+    out2 = tr2.evaluate(tr2.init(), jax.random.PRNGKey(1),
+                        observables=("structure_factor",))
+    sk2 = np.asarray(out2["structure_factor"])
+    assert sk2.shape == (3, 4) and np.all(sk2 >= -1e-5)
