@@ -7,8 +7,11 @@ without one.  Mirrors the reference's four runner scripts
 ``2DTFIM_1DRNN/run_2dTFIM.py:10``, ``2DTFIM_2DRNN/run_2dTFIM.py:10``,
 ``J1J2/run_j1j2.py:11``) plus the evaluation CLI.
 
-Dispatch imports lazily: listing commands or printing usage must not pay
-(or hang on) JAX backend initialization.
+Dispatch imports the command modules lazily: listing commands or printing
+usage never initializes a JAX backend or touches a device.  (Running via
+``python -m`` still executes the package ``__init__``, which imports jax
+and the model modules — what is avoided is backend/device initialization,
+not the import cost.)
 """
 from __future__ import annotations
 
@@ -51,10 +54,16 @@ def main(argv=None) -> int:
         return 2
     module = importlib.import_module(COMMANDS[cmd][0])
     # argparse derives prog from sys.argv[0]; show the real invocation
-    # in per-command --help instead of ".../__main__.py".
+    # in per-command --help instead of ".../__main__.py".  Restored after
+    # the command returns — in-process callers (the test suite) must not
+    # see a rewritten argv[0] leak past the dispatch.
+    saved_argv0 = sys.argv[0]
     sys.argv[0] = f"python -m rnnwavefunctions_tpu {cmd}"
-    # Runner mains return None; propagate anything explicit.
-    return module.main(rest) or 0
+    try:
+        # Runner mains return None; propagate anything explicit.
+        return module.main(rest) or 0
+    finally:
+        sys.argv[0] = saved_argv0
 
 
 if __name__ == "__main__":

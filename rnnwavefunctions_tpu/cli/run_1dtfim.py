@@ -11,7 +11,12 @@ from __future__ import annotations
 import argparse
 
 from .. import PRNN1D, TFIM1D, TrainConfig, VMCTrainer, make_mesh
-from .run_loop import add_cache_flag, enable_persistent_cache, run_training
+from .run_loop import (
+    add_cache_flag,
+    enable_persistent_cache,
+    resolve_dtype,
+    run_training,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -44,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "log-prob error at ~1.8x step cost)")
     p.add_argument("--parity", action="store_true",
                    help="parity-symmetrized density (RNNwavefunction_paritysym)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "float64"],
+                   help="end-to-end compute dtype.  The reference "
+                        "accumulates this family's log-probs in float64 "
+                        "(1DTFIM/RNNwavefunction.py:113-116); float32 + "
+                        "Kahan-compensated accumulation is the TPU-native "
+                        "default and meets the published anchors — float64 "
+                        "runs the jnp paths (no fused kernels) for "
+                        "bit-level reference semantics")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--tp", type=int, default=1,
@@ -62,11 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     enable_persistent_cache(args.jax_cache_dir)
+    dtype = resolve_dtype(args.dtype)
     ansatz = PRNN1D(
         num_sites=args.systemsize,
         units=(args.num_units,) * args.num_layers,
         parity=args.parity,
         cell=args.cell,
+        dtype=dtype,
+        accum_dtype=dtype,
     )
     ham = TFIM1D(num_sites=args.systemsize, bx=args.bx)
     config = TrainConfig(

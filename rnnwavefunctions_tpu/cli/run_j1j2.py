@@ -12,7 +12,12 @@ from __future__ import annotations
 import argparse
 
 from .. import CRNNU1, J1J2, TrainConfig, VMCTrainer, make_mesh
-from .run_loop import add_cache_flag, enable_persistent_cache, run_training
+from .run_loop import (
+    add_cache_flag,
+    enable_persistent_cache,
+    resolve_dtype,
+    run_training,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -43,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU matmul precision for the whole jitted step "
                         "('highest' = multi-pass f32: ~5x lower long-chain "
                         "log-prob error at ~1.8x step cost)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "float64"],
+                   help="end-to-end compute dtype.  The reference runs "
+                        "this family in complex64 over float32 trunks but "
+                        "accumulates log-amps through float64-promoted "
+                        "sums in the 1DTFIM sibling; float32 + Kahan-"
+                        "compensated accumulation is the TPU-native "
+                        "default — float64 runs the jnp paths (no fused "
+                        "kernels) for provable-parity runs")
     p.add_argument("--num-devices", type=int, default=None)
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--workdir", type=str, default="Check_Points/J1J2")
@@ -67,9 +81,12 @@ def main(argv=None):
             "meaningful",
             stacklevel=1,
         )
+    dtype = resolve_dtype(args.dtype)
     ansatz = CRNNU1(
         num_sites=args.systemsize,
         units=(args.num_units,) * args.num_layers,
+        dtype=dtype,
+        accum_dtype=dtype,
     )
     ham = J1J2(
         num_sites=args.systemsize,

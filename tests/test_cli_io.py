@@ -329,3 +329,24 @@ def test_module_dispatcher(capsys):
             dispatcher.main([cmd, "--help"])
         assert e.value.code == 0
         assert "--help" not in capsys.readouterr().err
+
+
+def test_cli_1d_float64_end_to_end(tmp_path):
+    """--dtype float64 on the 1D runners (1DTFIM + J1J2) trains in f64
+    end-to-end — the provable-parity escape hatch for the reference's f64
+    log-prob accumulation (1DTFIM/RNNwavefunction.py:113-116)."""
+    try:
+        mean_e, _ = run_1dtfim.main([
+            "--numsteps", "4", "--systemsize", "6", "--num-units", "6",
+            "--numsamples", "16", "--dtype", "float64",
+            "--num-devices", "1", "--workdir", str(tmp_path / "tfim"),
+        ])
+        assert np.isfinite(mean_e).all()
+        mean_e, _ = run_j1j2.main([
+            "--numsteps", "4", "--systemsize", "6", "--num-units", "6",
+            "--numsamples", "16", "--dtype", "float64",
+            "--num-devices", "1", "--workdir", str(tmp_path / "j1j2"),
+        ])
+        assert np.isfinite(mean_e).all()
+    finally:
+        jax.config.update("jax_enable_x64", False)
