@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "default — float64 runs the jnp paths (no fused "
                         "kernels) for provable-parity runs")
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width: shard the GRU trunk's "
+                        "hidden dimension and both heads over a second "
+                        "mesh axis (Megatron-style; devices used = dp x tp)")
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--workdir", type=str, default="Check_Points/J1J2")
     p.add_argument("--resume", action="store_true")
@@ -105,8 +109,18 @@ def main(argv=None):
         optimizer=args.optimizer,
         sr_damping=args.sr_damping,
         matmul_precision=args.matmul_precision,
+        tp=args.tp,
     )
-    trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
+    if args.tp > 1:
+        import jax
+
+        from ..parallel.tensor import make_dp_tp_mesh
+
+        n_dev = args.num_devices or len(jax.devices())
+        mesh = make_dp_tp_mesh(max(1, n_dev // args.tp), args.tp)
+    else:
+        mesh = make_mesh(args.num_devices)
+    trainer = VMCTrainer(ansatz, ham, config, mesh=mesh)
     tag = (
         f"N{args.systemsize}_samp{args.numsamples}_lr{args.learningrate}"
         f"_complexGRURNN_J1J2{args.j2}_units_{args.num_units}x{args.num_layers}"

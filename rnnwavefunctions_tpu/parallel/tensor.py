@@ -69,44 +69,73 @@ def shard_params(params: Any, k: int, idx) -> Any:
     first, the input rows are the previous layer's *full* hidden (the
     all-gathered activation), so rows stay full there too.
     """
-    for i, cell in enumerate(params["rnn"]):
-        u = cell["wh"].shape[0]
-        if u % k != 0:
-            raise ValueError(
-                f"hidden width {u} of layer {i} is not divisible by "
-                f"tp={k}; pick units that shard evenly"
-            )
-    rnn = []
-    for cell in params["rnn"]:
-        rnn.append({
+    _shard_trunk(params["rnn"], k)
+    rnn = [
+        {
             "wx": _gate_cols(cell["wx"], 3, k, idx),
             "wh": _gate_cols(cell["wh"], 3, k, idx),
             "bx": _gate_cols(cell["bx"][None], 3, k, idx)[0],
             "bh": _gate_cols(cell["bh"][None], 3, k, idx)[0],
-        })
-    head = params["head"]
-    u_top = params["rnn"][-1]["wh"].shape[0]
-    us = u_top // k
+        }
+        for cell in params["rnn"]
+    ]
+    # b/k folded inside the head psum: the forward value is unchanged, and
+    # because the in-trunk psum transposes to a psum, every member's local
+    # gradient comes out k x its disjoint slice — so pmean-over-tp (NOT a
+    # plain psum; see trainer._device_step_tp and
+    # tests/test_tensor_parallel.py::test_tp_inner_grad_pmean_matches_
+    # unsharded) assembles ALL parameter gradients uniformly at 1x, the
+    # bias included via the folded 1/k.
+    return {"rnn": rnn, "head": _shard_head(params["head"], k, idx)}
+
+
+def shard_params_crnn(params: Any, k: int, idx) -> Any:
+    """Shard a CRNNU1 parameter pytree for tp-shard ``idx`` of ``k``: the
+    shared GRU trunk exactly as ``shard_params``, and BOTH dense heads
+    (amplitude + phase) row-sharded with the same folded-b/k psum/pmean
+    gradient contract."""
+    _shard_trunk(params["rnn"], k)
+    rnn = [
+        {
+            "wx": _gate_cols(cell["wx"], 3, k, idx),
+            "wh": _gate_cols(cell["wh"], 3, k, idx),
+            "bx": _gate_cols(cell["bx"][None], 3, k, idx)[0],
+            "bh": _gate_cols(cell["bh"][None], 3, k, idx)[0],
+        }
+        for cell in params["rnn"]
+    ]
     return {
         "rnn": rnn,
-        "head": {
-            "w": jax.lax.dynamic_slice_in_dim(head["w"], idx * us, us, axis=0),
-            # b/k folded inside the head psum: the forward value is
-            # unchanged, and because the in-trunk psum transposes to a psum,
-            # every member's local gradient comes out k x its disjoint
-            # slice — so pmean-over-tp (NOT a plain psum; see
-            # trainer._device_step_tp and tests/test_tensor_parallel.py::
-            # test_tp_inner_grad_pmean_matches_unsharded) assembles ALL
-            # parameter gradients uniformly at 1x, the bias included via
-            # the folded 1/k.
-            "b": head["b"] / k,
-        },
+        "head_ampl": _shard_head(params["head_ampl"], k, idx),
+        "head_phase": _shard_head(params["head_phase"], k, idx),
     }
 
 
 # ---------------------------------------------------------------------------
 # Sharded trunk (runs inside shard_map over a ("dp", "tp") mesh)
 # ---------------------------------------------------------------------------
+
+def _shard_head(head: Any, k: int, idx) -> Any:
+    """Row-shard a dense head for tp-shard ``idx`` of ``k``: 1/k of its
+    input rows, with b/k folded into the head psum (see ``shard_params``'s
+    gradient note — pmean over tp assembles every gradient at 1x)."""
+    u_top = head["w"].shape[0]
+    us = u_top // k
+    return {
+        "w": jax.lax.dynamic_slice_in_dim(head["w"], idx * us, us, axis=0),
+        "b": head["b"] / k,
+    }
+
+
+def _shard_trunk(rnn: Sequence[Any], k: int) -> None:
+    for i, cell in enumerate(rnn):
+        u = cell["wh"].shape[0]
+        if u % k != 0:
+            raise ValueError(
+                f"hidden width {u} of layer {i} is not divisible by "
+                f"tp={k}; pick units that shard evenly"
+            )
+
 
 def _tp_gru_apply(p, x, h_shard):
     """One tp-sharded GRU step: ``h_shard`` (B, U/k) -> new (B, U/k) shard.
@@ -121,24 +150,34 @@ def _tp_gru_apply(p, x, h_shard):
     return z * h_shard + (1.0 - z) * c
 
 
-def _tp_step_logits(params, x, hs):
-    """Sharded stacked-GRU + head step.  ``hs``: per-layer (B, U/k) shards.
-    Returns ((B, d) tp-replicated logits, new shards)."""
+def _tp_trunk_step(rnn_params, x, hs):
+    """Sharded stacked-GRU trunk step.  ``hs``: per-layer (B, U/k) shards.
+    Returns the new shards tuple."""
     new_hs = []
     inp = x
-    for p, h in zip(params["rnn"], hs):
+    for p, h in zip(rnn_params, hs):
         h_new = _tp_gru_apply(p, inp, h)
         new_hs.append(h_new)
         # deeper layers consume the full previous-layer output
         inp = jax.lax.all_gather(h_new, TP_AXIS, axis=-1, tiled=True)
-    # row-sharded head: partial products (+ b/k) reduced over the tp group
-    logits = jax.lax.psum(
-        jnp.dot(new_hs[-1], params["head"]["w"],
-                preferred_element_type=new_hs[-1].dtype)
-        + params["head"]["b"],
+    return tuple(new_hs)
+
+
+def _tp_head(head, h_shard):
+    """Row-sharded dense head: partial products (+ b/k) psum'd over the tp
+    group — every member sees identical full logits."""
+    return jax.lax.psum(
+        jnp.dot(h_shard, head["w"], preferred_element_type=h_shard.dtype)
+        + head["b"],
         TP_AXIS,
     )
-    return logits, tuple(new_hs)
+
+
+def _tp_step_logits(params, x, hs):
+    """Sharded stacked-GRU + head step.  ``hs``: per-layer (B, U/k) shards.
+    Returns ((B, d) tp-replicated logits, new shards)."""
+    new_hs = _tp_trunk_step(params["rnn"], x, hs)
+    return _tp_head(params["head"], new_hs[-1]), new_hs
 
 
 def tp_zero_state(batch: int, units: Sequence[int], k: int, dtype=jnp.float32):
@@ -193,3 +232,97 @@ def tp_sample_with_log_prob(params_shard, key: jax.Array, num_samples: int,
     keys = jax.random.split(key, num_sites)
     _, (draws, site_logps) = jax.lax.scan(step, (x0, hs0), keys)
     return draws.T, jnp.sum(site_logps, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Complex U(1) cRNN on the sharded trunk (reference semantics via the
+# ansatz's own _masked_ampl — heavyside mask, eps=1e-30 L2 renorm,
+# ComplexRNNwavefunction.py:85-93/147-155)
+# ---------------------------------------------------------------------------
+
+
+def tp_crnn_sample_with_log_prob(ansatz, params_shard, key: jax.Array,
+                                 num_samples: int, k: int):
+    """Autoregressive U(1) cRNN sampling with a tp-sharded trunk; the
+    psum'd amplitude-head logits are tp-replicated, so the mask/renorm/draw
+    arithmetic is identical on every member (``key`` must fold dp only).
+    Mirrors ``models/crnn_u1.CRNNU1.sample_with_log_prob``'s jnp path."""
+    from ..models.crnn_u1 import CRNNU1  # noqa: F401  (semantics source)
+    from ..models.prnn1d import inverse_cdf_sample
+    from ..ops.compsum import accum_sum
+
+    d = ansatz.local_dim
+    dtype = ansatz.dtype
+    units = tuple(ansatz.units)
+
+    def step(carry, xs):
+        x, hs, num_up = carry
+        n, site_key = xs
+        hs = _tp_trunk_step(params_shard["rnn"], x, hs)
+        logits = _tp_head(params_shard["head_ampl"], hs[-1])
+        ampl = jnp.sqrt(jax.nn.softmax(logits, axis=-1))  # sqsoftmax
+        ampl = ansatz._masked_ampl(ampl, n, num_up)
+        probs = ampl**2
+        draw = inverse_cdf_sample(site_key, probs)
+        site_logp = jnp.log(
+            jnp.take_along_axis(probs, draw[:, None], axis=-1)[:, 0]
+        )
+        x_next = jax.nn.one_hot(draw, d, dtype=dtype)
+        return (x_next, hs, num_up + draw), (
+            draw, site_logp.astype(ansatz.accum_dtype),
+        )
+
+    x0 = jnp.zeros((num_samples, d), dtype)
+    hs0 = tp_zero_state(num_samples, units, k, dtype)
+    up0 = jnp.zeros((num_samples,), jnp.int32)
+    ns = jnp.arange(ansatz.num_sites)
+    keys = jax.random.split(key, ansatz.num_sites)
+    _, (draws, site_logps) = jax.lax.scan(step, (x0, hs0, up0), (ns, keys))
+    return draws.T, accum_sum(site_logps, ansatz.accum_dtype)
+
+
+def tp_crnn_log_amp_parts(ansatz, params_shard, samples: jax.Array, k: int):
+    """Teacher-forced (Re, Im) log psi with a tp-sharded trunk, both (B,)
+    tp-replicated.  Mirrors ``CRNNU1._log_amp_parts_jnp``."""
+    from ..ops.compsum import accum_sum
+
+    d = ansatz.local_dim
+    dtype = ansatz.dtype
+    units = tuple(ansatz.units)
+    s = samples.shape[0]
+    onehot = jax.nn.one_hot(samples.T, d, dtype=dtype)
+    inputs = jnp.concatenate(
+        [jnp.zeros((1, s, d), dtype), onehot[:-1]], axis=0
+    )
+    targets = samples.T
+    cum_up = jnp.concatenate(
+        [jnp.zeros((1, s), jnp.int32), jnp.cumsum(targets, axis=0)[:-1]],
+        axis=0,
+    )
+
+    def step(hs, xs_t):
+        x, tgt, n, num_up = xs_t
+        hs = _tp_trunk_step(params_shard["rnn"], x, hs)
+        logits_a = _tp_head(params_shard["head_ampl"], hs[-1])
+        ampl = ansatz._masked_ampl(
+            jnp.sqrt(jax.nn.softmax(logits_a, axis=-1)), n, num_up
+        )
+        phase = jnp.pi * jax.nn.soft_sign(
+            _tp_head(params_shard["head_phase"], hs[-1])
+        )
+        a = jnp.take_along_axis(ampl, tgt[:, None], axis=-1)[:, 0]
+        ph = jnp.take_along_axis(phase, tgt[:, None], axis=-1)[:, 0]
+        return hs, (
+            jnp.log(a).astype(ansatz.accum_dtype),
+            ph.astype(ansatz.accum_dtype),
+        )
+
+    hs0 = tp_zero_state(s, units, k, dtype)
+    ns = jnp.arange(ansatz.num_sites)
+    _, (log_ampls, phases) = jax.lax.scan(
+        step, hs0, (inputs, targets, ns, cum_up)
+    )
+    return (
+        accum_sum(log_ampls, ansatz.accum_dtype),
+        accum_sum(phases, ansatz.accum_dtype),
+    )

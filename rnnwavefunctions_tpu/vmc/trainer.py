@@ -68,8 +68,10 @@ class TrainConfig:
     # second mesh axis "tp" (Megatron-style column sharding,
     # parallel/tensor.py) orthogonal to the Monte-Carlo "dp" axis.  No
     # reference analog (single GPU); this is the rebuild's very-large-units
-    # scaling path.  Requires a plain positive GRU PRNN1D ansatz with
-    # tp-divisible hidden widths and a flat-encoded Hamiltonian.
+    # scaling path.  Covers GRU-trunk 1D families — the plain positive
+    # PRNN1D (incl. snake-2D flat) and the complex U(1) CRNNU1 (both heads
+    # row-sharded, per-sample mask tp-replicated) — with tp-divisible
+    # hidden widths and a flat-encoded Hamiltonian.
     tp: int = 1
     # parameter update rule: "adam" (the reference optimizer,
     # TrainingRNN_1DTFIM.py:113) or "minsr" — stochastic reconfiguration /
@@ -207,8 +209,9 @@ class VMCTrainer:
         return wrapped
 
     def _validate_tp(self):
-        """The tensor-parallel trunk (parallel/tensor.py) covers the plain
-        positive GRU PRNN1D on flat-encoded real Hamiltonians."""
+        """The tensor-parallel trunk (parallel/tensor.py) covers the
+        GRU-trunk 1D families — the plain positive PRNN1D on flat real
+        Hamiltonians and the complex U(1) CRNNU1 on the J1-J2 chain."""
         from ..parallel.tensor import TP_AXIS
 
         if (
@@ -220,16 +223,19 @@ class VMCTrainer:
                 f"of that size; got {dict(self.mesh.shape)}"
             )
         a = self.ansatz
-        if not (
+        plain_prnn = (
             getattr(a, "plain_positive", False)
-            and getattr(a, "cell", "gru") == "gru"
             # the snake-2D factory returns a PRNN1D instance, so this one
             # name covers both families
             and type(a).__name__ == "PRNN1D"
-        ):
+        )
+        crnn = type(a).__name__ == "CRNNU1"
+        if not ((plain_prnn or crnn) and getattr(a, "cell", "gru") == "gru"):
             raise ValueError(
-                "tensor parallelism supports the plain positive GRU pRNN "
-                f"family; got {type(a).__name__}"
+                "tensor parallelism supports the GRU-trunk 1D families "
+                "(plain positive PRNN1D and the complex U(1) CRNNU1); got "
+                f"{type(a).__name__} with cell="
+                f"{getattr(a, 'cell', 'gru')!r}"
             )
         if getattr(a, "local_dim", 2) != 2:
             raise ValueError(
@@ -263,7 +269,9 @@ class VMCTrainer:
     def _tp_sample_and_energy(self, params, key):
         """Sample + local energies through the tp-sharded trunk (runs inside
         shard_map on the (dp, tp) mesh; ``params`` replicated).  Returns
-        (samples, logp_sampling, e_re) — all tp-replicated."""
+        (samples, la_s, e_re, e_im) — all tp-replicated.  ``la_s`` is the
+        base log psi: 0.5*logp for the positive family, the (Re, Im) pair
+        for the complex one; ``e_im`` is None when real."""
         from ..parallel import tensor as tp_lib
         from .local_energy import _chunked_apply
 
@@ -271,6 +279,41 @@ class VMCTrainer:
         k = self.tp
         units = tuple(ansatz.units)
         idx = jax.lax.axis_index(tp_lib.TP_AXIS)
+
+        if getattr(ansatz, "is_complex", False):
+            shard = tp_lib.shard_params_crnn(params, k, idx)
+            with jax.named_scope("vmc_sample"):
+                samples, _ = tp_lib.tp_crnn_sample_with_log_prob(
+                    ansatz, shard, key, self.local_samples, k
+                )
+            samples = jax.lax.stop_gradient(samples)
+            with jax.named_scope("vmc_local_energy"):
+                s_re, s_im = tp_lib.tp_crnn_log_amp_parts(
+                    ansatz, shard, samples, k
+                )
+                diag, flips, elements, mask = jax.vmap(ham.connected)(samples)
+                s, kk = flips.shape[0], flips.shape[1]
+                flat = flips.reshape((s * kk,) + flips.shape[2:])
+                la_re, la_im = _chunked_apply(
+                    lambda c: tp_lib.tp_crnn_log_amp_parts(
+                        ansatz, shard, c, k
+                    ),
+                    flat,
+                    self.config.chunk_size,
+                )
+                d_re = la_re.reshape(s, kk) - s_re[:, None]
+                d_im = la_im.reshape(s, kk) - s_im[:, None]
+                mag = jnp.exp(d_re)
+                w = jnp.where(mask, elements.astype(mag.dtype) * mag, 0.0)
+                e_re = diag.astype(w.dtype) + jnp.sum(
+                    w * jnp.cos(d_im), axis=1
+                )
+                e_im = jnp.sum(w * jnp.sin(d_im), axis=1)
+            return (
+                samples, (s_re, s_im),
+                jax.lax.stop_gradient(e_re), jax.lax.stop_gradient(e_im),
+            )
+
         shard = tp_lib.shard_params(params, k, idx)
         with jax.named_scope("vmc_sample"):
             samples, logp = tp_lib.tp_sample_with_log_prob(
@@ -291,7 +334,7 @@ class VMCTrainer:
             e_re = diag.astype(ratios.dtype) + jnp.sum(
                 jnp.where(mask, contrib, 0.0), axis=1
             )
-        return samples, logp, jax.lax.stop_gradient(e_re)
+        return samples, 0.5 * logp, jax.lax.stop_gradient(e_re), None
 
     def _device_step_tp(self, params, opt_state, step, key):
         """Tensor-parallel device step: the GRU hidden dimension is sharded
@@ -305,15 +348,26 @@ class VMCTrainer:
         from ..parallel import tensor as tp_lib
 
         key = mesh_lib.device_key(jax.random.fold_in(key, step))
-        samples, _, e_re = self._tp_sample_and_energy(params, key)
+        samples, _, e_re, e_im = self._tp_sample_and_energy(params, key)
         e_mean = mesh_lib.pmean(jnp.mean(e_re))
         var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean) ** 2))
+        e_im_mean = (
+            None if e_im is None else mesh_lib.pmean(jnp.mean(e_im))
+        )
         units = tuple(self.ansatz.units)
+        is_complex = getattr(self.ansatz, "is_complex", False)
 
         def loss_fn(p):
-            sh = tp_lib.shard_params(
-                p, self.tp, jax.lax.axis_index(tp_lib.TP_AXIS)
-            )
+            idx = jax.lax.axis_index(tp_lib.TP_AXIS)
+            if is_complex:
+                sh = tp_lib.shard_params_crnn(p, self.tp, idx)
+                la_re, la_im = tp_lib.tp_crnn_log_amp_parts(
+                    self.ansatz, sh, samples, self.tp
+                )
+                return surrogate_loss(
+                    la_re, la_im, e_re, e_im, e_mean, e_im_mean
+                )
+            sh = tp_lib.shard_params(p, self.tp, idx)
             la_s = 0.5 * tp_lib.tp_log_prob(sh, samples, units, self.tp)
             return surrogate_loss(la_s, None, e_re, None, e_mean, None)
 
@@ -326,10 +380,10 @@ class VMCTrainer:
         with jax.named_scope("vmc_update"):
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-        return params, opt_state, step + 1, {
-            "mean_energy": e_mean,
-            "var_energy": var_e,
-        }
+        metrics = {"mean_energy": e_mean, "var_energy": var_e}
+        if e_im_mean is not None:
+            metrics["mean_energy_im"] = e_im_mean
+        return params, opt_state, step + 1, metrics
 
     # -- the fused step -----------------------------------------------------
 
@@ -505,14 +559,17 @@ class VMCTrainer:
     def _build_evaluate(self, extra: tuple = ()):
         def device_eval_tp(params, key):
             key = mesh_lib.device_key(key)
-            samples, _, e_re = self._tp_sample_and_energy(params, key)
+            samples, _, e_re, e_im = self._tp_sample_and_energy(params, key)
             e_mean = mesh_lib.pmean(jnp.mean(e_re))
             var_e = mesh_lib.pmean(jnp.mean((e_re - e_mean) ** 2))
             mag = mesh_lib.pmean(
                 jnp.mean(2.0 * samples.astype(jnp.float32) - 1.0)
             )
-            return {"mean_energy": e_mean, "var_energy": var_e,
-                    "magnetization": mag}
+            out = {"mean_energy": e_mean, "var_energy": var_e,
+                   "magnetization": mag}
+            if e_im is not None:
+                out["mean_energy_im"] = mesh_lib.pmean(jnp.mean(e_im))
+            return out
 
         def device_eval(params, key):
             ansatz = self.ansatz

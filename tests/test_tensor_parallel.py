@@ -171,14 +171,29 @@ def test_trainer_tp_matches_dp():
 
 
 def test_trainer_tp_validation():
-    from rnnwavefunctions_tpu import CRNNU1, TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu import CRNNU1, MDRNN2D, TFIM2D, TrainConfig, VMCTrainer
     from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
     import pytest
 
-    with pytest.raises(ValueError, match="plain positive"):
+    # CRNNU1 with a GRU trunk is tp-supported since round 4 — construction
+    # must NOT raise
+    VMCTrainer(
+        CRNNU1(num_sites=8, units=(16,), impl="jnp"),
+        J1J2(num_sites=8, j2=0.2),
+        TrainConfig(num_samples=16, tp=K),
+        mesh=_mesh(),
+    )
+    with pytest.raises(ValueError, match="GRU-trunk"):
         VMCTrainer(
-            CRNNU1(num_sites=8, units=(16,), impl="jnp"),
+            CRNNU1(num_sites=8, units=(16,), cell="lstm", impl="jnp"),
             J1J2(num_sites=8, j2=0.2),
+            TrainConfig(num_samples=16, tp=K),
+            mesh=_mesh(),
+        )
+    with pytest.raises(ValueError, match="GRU-trunk"):
+        VMCTrainer(
+            MDRNN2D(nx=4, ny=4, units=16),
+            TFIM2D(nx=4, ny=4, bx=3.0, encoding="grid"),
             TrainConfig(num_samples=16, tp=K),
             mesh=_mesh(),
         )
@@ -246,3 +261,133 @@ def test_tp_vmc_step_trains():
         energies.append(float(e))
     assert np.mean(energies[-5:]) < np.mean(energies[:5]) - 0.5
     assert np.isfinite(energies).all()
+
+
+# -- complex U(1) cRNN on the sharded trunk (round 4) -------------------------
+
+
+def _setup_crnn(n=8, s=16):
+    from rnnwavefunctions_tpu import CRNNU1
+
+    ansatz = CRNNU1(num_sites=n, units=UNITS, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), s)
+    return ansatz, params, samples
+
+
+def test_tp_crnn_log_amp_matches_unsharded():
+    """(Re, Im) log psi through the sharded trunk + both row-sharded heads
+    == the unsharded CRNNU1 (U(1) mask/renorm applied on the tp-replicated
+    psum'd logits)."""
+    ansatz, params, samples = _setup_crnn()
+    mesh = _mesh()
+
+    def fn(params, samples):
+        idx = jax.lax.axis_index(tp.TP_AXIS)
+        shard = tp.shard_params_crnn(params, K, idx)
+        return tp.tp_crnn_log_amp_parts(ansatz, shard, samples, K)
+
+    re, im = jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=(P(), P(DP_AXIS)),
+                      out_specs=P(DP_AXIS), check_vma=False)
+    )(params, samples)
+    want_re, want_im = ansatz._log_amp_parts_jnp(params, samples)
+    np.testing.assert_allclose(np.asarray(re), np.asarray(want_re), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(want_im), atol=1e-5)
+
+
+def test_tp_crnn_sampler_matches_unsharded():
+    """tp members draw identical U(1)-sector chains equal to the unsharded
+    sampler's (same dp-folded key -> same psum'd conditionals)."""
+    ansatz, params, _ = _setup_crnn()
+    mesh = _mesh()
+    key = jax.random.PRNGKey(3)
+
+    def fn(params):
+        idx = jax.lax.axis_index(tp.TP_AXIS)
+        shard = tp.shard_params_crnn(params, K, idx)
+        return tp.tp_crnn_sample_with_log_prob(ansatz, shard, key, 8, K)
+
+    draws, lp = jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                      check_vma=False)
+    )(params)
+    want_draws, want_lp = ansatz.sample_with_log_prob(params, key, 8)
+    np.testing.assert_array_equal(np.asarray(draws), np.asarray(want_draws))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(want_lp), atol=1e-5)
+    # every draw is in the zero-magnetization sector
+    assert np.all(np.asarray(draws).sum(axis=1) == ansatz.num_sites // 2)
+
+
+def test_tp_crnn_inner_grad_pmean_matches_unsharded():
+    """The cRNN training-step pattern — grad of a Re/Im-weighted surrogate
+    inside shard_map, pmean over both axes — reassembles the unsharded
+    gradient for every leaf (both heads included)."""
+    ansatz, params, samples = _setup_crnn()
+    mesh = _mesh()
+    s = samples.shape[0]
+    w_re = jnp.linspace(0.5, 1.5, s)
+    w_im = jnp.linspace(-1.0, 1.0, s)
+
+    def device_fn(p, smp, wr, wi):
+        def loss_fn(pp):
+            sh = tp.shard_params_crnn(pp, K, jax.lax.axis_index(tp.TP_AXIS))
+            re, im = tp.tp_crnn_log_amp_parts(ansatz, sh, smp, K)
+            return jnp.mean(re * wr + im * wi)
+
+        g = jax.grad(loss_fn)(p)
+        return jax.tree.map(
+            lambda x: jax.lax.pmean(jax.lax.pmean(x, tp.TP_AXIS), DP_AXIS), g
+        )
+
+    g1 = jax.jit(
+        jax.shard_map(device_fn, mesh=mesh,
+                      in_specs=(P(), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
+                      out_specs=P(), check_vma=False)
+    )(params, samples, w_re, w_im)
+
+    def loss_ref(p):
+        re, im = ansatz._log_amp_parts_jnp(p, samples)
+        return jnp.mean(re * w_re + im * w_im)
+
+    g2 = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_tp_crnn_matches_dp():
+    """The PRODUCT path for the complex family: ``VMCTrainer(tp=4)`` with
+    CRNNU1/J1J2 on a (2, 4) mesh reproduces the dp-only trainer — same
+    energies (Re and Im), same post-Adam parameters."""
+    from rnnwavefunctions_tpu import CRNNU1, TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    from rnnwavefunctions_tpu.parallel import mesh as mesh_lib
+
+    n, s = 8, 16
+    ansatz = CRNNU1(num_sites=n, units=UNITS, impl="jnp")
+    ham = J1J2(num_sites=n, j2=0.2)
+    tr_tp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s, tp=K),
+                       mesh=_mesh())
+    tr_dp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s),
+                       mesh=mesh_lib.make_mesh(2))
+    key = jax.random.PRNGKey(11)
+    st_tp = tr_tp.init(key)
+    st_dp = tr_dp.init(key)
+    for it in range(3):
+        st_tp, m_tp = tr_tp.step(st_tp, key)
+        st_dp, m_dp = tr_dp.step(st_dp, key)
+        np.testing.assert_allclose(
+            float(m_tp["mean_energy"]), float(m_dp["mean_energy"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(m_tp["mean_energy_im"]), float(m_dp["mean_energy_im"]),
+            rtol=1e-4, atol=1e-5,
+        )
+    for a, b in zip(jax.tree.leaves(st_tp.params), jax.tree.leaves(st_dp.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+    out = tr_tp.evaluate(st_tp, key)
+    assert np.isfinite(float(out["mean_energy"]))
