@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "a higher per-step cost)")
     p.add_argument("--sr-damping", type=float, default=1e-2,
                    help="SR diagonal shift (only with --optimizer minsr)")
+    p.add_argument("--sr-solver", type=str, default="cg",
+                   choices=["cg", "chol"],
+                   help="SR sample-space solver: fused Pallas CG (default) "
+                        "or exact blocked Cholesky")
+    p.add_argument("--sr-cg-iters", type=int, default=64,
+                   help="CG iterations for --sr-solver cg")
     p.add_argument("--matmul-precision", type=str, default="default",
                    choices=["default", "high", "highest"],
                    help="MXU matmul precision for the whole jitted step "
@@ -95,6 +101,8 @@ def main(argv=None):
         seed=args.seed,
         optimizer=args.optimizer,
         sr_damping=args.sr_damping,
+        sr_solver=args.sr_solver,
+        sr_cg_iters=args.sr_cg_iters,
         matmul_precision=args.matmul_precision,
     )
     if args.tp > 1:

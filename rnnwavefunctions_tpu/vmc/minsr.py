@@ -122,6 +122,160 @@ def per_sample_log_amp_grads(
     return _flatten_rows(jac, 1), None, unravel
 
 
+def per_sample_log_amp_grad_trees(
+    ansatz: Any, params: Any, samples: jax.Array
+) -> Tuple[Any, Optional[Any]]:
+    """Per-sample log-derivative rows as params-shaped pytrees: each leaf is
+    (S, *param-shape).  This is the production form — the flattened (S, P)
+    matrix of :func:`per_sample_log_amp_grads` costs an extra full-matrix
+    copy (measured 0.43 ms at the flagship shape) that the per-leaf solve
+    (:func:`minsr_direction_tree`) never needs."""
+    a = _jnp_twin(ansatz)
+
+    from . import jacobian
+
+    if jacobian.supports(a):
+        if getattr(a, "is_complex", False):
+            rows_re, rows_im = jacobian.crnn_log_amp_rows(
+                ansatz, params, samples
+            )
+            return rows_re, rows_im
+        return jacobian.log_amp_rows(ansatz, params, samples), None
+
+    if getattr(a, "is_complex", False):
+
+        def f2(p, s):
+            re, im = a.log_amp_parts(p, s[None])
+            return jnp.stack([re[0], im[0]])
+
+        jac = jax.vmap(jax.jacrev(f2), in_axes=(None, 0))(params, samples)
+        return (
+            jax.tree.map(lambda l: l[:, 0], jac),
+            jax.tree.map(lambda l: l[:, 1], jac),
+        )
+
+    def f(p, s):
+        return a.log_amp(p, s[None])[0]
+
+    return jax.vmap(jax.grad(f), in_axes=(None, 0))(params, samples), None
+
+
+def minsr_direction_tree(
+    rows_re: Any,
+    rows_im: Optional[Any],
+    e_re: jax.Array,
+    e_im: Optional[jax.Array],
+    e_mean_re: jax.Array,
+    e_mean_im: Optional[jax.Array],
+    damping: float,
+    axis_name: Optional[str] = None,
+    precision=jax.lax.Precision.HIGHEST,
+    solver: str = "chol",
+    cg_iters: int = 64,
+) -> Any:
+    """The SR direction of :func:`minsr_direction`, computed leaf-by-leaf on
+    the params-shaped row trees of :func:`per_sample_log_amp_grad_trees` and
+    returned as a params pytree (same values — pinned by
+    tests/test_minsr.py::test_tree_direction_matches_flat).
+
+    ``solver``: "chol" (exact blocked Cholesky) or "cg" (``cg_iters`` fused
+    conjugate-gradient steps in one Pallas program, ``ops/sr_cg.py`` — the
+    XLA Cholesky on these tiny systems is per-op-latency-bound, ~0.7 ms at
+    S=500 regardless of algorithm).
+
+    TPU-first restructure of the flat form: the Gram ``T = A A^T`` is a sum
+    of per-leaf blocks ``T = sum_l A_l A_l^T`` and the back-contraction
+    ``A^T x`` splits per leaf, so the (S, P) flatten/concat copies (a pure
+    HBM round trip over the full jacobian, ~92 MB at the flagship shape for
+    the complex stack) disappear entirely; the centering subtraction fuses
+    into each leaf's matmul operand read (XLA operand fusion — measured
+    faster on-chip than the exact rank-1 Gram-space centering correction,
+    whose extra ``O mu`` matvec passes re-read the full jacobian).  The
+    complex [Re; Im] row stacking is likewise never materialized — the
+    (2S, 2S) Gram is assembled from its three (S, S) blocks.
+    """
+    n_dev = 1 if axis_name is None else jax.lax.psum(1, axis_name)
+    s_loc = jax.tree.leaves(rows_re)[0].shape[0]
+    dtype = jax.tree.leaves(rows_re)[0].dtype
+    s_glob = s_loc * n_dev
+    inv_sqrt = 1.0 / jnp.sqrt(jnp.asarray(s_glob, dtype))
+
+    def prep(tree):
+        mats = []
+        for leaf in jax.tree.leaves(tree):
+            mat = leaf.reshape(s_loc, -1)
+            mean = jnp.mean(mat, axis=0)
+            if axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name)
+            mat = (mat - mean) * inv_sqrt
+            if axis_name is not None:
+                mat = jax.lax.all_gather(mat, axis_name, axis=0, tiled=True)
+            mats.append(mat)
+        return mats
+
+    def gram(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), precision=precision
+        )
+
+    def c_of(e, e_mean):
+        c = (e - e_mean) * inv_sqrt
+        if axis_name is not None:
+            c = jax.lax.all_gather(c, axis_name, axis=0, tiled=True)
+        return c
+
+    def solve(t, c):
+        if solver == "cg":
+            from ..ops import sr_cg
+
+            return sr_cg.sr_cg_solve(t, c, iters=cg_iters)
+        return jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(t, lower=True), c
+        )
+
+    a_re = prep(rows_re)
+    t_rr = sum(gram(m, m) for m in a_re)
+
+    if rows_im is None:
+        t = t_rr + damping * jnp.eye(t_rr.shape[0], dtype=dtype)
+        x = solve(t, c_of(e_re, e_mean_re))
+        x_parts = [x]
+        a_parts = [a_re]
+    else:
+        a_im = prep(rows_im)
+        t_ri = sum(gram(mr, mi) for mr, mi in zip(a_re, a_im))
+        t_ii = sum(gram(m, m) for m in a_im)
+        t = jnp.block([[t_rr, t_ri], [t_ri.T, t_ii]])
+        t = t + damping * jnp.eye(t.shape[0], dtype=dtype)
+        x = solve(
+            t,
+            jnp.concatenate(
+                [c_of(e_re, e_mean_re), c_of(e_im, e_mean_im)], axis=0
+            ),
+        )
+        s_tot = t_rr.shape[0]
+        x_parts = [x[:s_tot], x[s_tot:]]
+        a_parts = [a_re, a_im]
+
+    def back(i):
+        out = jax.lax.dot_general(
+            a_parts[0][i], x_parts[0], (((0,), (0,)), ((), ())),
+            precision=precision,
+        )
+        if len(a_parts) > 1:
+            out = out + jax.lax.dot_general(
+                a_parts[1][i], x_parts[1], (((0,), (0,)), ((), ())),
+                precision=precision,
+            )
+        return 2.0 * out
+
+    leaves_re, treedef = jax.tree.flatten(rows_re)
+    flat = [
+        back(i).reshape(l.shape[1:]) for i, l in enumerate(leaves_re)
+    ]
+    return jax.tree.unflatten(treedef, flat)
+
+
 def minsr_direction(
     o_re: jax.Array,
     o_im: Optional[jax.Array],

@@ -86,6 +86,23 @@ class TrainConfig:
     # convention); larger = closer to the plain gradient, smaller = closer
     # to pure imaginary-time projection but noisier solves.
     sr_damping: float = 1e-2
+    # MXU precision of the SR sample-space Gram + back-contraction
+    # (minsr.minsr_direction_tree).  "high" (bf16x3 passes, ~1e-6 relative
+    # Gram error — far below the lam >= 1e-3 diagonal shift) measured
+    # ~0.23 ms/step cheaper than "highest" (bf16x6) at the flagship shape
+    # (scripts/exp_gram_precision.py); "highest" remains one flag away for
+    # conditioning-critical studies.
+    sr_precision: str = "high"
+    # SR sample-space solver: "chol" (exact blocked Cholesky) or "cg"
+    # (sr_cg_iters fused conjugate-gradient steps in one Pallas program,
+    # ops/sr_cg.py).  The XLA Cholesky on the (S, S)/(2S, 2S) system is
+    # per-op-latency-bound (~0.7 ms at S=500 whatever the algorithm —
+    # scripts/exp_sr_solver.py); the fused kernel collapses that to MXU
+    # matvec time.  CG at 64 iterations sits ~1e-4 relative off the exact
+    # solve on the hardest published conditioning — far below the
+    # O(1/sqrt(S)) stochastic noise in the SR right-hand side.
+    sr_solver: str = "cg"
+    sr_cg_iters: int = 64
     # MXU matmul precision for the whole jitted step (including inside the
     # Pallas kernels; the jax.default_matmul_precision context is read at
     # trace time).  On this hardware "default" f32 matmuls execute single
@@ -168,6 +185,15 @@ class VMCTrainer:
                 raise ValueError(
                     "sr_damping must be > 0 (the push-through identity "
                     f"needs a positive diagonal shift); got {config.sr_damping}"
+                )
+            if config.sr_solver not in ("chol", "cg"):
+                raise ValueError(
+                    f"unknown sr_solver {config.sr_solver!r} "
+                    "(expected 'chol' or 'cg')"
+                )
+            if config.sr_solver == "cg" and config.sr_cg_iters < 1:
+                raise ValueError(
+                    f"sr_cg_iters must be >= 1; got {config.sr_cg_iters}"
                 )
             # the SR solve produces a descent direction; sgd applies it so
             # every LR schedule works unchanged
@@ -452,13 +478,16 @@ class VMCTrainer:
             from . import minsr
 
             with jax.named_scope("vmc_minsr"):
-                o_re, o_im, unravel = minsr.per_sample_log_amp_grads(
+                rows_re, rows_im = minsr.per_sample_log_amp_grad_trees(
                     ansatz, params, samples
                 )
-                grads = unravel(minsr.minsr_direction(
-                    o_re, o_im, e_re, e_im, e_mean_re, e_mean_im,
+                grads = minsr.minsr_direction_tree(
+                    rows_re, rows_im, e_re, e_im, e_mean_re, e_mean_im,
                     self.config.sr_damping, axis_name=mesh_lib.DP_AXIS,
-                ))
+                    precision=self.config.sr_precision,
+                    solver=self.config.sr_solver,
+                    cg_iters=self.config.sr_cg_iters,
+                )
         else:
             # The differentiable log-amp pass routes through the ansatz's
             # custom_vjp (Pallas forward, jnp BPTT backward).  Measured

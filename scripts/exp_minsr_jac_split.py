@@ -29,7 +29,7 @@ from rnnwavefunctions_tpu.vmc import jacobian, minsr
 from rnnwavefunctions_tpu.ops import fused_jac
 from rnnwavefunctions_tpu.ops.tiling import tpu_compiler_options
 
-N, U, S, K = 100, 50, 500, 50
+N, U, S, K = 100, 50, 500, 400
 
 
 def _sync(x):
@@ -105,6 +105,16 @@ def main():
           scanned(lambda o, ee: minsr.minsr_direction(
               o, None, ee, None, jnp.mean(ee), None, 1e-3)),
           o_re, e)
+    rows_tree = jax.jit(
+        lambda p, s: minsr.per_sample_log_amp_grad_trees(ansatz, p, s)[0],
+        compiler_options=tpu_compiler_options(),
+    )(params, samples)
+    for prec in ("highest", "high"):
+        bench(f"tree solve (per-leaf gram, {prec})",
+              scanned(lambda o, ee, pr=prec: minsr.minsr_direction_tree(
+                  o, None, ee, None, jnp.mean(ee), None, 1e-3,
+                  precision=pr)),
+              rows_tree, e)
     bench("adam loss grad (fused BPTT), for scale",
           scanned(lambda p, s: jax.grad(
               lambda q: jnp.sum(ansatz.log_amp(q, s)))(p)),
@@ -131,6 +141,16 @@ def main():
               ore, oim, ee, jnp.zeros_like(ee), jnp.mean(ee),
               jnp.asarray(0.0, jnp.float32), 1e-3)),
           co[0], co[1], e)
+    ctrees = jax.jit(
+        lambda p, s: minsr.per_sample_log_amp_grad_trees(cans, p, s),
+        compiler_options=tpu_compiler_options(),
+    )(cp, cs)
+    for prec in ("highest", "high"):
+        bench(f"complex tree solve (per-leaf, {prec})",
+              scanned(lambda ore, oim, ee, pr=prec: minsr.minsr_direction_tree(
+                  ore, oim, ee, jnp.zeros_like(ee), jnp.mean(ee),
+                  jnp.asarray(0.0, jnp.float32), 1e-3, precision=pr)),
+              ctrees[0], ctrees[1], e)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,66 @@ def test_minsr_matches_param_space_sr_complex():
     np.testing.assert_allclose(got, want, atol=1e-4 * float(jnp.abs(want).max()))
 
 
+def test_tree_direction_matches_flat_real():
+    """The per-leaf Gram/back-contraction path (minsr_direction_tree, the
+    trainer's production form) equals the flat (S, P) solve leaf-for-leaf."""
+    ansatz = PRNN1D(num_sites=6, units=(6,))
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.5, (24, 6)
+    ).astype(jnp.int32)
+    e = jax.random.normal(jax.random.PRNGKey(2), (24,))
+    o_re, _, unravel = minsr.per_sample_log_amp_grads(ansatz, params, samples)
+    want = unravel(
+        minsr.minsr_direction(o_re, None, e, None, e.mean(), None, LAM)
+    )
+    rows_re, rows_im = minsr.per_sample_log_amp_grad_trees(
+        ansatz, params, samples
+    )
+    assert rows_im is None
+    got = minsr.minsr_direction_tree(
+        rows_re, None, e, None, e.mean(), None, LAM
+    )
+    jax.tree.map(
+        lambda g, w: np.testing.assert_allclose(
+            g, w, atol=1e-5 * max(float(jnp.abs(w).max()), 1e-6)
+        ),
+        got, want,
+    )
+
+
+def test_tree_direction_matches_flat_complex():
+    ansatz = CRNNU1(num_sites=6, units=(8,))
+    params = ansatz.init(jax.random.PRNGKey(3))
+    samples = ansatz.sample(params, jax.random.PRNGKey(4), 16)
+    e_re = jax.random.normal(jax.random.PRNGKey(5), (16,))
+    e_im = jax.random.normal(jax.random.PRNGKey(6), (16,))
+    o_re, o_im, unravel = minsr.per_sample_log_amp_grads(
+        ansatz, params, samples
+    )
+    want = unravel(minsr.minsr_direction(
+        o_re, o_im, e_re, e_im, e_re.mean(), e_im.mean(), LAM
+    ))
+    rows_re, rows_im = minsr.per_sample_log_amp_grad_trees(
+        ansatz, params, samples
+    )
+    assert rows_im is not None
+    got = minsr.minsr_direction_tree(
+        rows_re, rows_im, e_re, e_im, e_re.mean(), e_im.mean(), LAM
+    )
+    # f32 tolerance: the rank-1 centering correction cancels large
+    # uncentered-Gram terms (the cRNN head rows carry O(1) means), leaving
+    # ~1e-5 absolute noise at this scale.  The identity is exact — in
+    # float64 the two paths agree to 1e-13 — and the residual is far below
+    # the lam >= 1e-3 diagonal shift and the 1/sqrt(S) gradient noise.
+    jax.tree.map(
+        lambda g, w: np.testing.assert_allclose(
+            g, w, atol=2e-4 * max(float(jnp.abs(w).max()), 1e-6)
+        ),
+        got, want,
+    )
+
+
 def test_minsr_large_damping_limit_is_surrogate_gradient():
     """lam -> inf: (S + lam)^{-1} F -> F / lam, and F is exactly the
     surrogate-loss gradient the Adam path descends (vmc/loss.py) — the
