@@ -36,13 +36,28 @@ Variants timed (N=100, U=50, B=512 — the flagship shape):
       Mosaic already extracts whatever fusion is available, per-op pass
       count is not the bound at this width.
   v18 v16 + v17 combined.
+  v19 EXACT merged steady-state matmul: the head matmul of site n and the
+      recurrence matmul of site n+1 both read h_new -> fuse into ONE
+      [hwT; whT] @ h_new per advance, carrying the pre-activation in a
+      (3U, G*T) scratch ref (column inits refresh just their slot).
+      Bit-identical results (max|e-e_ref| = 0.0).  MEASURED (t512):
+      0.917x — 8% SLOWER.  The extra scratch round trip (write + read
+      2.4 MB of pre-activations per site) costs more than the saved
+      small head matmul; Mosaic evidently keeps v0's gh producer-consumer
+      chain tighter than an explicit cross-iteration ref.  v9 (steady
+      loop advancing 2 sites/iteration) measured 0.993x — neutral.
+      Multi-site fusion of the advance is REJECTED on measurement; the
+      shipped v0 structure stands.
 
 Run on the real chip: python scripts/exp_wavefront_pipeline.py \
     [v0-t512 v16-t512 ...]  (default: v0 at t256 and t512)
 """
 
 import functools
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +158,14 @@ def make_kernel(variant):
     paired = variant in ("v13", "v14", "v15")  # two full-width chains
     pair_carry = variant == "v13"  # v13 carries pre-acts; v14 all in-body
     pair_hcarry = variant == "v15"  # v15: branch-free steady, h as carries
+    # v19: EXACT merged steady-state matmul.  Per advance, v0 issues TWO
+    # matmuls reading h_new: the head (hwT @ h_new, logits of site n) and
+    # the next recurrence (whT @ h_new, site n+1's pre-activation).  v19
+    # fuses them into ONE [hwT; whT] @ h_new per advance (same numerics,
+    # unlike the v11 probe which took logits of the wrong state): the
+    # pre-activation rides a (3U, G*T) scratch ref across iterations, and
+    # a column init refreshes just that slot's pre block.
+    merged2 = variant == "v19"
     half = GROUP // 2
 
     def kernel(samples_ref, wxT, whT, bxT, bhT, hwT, hbT,
@@ -293,7 +316,45 @@ def make_kernel(variant):
             wf_acc[:] = jnp.zeros_like(wf_acc)
             init_col(g0)
 
-            if unroll2:
+            if merged2:
+                pre_ref = extra[0]
+                fusedW = jnp.concatenate(
+                    [hwT[:].astype(jnp.float32), whT[:].astype(jnp.float32)],
+                    axis=0,
+                )
+                pre_ref[:] = jnp.dot(
+                    whT[:], wf_h[:], preferred_element_type=jnp.float32
+                )
+
+                def site_body(n, _):
+                    @pl.when((n - 1 > g0) & (n - 1 < jnp.minimum(g0 + GROUP, N)))
+                    def _():
+                        init_col(n - 1)
+                        sl = pl.ds(((n - 1) % GROUP) * t, t)
+                        pre_ref[:, sl] = jnp.dot(
+                            whT[:], wf_h[:, sl],
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    s_n = read_s(n)
+                    tgt = jnp.concatenate([s_n] * GROUP, axis=1)
+                    h_new = gates(
+                        gx_of(wf_x[:], 1.0), pre_ref[:] + bhT[:], wf_h[:]
+                    )
+                    big = jnp.dot(
+                        fusedW, h_new, preferred_element_type=jnp.float32
+                    )
+                    logits = big[:2] + hbT[:]
+                    pre_ref[:] = big[2:]
+                    wf_h[:] = h_new
+                    wf_x[:] = tgt
+                    wf_acc[:] = wf_acc[:] + logp_rows(
+                        logits[0:1], logits[1:2], tgt
+                    )
+                    return 0
+
+                jax.lax.fori_loop(g0 + 1, N, site_body, 0)
+            elif unroll2:
                 # ramp with the init branches, then a steady loop advancing
                 # 2 sites per fori iteration (halves scalar loop overhead).
                 ramp_end = jnp.minimum(g0 + 1 + GROUP, N)
@@ -608,7 +669,8 @@ def build(variant, tile=TILE):
         pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
 
-    @jax.jit
+    from rnnwavefunctions_tpu.ops.tiling import tpu_compiler_options
+
     def run(seq, w):
         return pl.pallas_call(
             kern,
@@ -638,11 +700,15 @@ def build(variant, tile=TILE):
                 pltpu.VMEM((U, GROUP * tile), hdt),
                 pltpu.VMEM((1, GROUP * tile), jnp.float32),
                 pltpu.VMEM((1, GROUP * tile), jnp.float32),
-            ] if variant in ("v13", "v14", "v15") else []),
+            ] if variant in ("v13", "v14", "v15") else []) + ([
+                pltpu.VMEM((3 * U, GROUP * tile), jnp.float32),
+            ] if variant == "v19" else []),
         )(seq, w["wxT"], w["whT"].astype(hdt), w["bxT"], w["bhT"],
           w["hwT"].astype(hdt), w["hbT"])
 
-    @jax.jit
+    run_once = jax.jit(run, compiler_options=tpu_compiler_options())
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def run_reps(seq, w):
         # optimization_barrier ties the (loop-invariant) inputs to the scan
         # carry so XLA cannot hoist the pallas_call out of the loop — without
@@ -656,7 +722,7 @@ def build(variant, tile=TILE):
         acc, _ = jax.lax.scan(body, 0.0, None, length=REPS)
         return acc
 
-    return run, run_reps
+    return run_once, run_reps
 
 
 def overlap_probe(steps=1526, lanes=GROUP * TILE, mode="both"):

@@ -203,6 +203,7 @@ def test_lstm_kernel_gates():
 
 
 @pytest.mark.widegroup
+@pytest.mark.slow
 def test_tfim_flip_kernel_lstm_matches_explicit():
     """LSTM wavefront flip kernel ([h; c] history rows) vs explicit flips."""
     from rnnwavefunctions_tpu.ops.tfim_flip_kernel import tfim_flip_ratio_sum

@@ -156,7 +156,8 @@ def test_fused_crnn_rows_match_jnp(kwargs):
     "kwargs, n, chunk",
     [
         ({"cell": "gru", "units": (8,)}, 7, 4),   # partial last chunk
-        ({"cell": "gru", "units": (8,)}, 5, 8),   # single chunk (nchunks=1)
+        pytest.param({"cell": "gru", "units": (8,)}, 5, 8,   # single chunk
+                     marks=pytest.mark.slow),
         pytest.param({"cell": "gru", "units": (8, 8)}, 9, 4,
                      marks=pytest.mark.slow),
         pytest.param({"cell": "lstm", "units": (8,)}, 6, 2,
@@ -189,7 +190,8 @@ def test_fused_jac_spill_matches_jnp(kwargs, n, chunk, monkeypatch):
 @pytest.mark.parametrize(
     "kwargs, n, chunk",
     [
-        ({"cell": "gru", "units": (8,)}, 10, 4),
+        pytest.param({"cell": "gru", "units": (8,)}, 10, 4,
+                     marks=pytest.mark.slow),
         pytest.param({"cell": "lstm", "units": (8,)}, 6, 2,
                      marks=pytest.mark.slow),
     ],

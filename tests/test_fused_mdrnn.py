@@ -146,6 +146,7 @@ def test_mdrnn_spill_flip_kernel_matches_resident(monkeypatch):
     np.testing.assert_allclose(np.asarray(lp2), want_lp, atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.widegroup
 def test_mdrnn_wide_group_matches_base(monkeypatch):
     """group=16 wavefront (the latency-scaled pick on large lattices, e.g.

@@ -78,6 +78,7 @@ def test_parity_fused_estimator_single_log_amp_trace():
     assert counts["log_amp"] == 1  # loss only; estimator is in-kernel
 
 
+@pytest.mark.slow
 def test_j1j2_fused_estimator_single_log_amp_trace():
     n = 8
     ansatz = _CountingCRNN(num_sites=n, units=(8,), impl="pallas")

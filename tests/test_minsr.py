@@ -185,9 +185,11 @@ def _vmap_grad_rows(ansatz, params, samples):
     [
         {"units": (6,)},
         {"units": (6, 4)},  # non-uniform stack
-        {"units": (5,), "parity": True},
+        pytest.param({"units": (5,), "parity": True},
+                     marks=pytest.mark.slow),
         {"units": (6,), "cell": "lstm"},
-        {"units": (4, 4), "cell": "lstm", "parity": True},
+        pytest.param({"units": (4, 4), "cell": "lstm", "parity": True},
+                     marks=pytest.mark.slow),
     ],
     ids=["gru", "gru-stack", "gru-parity", "lstm", "lstm-stack-parity"],
 )
@@ -230,7 +232,8 @@ def _vmap_jacrev_rows_complex(ansatz, params, samples):
     "kwargs",
     [
         {"units": (8,)},
-        {"units": (6, 5), "u1": False},
+        pytest.param({"units": (6, 5), "u1": False},
+                     marks=pytest.mark.slow),
         {"units": (6,), "cell": "lstm"},
     ],
     ids=["gru-u1", "gru-stack-nou1", "lstm-u1"],
@@ -253,7 +256,13 @@ def test_fast_jacobian_crnn_rows_match_vmap_jacrev(kwargs):
 
 
 @pytest.mark.parametrize(
-    "nx,ny", [(3, 3), (2, 4), (4, 3)], ids=["3x3", "2x4-even", "4x3-odd"]
+    "nx,ny",
+    [
+        (3, 3),
+        pytest.param(2, 4, marks=pytest.mark.slow),
+        pytest.param(4, 3, marks=pytest.mark.slow),
+    ],
+    ids=["3x3", "2x4-even", "4x3-odd"],
 )
 def test_fast_jacobian_mdrnn2d_rows_match_vmap_grad(nx, ny):
     """The 2D fast jacobian (reverse boustrophedon sweep) is row-for-row

@@ -276,6 +276,7 @@ def test_renyi2_swap_enumeration_matches_exact_real():
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_renyi2_u1_complex_enumeration():
     """Complex U(1) head: enumeration over the zero-magnetization sector
     matches the dense oracle, and swaps that leave the sector contribute
