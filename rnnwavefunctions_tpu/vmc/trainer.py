@@ -175,12 +175,6 @@ class VMCTrainer:
                 eps=config.eps,
             )
         elif config.optimizer == "minsr":
-            if self.tp > 1:
-                raise ValueError(
-                    "optimizer='minsr' gathers per-sample log-derivatives "
-                    "of the full parameter vector and is not available on "
-                    "a tensor-parallel mesh; use tp=1 (dp-only)"
-                )
             if not config.sr_damping > 0.0:
                 raise ValueError(
                     "sr_damping must be > 0 (the push-through identity "
@@ -397,12 +391,64 @@ class VMCTrainer:
             la_s = 0.5 * tp_lib.tp_log_prob(sh, samples, units, self.tp)
             return surrogate_loss(la_s, None, e_re, None, e_mean, None)
 
-        with jax.named_scope("vmc_grad"):
-            grads = jax.grad(loss_fn)(params)
-        grads = jax.tree.map(
-            lambda g: mesh_lib.pmean(jax.lax.pmean(g, tp_lib.TP_AXIS)),
-            grads,
-        )
+        if self.config.optimizer == "minsr":
+            # minSR under tensor parallelism: the tp gradient contract —
+            # pmean over tp of the through-the-shard cotangents equals the
+            # unsharded gradient (test_tp_inner_grad_pmean_matches_unsharded)
+            # — holds PER SAMPLE by linearity, so the per-sample
+            # log-derivative rows assemble the same way.  The rows are then
+            # tp-replicated full-parameter trees and the sample-space solve
+            # proceeds exactly as on the dp mesh (one S x P pmean over ICI
+            # per step; the solve itself is replicated).  Rows ride the
+            # generic vmap-of-grad through the sharded forward — the fast
+            # stash-and-contract sweeps assume the unsharded layout.
+            from . import minsr
+
+            def one_log_amp(p, s):
+                idx = jax.lax.axis_index(tp_lib.TP_AXIS)
+                if is_complex:
+                    sh = tp_lib.shard_params_crnn(p, self.tp, idx)
+                    re, im = tp_lib.tp_crnn_log_amp_parts(
+                        self.ansatz, sh, s[None], self.tp
+                    )
+                    return jnp.stack([re[0], im[0]])
+                sh = tp_lib.shard_params(p, self.tp, idx)
+                return 0.5 * tp_lib.tp_log_prob(
+                    sh, s[None], units, self.tp
+                )[0]
+
+            with jax.named_scope("vmc_minsr_tp"):
+                if is_complex:
+                    jac = jax.vmap(
+                        jax.jacrev(one_log_amp), in_axes=(None, 0)
+                    )(params, samples)
+                    jac = jax.tree.map(
+                        lambda g: jax.lax.pmean(g, tp_lib.TP_AXIS), jac
+                    )
+                    rows_re = jax.tree.map(lambda l: l[:, 0], jac)
+                    rows_im = jax.tree.map(lambda l: l[:, 1], jac)
+                else:
+                    rows_re = jax.vmap(
+                        jax.grad(one_log_amp), in_axes=(None, 0)
+                    )(params, samples)
+                    rows_re = jax.tree.map(
+                        lambda g: jax.lax.pmean(g, tp_lib.TP_AXIS), rows_re
+                    )
+                    rows_im = None
+                grads = minsr.minsr_direction_tree(
+                    rows_re, rows_im, e_re, e_im, e_mean, e_im_mean,
+                    self.config.sr_damping, axis_name=mesh_lib.DP_AXIS,
+                    precision=self.config.sr_precision,
+                    solver=self.config.sr_solver,
+                    cg_iters=self.config.sr_cg_iters,
+                )
+        else:
+            with jax.named_scope("vmc_grad"):
+                grads = jax.grad(loss_fn)(params)
+            grads = jax.tree.map(
+                lambda g: mesh_lib.pmean(jax.lax.pmean(g, tp_lib.TP_AXIS)),
+                grads,
+            )
         with jax.named_scope("vmc_update"):
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

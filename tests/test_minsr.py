@@ -343,11 +343,8 @@ def test_minsr_validation_errors():
             PRNN1D(num_sites=4, units=(8,)), TFIM1D(num_sites=4, bx=1.0),
             TrainConfig(num_samples=8, optimizer="nope"),
         )
-    with pytest.raises(ValueError, match="tensor-parallel"):
-        VMCTrainer(
-            PRNN1D(num_sites=4, units=(8,)), TFIM1D(num_sites=4, bx=1.0),
-            TrainConfig(num_samples=8, optimizer="minsr", tp=2),
-        )
+    # tp + minsr is now a supported combination (round 4) — its parity
+    # tests live in tests/test_tensor_parallel.py::test_trainer_tp_minsr_*
     with pytest.raises(ValueError, match="sr_damping"):
         VMCTrainer(
             PRNN1D(num_sites=4, units=(8,)), TFIM1D(num_sites=4, bx=1.0),

@@ -391,3 +391,69 @@ def test_trainer_tp_crnn_matches_dp():
         )
     out = tr_tp.evaluate(st_tp, key)
     assert np.isfinite(float(out["mean_energy"]))
+
+
+def test_trainer_tp_minsr_matches_dp():
+    """minSR under tensor parallelism (round 4): the per-sample rows
+    assemble through the same pmean-over-tp contract as the loss gradient
+    (linearity), so the tp trainer with optimizer='minsr' must reproduce
+    the dp-only minSR trainer — same energies, same post-SGD parameters."""
+    from rnnwavefunctions_tpu import TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.parallel import mesh as mesh_lib
+
+    n, s = 8, 16
+    ansatz = PRNN1D(num_sites=n, units=UNITS, impl="jnp")
+    ham = TFIM1D(num_sites=n, bx=1.0)
+    kw = dict(num_samples=s, optimizer="minsr", learning_rate=5e-2)
+    tr_tp = VMCTrainer(ansatz, ham, TrainConfig(tp=K, **kw), mesh=_mesh())
+    tr_dp = VMCTrainer(ansatz, ham, TrainConfig(**kw),
+                       mesh=mesh_lib.make_mesh(2))
+    key = jax.random.PRNGKey(13)
+    st_tp = tr_tp.init(key)
+    st_dp = tr_dp.init(key)
+    for _ in range(3):
+        st_tp, m_tp = tr_tp.step(st_tp, key)
+        st_dp, m_dp = tr_dp.step(st_dp, key)
+        np.testing.assert_allclose(
+            float(m_tp["mean_energy"]), float(m_dp["mean_energy"]),
+            rtol=1e-5, atol=1e-6,
+        )
+    for a, b in zip(
+        jax.tree.leaves(st_tp.params), jax.tree.leaves(st_dp.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
+@pytest.mark.slow
+def test_trainer_tp_minsr_crnn_matches_dp():
+    """The complex family: tp minSR rows come from vmap(jacrev) through the
+    two tp-sharded heads; parity vs the dp-only complex minSR trainer."""
+    from rnnwavefunctions_tpu import CRNNU1, TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.hamiltonians.j1j2 import J1J2
+    from rnnwavefunctions_tpu.parallel import mesh as mesh_lib
+
+    n, s = 8, 16
+    ansatz = CRNNU1(num_sites=n, units=UNITS, impl="jnp")
+    ham = J1J2(num_sites=n, j2=0.2)
+    kw = dict(num_samples=s, optimizer="minsr", learning_rate=5e-2)
+    tr_tp = VMCTrainer(ansatz, ham, TrainConfig(tp=K, **kw), mesh=_mesh())
+    tr_dp = VMCTrainer(ansatz, ham, TrainConfig(**kw),
+                       mesh=mesh_lib.make_mesh(2))
+    key = jax.random.PRNGKey(13)
+    st_tp = tr_tp.init(key)
+    st_dp = tr_dp.init(key)
+    for _ in range(2):
+        st_tp, m_tp = tr_tp.step(st_tp, key)
+        st_dp, m_dp = tr_dp.step(st_dp, key)
+        np.testing.assert_allclose(
+            float(m_tp["mean_energy"]), float(m_dp["mean_energy"]),
+            rtol=1e-5, atol=1e-6,
+        )
+    for a, b in zip(
+        jax.tree.leaves(st_tp.params), jax.tree.leaves(st_dp.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-5
+        )
