@@ -457,3 +457,35 @@ def test_trainer_tp_minsr_crnn_matches_dp():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-5
         )
+
+
+def test_trainer_tp_stack_matches_dp():
+    """Multi-layer GRU stacks under tp: the sharded trunk loops layers with
+    deeper layers consuming the all-gathered previous-layer output
+    (parallel/tensor._tp_trunk_step) — parity vs dp-only on units=(8, 8)."""
+    from rnnwavefunctions_tpu import TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.parallel import mesh as mesh_lib
+
+    n, s = 8, 16
+    ansatz = PRNN1D(num_sites=n, units=(8, 8), impl="jnp")
+    ham = TFIM1D(num_sites=n, bx=1.0)
+    tr_tp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s, tp=K),
+                       mesh=_mesh())
+    tr_dp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s),
+                       mesh=mesh_lib.make_mesh(2))
+    key = jax.random.PRNGKey(17)
+    st_tp = tr_tp.init(key)
+    st_dp = tr_dp.init(key)
+    for _ in range(3):
+        st_tp, m_tp = tr_tp.step(st_tp, key)
+        st_dp, m_dp = tr_dp.step(st_dp, key)
+        np.testing.assert_allclose(
+            float(m_tp["mean_energy"]), float(m_dp["mean_energy"]),
+            rtol=1e-5, atol=1e-6,
+        )
+    for a, b in zip(
+        jax.tree.leaves(st_tp.params), jax.tree.leaves(st_dp.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
