@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "anchors — float64 runs the jnp paths (no fused "
                         "kernels) for bit-level reference semantics")
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width: shard the MDRNN hidden "
+                        "dimension over a second mesh axis (all four cell "
+                        "matrices column-sharded; devices used = dp x tp)")
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--workdir", type=str, default="Check_Points/2DTFIM")
     p.add_argument("--resume", action="store_true")
@@ -90,9 +94,21 @@ def main(argv=None):
         sr_damping=args.sr_damping,
         sr_solver=args.sr_solver,
         sr_cg_iters=args.sr_cg_iters,
+        tp=args.tp,
         matmul_precision=args.matmul_precision,
     )
-    trainer = VMCTrainer(ansatz, ham, config, mesh=make_mesh(args.num_devices))
+    if args.tp > 1:
+        import jax
+
+        from ..parallel.tensor import make_dp_tp_mesh
+
+        n_dev = (
+            args.num_devices if args.num_devices else len(jax.devices())
+        )
+        mesh = make_dp_tp_mesh(max(1, n_dev // args.tp), args.tp)
+    else:
+        mesh = make_mesh(args.num_devices)
+    trainer = VMCTrainer(ansatz, ham, config, mesh=mesh)
     tag = (
         f"N{args.systemsize_x}x{args.systemsize_y}_samp{args.numsamples}"
         f"_Bx{args.bx}_MDRNN_OBC_2DTFIM_units_{args.num_units}"

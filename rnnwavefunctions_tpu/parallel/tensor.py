@@ -326,3 +326,161 @@ def tp_crnn_log_amp_parts(ansatz, params_shard, samples: jax.Array, k: int):
         accum_sum(log_ampls, ansatz.accum_dtype),
         accum_sum(phases, ansatz.accum_dtype),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D MDRNN family (boustrophedon sweep with a tp-sharded cell)
+# ---------------------------------------------------------------------------
+
+def shard_params_mdrnn(params: Any, k: int, idx) -> Any:
+    """Shard an MDRNN2D parameter pytree for tp-shard ``idx`` of ``k``: all
+    four cell matrices (uh/uv input, wh/wv state) take 1/k of their output
+    columns (state matrices keep FULL input rows — they consume the
+    all-gathered neighbour hiddens), the bias is column-sliced, and the
+    head is row-sharded with the same folded-b/k psum/pmean gradient
+    contract as the 1D families."""
+    c = params["cell"]
+    u = c["wh"].shape[-1]
+    if u % k != 0:
+        raise ValueError(
+            f"hidden width {u} is not divisible by tp={k}"
+        )
+    us = u // k
+
+    def cols(w):
+        return jax.lax.dynamic_slice_in_dim(w, idx * us, us, axis=-1)
+
+    cell = {
+        "uh": cols(c["uh"]),
+        "uv": cols(c["uv"]),
+        "wh": cols(c["wh"]),
+        "wv": cols(c["wv"]),
+        "b": cols(c["b"][None])[0],
+    }
+    return {"cell": cell, "head": _shard_head(params["head"], k, idx)}
+
+
+def _tp_mdrnn_apply(pc, xs, h_shards):
+    """One tp-sharded 2D-cell step: (B, U/k) neighbour shards -> new shard.
+    Both neighbour hiddens are all-gathered for the state contractions
+    (two (B, U) gathers per site — the 2D analogue of the 1D trunk's one)."""
+    xh, xv = xs
+    hh, hv = h_shards
+    hh_full = jax.lax.all_gather(hh, TP_AXIS, axis=-1, tiled=True)
+    hv_full = jax.lax.all_gather(hv, TP_AXIS, axis=-1, tiled=True)
+    acc = (
+        jnp.dot(xh, pc["uh"], preferred_element_type=hh.dtype)
+        + jnp.dot(xv, pc["uv"], preferred_element_type=hh.dtype)
+        + jnp.dot(hh_full, pc["wh"], preferred_element_type=hh.dtype)
+        + jnp.dot(hv_full, pc["wv"], preferred_element_type=hh.dtype)
+        + pc["b"]
+    )
+    return jax.nn.elu(acc)
+
+
+def _tp_mdrnn_sweep(params_shard, batch, nx, ny, units, k, row_xs, site_fn,
+                    dtype=jnp.float32, local_dim=2):
+    """Boustrophedon sweep with the sharded cell — mirrors
+    ``models/mdrnn2d.MDRNN2D._sweep`` / ``._row_scan`` exactly (same flip
+    wiring, same scan structure) with (B, Nx, U/k) vertical state carries.
+    ``site_fn(logits, col_x) -> (draw, site_logp)`` sees tp-replicated
+    psum'd logits, so all members realize identical draws."""
+    us = units // k
+
+    def row_scan(v_states, v_inputs, col_xs):
+        def step(carry, xs_t):
+            h_prev, x_prev = carry
+            h_up, x_up, col_x = xs_t
+            h = _tp_mdrnn_apply(
+                params_shard["cell"], (x_prev, x_up), (h_prev, h_up)
+            )
+            logits = _tp_head(params_shard["head"], h)
+            draw, site_logp = site_fn(logits, col_x)
+            x_new = jax.nn.one_hot(draw, local_dim, dtype=dtype)
+            return (h, x_new), (h, x_new, draw, site_logp)
+
+        h0 = jnp.zeros((batch, us), dtype)
+        x0 = jnp.zeros((batch, local_dim), dtype)
+        xs = (
+            jnp.moveaxis(v_states, 1, 0),
+            jnp.moveaxis(v_inputs, 1, 0),
+            col_xs,
+        )
+        _, (hs, xnews, draws, site_logps) = jax.lax.scan(step, (h0, x0), xs)
+        return (
+            jnp.moveaxis(hs, 0, 1),
+            jnp.moveaxis(xnews, 0, 1),
+            draws,
+            site_logps,
+        )
+
+    def flip_if(flag, x, axis):
+        return jnp.where(flag, jnp.flip(x, axis=axis), x)
+
+    flags = (jnp.arange(ny) % 2).astype(bool)
+
+    def row_step(carry, xs_t):
+        v_states, v_inputs = carry
+        col_xs, flag = xs_t
+        vs = flip_if(flag, v_states, axis=1)
+        vi = flip_if(flag, v_inputs, axis=1)
+        cx = flip_if(flag, col_xs, axis=0)
+        vs_new, vi_new, draws, logps = row_scan(vs, vi, cx)
+        return (
+            flip_if(flag, vs_new, axis=1),
+            flip_if(flag, vi_new, axis=1),
+        ), (flip_if(flag, draws, axis=0), flip_if(flag, logps, axis=0))
+
+    v_states0 = jnp.zeros((batch, nx, us), dtype)
+    v_inputs0 = jnp.zeros((batch, nx, local_dim), dtype)
+    _, (draws, logps) = jax.lax.scan(
+        row_step, (v_states0, v_inputs0), (row_xs, flags)
+    )
+    return draws, logps  # (Ny, Nx, S) each
+
+
+def tp_mdrnn_log_prob(params_shard, samples: jax.Array, nx: int, ny: int,
+                      units: int, k: int, dtype=jnp.float32) -> jax.Array:
+    """Teacher-forced joint log p over (B, Nx, Ny) int grids with the
+    tp-sharded 2D cell; (B,) tp-replicated."""
+    from ..ops.compsum import accum_sum
+
+    batch = samples.shape[0]
+    targets = jnp.transpose(samples, (2, 1, 0))  # (Ny, Nx, S)
+
+    def site_fn(logits, target):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        site_logp = jnp.take_along_axis(logp, target[:, None], axis=-1)[:, 0]
+        return target, site_logp
+
+    _, logps = _tp_mdrnn_sweep(
+        params_shard, batch, nx, ny, units, k, targets, site_fn, dtype
+    )
+    return accum_sum(logps.reshape(-1, logps.shape[-1]), jnp.float32)
+
+
+def tp_mdrnn_sample_with_log_prob(params_shard, key: jax.Array,
+                                  num_samples: int, nx: int, ny: int,
+                                  units: int, k: int, dtype=jnp.float32):
+    """Autoregressive grid sampling with the tp-sharded 2D cell.  ``key``
+    must be identical across the tp group (fold only the dp index) so all
+    members draw the same grids.  Returns ((S, Nx, Ny) int32, (S,) logp)."""
+    from ..models.prnn1d import inverse_cdf_sample
+    from ..ops.compsum import accum_sum
+
+    site_ids = jnp.arange(ny * nx, dtype=jnp.uint32).reshape(ny, nx)
+
+    def site_fn(logits, site_id):
+        site_key = jax.random.fold_in(key, site_id)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        draw = inverse_cdf_sample(site_key, jnp.exp(logp))
+        site_logp = jnp.take_along_axis(logp, draw[:, None], axis=-1)[:, 0]
+        return draw, site_logp
+
+    draws, logps = _tp_mdrnn_sweep(
+        params_shard, num_samples, nx, ny, units, k, site_ids, site_fn, dtype
+    )
+    samples = jnp.transpose(draws, (2, 1, 0)).astype(jnp.int32)
+    return samples, accum_sum(
+        logps.reshape(-1, logps.shape[-1]), jnp.float32
+    )

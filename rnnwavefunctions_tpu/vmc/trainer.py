@@ -68,10 +68,13 @@ class TrainConfig:
     # second mesh axis "tp" (Megatron-style column sharding,
     # parallel/tensor.py) orthogonal to the Monte-Carlo "dp" axis.  No
     # reference analog (single GPU); this is the rebuild's very-large-units
-    # scaling path.  Covers GRU-trunk 1D families — the plain positive
-    # PRNN1D (incl. snake-2D flat) and the complex U(1) CRNNU1 (both heads
-    # row-sharded, per-sample mask tp-replicated) — with tp-divisible
-    # hidden widths and a flat-encoded Hamiltonian.
+    # scaling path.  Covers the GRU-trunk 1D families — the plain positive
+    # PRNN1D (incl. snake-2D flat, incl. multi-layer stacks) and the
+    # complex U(1) CRNNU1 (both heads row-sharded, per-sample mask
+    # tp-replicated) on flat Hamiltonians — and the 2D MDRNN2D (all four
+    # cell matrices column-sharded, both neighbour hiddens gathered) on
+    # grid TFIM2D.  Hidden widths must be tp-divisible; composes with
+    # optimizer="minsr".
     tp: int = 1
     # parameter update rule: "adam" (the reference optimizer,
     # TrainingRNN_1DTFIM.py:113) or "minsr" — stochastic reconfiguration /
@@ -250,10 +253,15 @@ class VMCTrainer:
             and type(a).__name__ == "PRNN1D"
         )
         crnn = type(a).__name__ == "CRNNU1"
-        if not ((plain_prnn or crnn) and getattr(a, "cell", "gru") == "gru"):
+        mdrnn = type(a).__name__ == "MDRNN2D"
+        if not (
+            mdrnn
+            or ((plain_prnn or crnn) and getattr(a, "cell", "gru") == "gru")
+        ):
             raise ValueError(
                 "tensor parallelism supports the GRU-trunk 1D families "
-                "(plain positive PRNN1D and the complex U(1) CRNNU1); got "
+                "(plain positive PRNN1D and the complex U(1) CRNNU1) and "
+                "the 2D MDRNN2D; got "
                 f"{type(a).__name__} with cell="
                 f"{getattr(a, 'cell', 'gru')!r}"
             )
@@ -263,11 +271,21 @@ class VMCTrainer:
                 f"(parallel/tensor.py hardcodes the one-hot width); got "
                 f"local_dim={a.local_dim}"
             )
-        if any(u % self.tp for u in a.units):
+        units = (a.units,) if mdrnn else tuple(a.units)
+        if any(u % self.tp for u in units):
             raise ValueError(
-                f"hidden widths {a.units} must be divisible by tp={self.tp}"
+                f"hidden widths {units} must be divisible by tp={self.tp}"
             )
-        if getattr(self.hamiltonian, "encoding", "flat") != "flat":
+        if mdrnn:
+            # the 2D family consumes (S, Nx, Ny) grids; the generic
+            # ham.connected estimator is shape-agnostic, so grid encoding
+            # is the natural pairing
+            if getattr(self.hamiltonian, "encoding", "grid") != "grid":
+                raise ValueError(
+                    "tensor-parallel MDRNN2D needs a grid-encoded "
+                    "Hamiltonian (TFIM2D(encoding='grid'))"
+                )
+        elif getattr(self.hamiltonian, "encoding", "flat") != "flat":
             raise ValueError(
                 "tensor parallelism needs a flat-encoded Hamiltonian"
             )
@@ -297,8 +315,36 @@ class VMCTrainer:
 
         ansatz, ham = self.ansatz, self.hamiltonian
         k = self.tp
-        units = tuple(ansatz.units)
         idx = jax.lax.axis_index(tp_lib.TP_AXIS)
+
+        if type(ansatz).__name__ == "MDRNN2D":
+            shard = tp_lib.shard_params_mdrnn(params, k, idx)
+            nx, ny, u = ansatz.nx, ansatz.ny, ansatz.units
+            with jax.named_scope("vmc_sample"):
+                samples, logp = tp_lib.tp_mdrnn_sample_with_log_prob(
+                    shard, key, self.local_samples, nx, ny, u, k,
+                    dtype=ansatz.dtype,
+                )
+            samples = jax.lax.stop_gradient(samples)
+            with jax.named_scope("vmc_local_energy"):
+                diag, flips, elements, mask = jax.vmap(ham.connected)(samples)
+                s, kk = flips.shape[0], flips.shape[1]
+                flat = flips.reshape((s * kk,) + flips.shape[2:])
+                la = _chunked_apply(
+                    lambda c: 0.5 * tp_lib.tp_mdrnn_log_prob(
+                        shard, c, nx, ny, u, k, dtype=ansatz.dtype
+                    ),
+                    flat,
+                    self.config.chunk_size,
+                ).reshape(s, kk)
+                ratios = jnp.exp(la - 0.5 * logp[:, None])
+                contrib = elements.astype(ratios.dtype) * ratios
+                e_re = diag.astype(ratios.dtype) + jnp.sum(
+                    jnp.where(mask, contrib, 0.0), axis=1
+                )
+            return samples, 0.5 * logp, jax.lax.stop_gradient(e_re), None
+
+        units = tuple(ansatz.units)
 
         if getattr(ansatz, "is_complex", False):
             shard = tp_lib.shard_params_crnn(params, k, idx)
@@ -374,22 +420,38 @@ class VMCTrainer:
         e_im_mean = (
             None if e_im is None else mesh_lib.pmean(jnp.mean(e_im))
         )
-        units = tuple(self.ansatz.units)
+        is_mdrnn = type(self.ansatz).__name__ == "MDRNN2D"
+        units = None if is_mdrnn else tuple(self.ansatz.units)
         is_complex = getattr(self.ansatz, "is_complex", False)
 
-        def loss_fn(p):
+        def tp_log_amp(p, batch):
+            """Base log psi of ``batch`` through the tp-sharded forward;
+            (B,) for positive families, an (re, im) pair for the complex
+            one.  Shared by the loss and the per-sample minSR rows."""
             idx = jax.lax.axis_index(tp_lib.TP_AXIS)
+            if is_mdrnn:
+                sh = tp_lib.shard_params_mdrnn(p, self.tp, idx)
+                a = self.ansatz
+                return 0.5 * tp_lib.tp_mdrnn_log_prob(
+                    sh, batch, a.nx, a.ny, a.units, self.tp, dtype=a.dtype
+                )
             if is_complex:
                 sh = tp_lib.shard_params_crnn(p, self.tp, idx)
-                la_re, la_im = tp_lib.tp_crnn_log_amp_parts(
-                    self.ansatz, sh, samples, self.tp
+                return tp_lib.tp_crnn_log_amp_parts(
+                    self.ansatz, sh, batch, self.tp
                 )
+            sh = tp_lib.shard_params(p, self.tp, idx)
+            return 0.5 * tp_lib.tp_log_prob(sh, batch, units, self.tp)
+
+        def loss_fn(p):
+            if is_complex:
+                la_re, la_im = tp_log_amp(p, samples)
                 return surrogate_loss(
                     la_re, la_im, e_re, e_im, e_mean, e_im_mean
                 )
-            sh = tp_lib.shard_params(p, self.tp, idx)
-            la_s = 0.5 * tp_lib.tp_log_prob(sh, samples, units, self.tp)
-            return surrogate_loss(la_s, None, e_re, None, e_mean, None)
+            return surrogate_loss(
+                tp_log_amp(p, samples), None, e_re, None, e_mean, None
+            )
 
         if self.config.optimizer == "minsr":
             # minSR under tensor parallelism: the tp gradient contract —
@@ -405,17 +467,10 @@ class VMCTrainer:
             from . import minsr
 
             def one_log_amp(p, s):
-                idx = jax.lax.axis_index(tp_lib.TP_AXIS)
                 if is_complex:
-                    sh = tp_lib.shard_params_crnn(p, self.tp, idx)
-                    re, im = tp_lib.tp_crnn_log_amp_parts(
-                        self.ansatz, sh, s[None], self.tp
-                    )
+                    re, im = tp_log_amp(p, s[None])
                     return jnp.stack([re[0], im[0]])
-                sh = tp_lib.shard_params(p, self.tp, idx)
-                return 0.5 * tp_lib.tp_log_prob(
-                    sh, s[None], units, self.tp
-                )[0]
+                return tp_log_amp(p, s[None])[0]
 
             with jax.named_scope("vmc_minsr_tp"):
                 if is_complex:

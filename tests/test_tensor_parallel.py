@@ -190,10 +190,19 @@ def test_trainer_tp_validation():
             TrainConfig(num_samples=16, tp=K),
             mesh=_mesh(),
         )
-    with pytest.raises(ValueError, match="GRU-trunk"):
+    # MDRNN2D on grid TFIM2D is tp-supported since round 4 — construction
+    # must NOT raise...
+    VMCTrainer(
+        MDRNN2D(nx=4, ny=4, units=16, impl="jnp"),
+        TFIM2D(nx=4, ny=4, bx=3.0, encoding="grid"),
+        TrainConfig(num_samples=16, tp=K),
+        mesh=_mesh(),
+    )
+    # ...but only with the grid encoding (the 2D family consumes grids)
+    with pytest.raises(ValueError, match="grid"):
         VMCTrainer(
-            MDRNN2D(nx=4, ny=4, units=16),
-            TFIM2D(nx=4, ny=4, bx=3.0, encoding="grid"),
+            MDRNN2D(nx=4, ny=4, units=16, impl="jnp"),
+            TFIM2D(nx=4, ny=4, bx=3.0, encoding="flat"),
             TrainConfig(num_samples=16, tp=K),
             mesh=_mesh(),
         )
@@ -489,3 +498,76 @@ def test_trainer_tp_stack_matches_dp():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
+
+
+def test_tp_mdrnn_log_prob_matches_unsharded():
+    """tp-sharded boustrophedon sweep == the unsharded MDRNN2D log_prob
+    (same flip wiring, psum'd head logits)."""
+    from functools import partial
+
+    from rnnwavefunctions_tpu import MDRNN2D
+    from rnnwavefunctions_tpu.parallel import tensor as tpl
+
+    nx, ny, u = 2, 3, 8
+    ansatz = MDRNN2D(nx=nx, ny=ny, units=u, impl="jnp")
+    params = ansatz.init(jax.random.PRNGKey(0))
+    samples = ansatz.sample(params, jax.random.PRNGKey(1), 10)
+    want = ansatz.log_prob(params, samples)
+
+    mesh = _mesh()
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(jax.sharding.PartitionSpec(),) * 2,
+        out_specs=jax.sharding.PartitionSpec(),
+        check_vma=False,
+    )
+    def run(p, s):
+        idx = jax.lax.axis_index(tpl.TP_AXIS)
+        shard = tpl.shard_params_mdrnn(p, K, idx)
+        return tpl.tp_mdrnn_log_prob(shard, s, nx, ny, u, K)[None]
+
+    got = run(params, samples)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_trainer_tp_mdrnn_matches_dp():
+    """The PRODUCT path for the 2D family: VMCTrainer(tp=4) with
+    MDRNN2D/TFIM2D-grid on a (2, 4) mesh reproduces the dp-only trainer —
+    same drawn grids, same energies, same post-update parameters — for
+    BOTH optimizers (adam and minsr)."""
+    from rnnwavefunctions_tpu import MDRNN2D, TFIM2D, TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.parallel import mesh as mesh_lib
+
+    s = 16
+    ansatz = MDRNN2D(nx=2, ny=3, units=8, impl="jnp")
+    ham = TFIM2D(nx=2, ny=3, bx=3.0, encoding="grid")
+    key = jax.random.PRNGKey(11)
+    for opt_kw, tol in [
+        (dict(), dict(rtol=2e-4, atol=1e-6)),
+        (dict(optimizer="minsr", learning_rate=5e-2),
+         dict(rtol=5e-4, atol=2e-5)),
+    ]:
+        tr_tp = VMCTrainer(
+            ansatz, ham, TrainConfig(num_samples=s, tp=K, **opt_kw),
+            mesh=_mesh(),
+        )
+        tr_dp = VMCTrainer(
+            ansatz, ham, TrainConfig(num_samples=s, **opt_kw),
+            mesh=mesh_lib.make_mesh(2),
+        )
+        st_tp = tr_tp.init(key)
+        st_dp = tr_dp.init(key)
+        for _ in range(2):
+            st_tp, m_tp = tr_tp.step(st_tp, key)
+            st_dp, m_dp = tr_dp.step(st_dp, key)
+            np.testing.assert_allclose(
+                float(m_tp["mean_energy"]), float(m_dp["mean_energy"]),
+                rtol=1e-5, atol=1e-6,
+            )
+        for a, b in zip(
+            jax.tree.leaves(st_tp.params), jax.tree.leaves(st_dp.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+        out = tr_tp.evaluate(st_tp, key)
+        assert np.isfinite(float(out["mean_energy"]))
