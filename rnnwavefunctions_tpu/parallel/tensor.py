@@ -61,15 +61,26 @@ def _gate_cols(w: jax.Array, num_gates: int, k: int, idx) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
-def shard_params(params: Any, k: int, idx) -> Any:
-    """Shard a PRNN1D GRU parameter pytree for tp-shard ``idx`` of ``k``.
+def shard_params(params: Any, k: int, idx, kind: str = "gru") -> Any:
+    """Shard a PRNN1D parameter pytree for tp-shard ``idx`` of ``k``.
 
     Layer weights keep full input rows and take 1/k of every gate's output
-    columns; the head takes 1/k of its input rows.  For layers above the
-    first, the input rows are the previous layer's *full* hidden (the
-    all-gathered activation), so rows stay full there too.
+    columns (3 packed gates for GRU, 4 for LSTM); the head takes 1/k of
+    its input rows.  For layers above the first, the input rows are the
+    previous layer's *full* hidden (the all-gathered activation), so rows
+    stay full there too.
     """
     _shard_trunk(params["rnn"], k)
+    if kind == "lstm":
+        rnn = [
+            {
+                "wx": _gate_cols(cell["wx"], 4, k, idx),
+                "wh": _gate_cols(cell["wh"], 4, k, idx),
+                "b": _gate_cols(cell["b"][None], 4, k, idx)[0],
+            }
+            for cell in params["rnn"]
+        ]
+        return {"rnn": rnn, "head": _shard_head(params["head"], k, idx)}
     rnn = [
         {
             "wx": _gate_cols(cell["wx"], 3, k, idx),
@@ -150,16 +161,39 @@ def _tp_gru_apply(p, x, h_shard):
     return z * h_shard + (1.0 - z) * c
 
 
-def _tp_trunk_step(rnn_params, x, hs):
-    """Sharded stacked-GRU trunk step.  ``hs``: per-layer (B, U/k) shards.
-    Returns the new shards tuple."""
+def _tp_lstm_apply(p, x, state):
+    """One tp-sharded LSTM step (TF forget_bias=1.0 semantics): the cell
+    state ``c`` is purely elementwise so its shard never communicates; only
+    ``h`` is all-gathered for the recurrent contraction."""
+    h, c = state
+    h_full = jax.lax.all_gather(h, TP_AXIS, axis=-1, tiled=True)
+    us = h.shape[-1]
+    g = (
+        jnp.dot(x, p["wx"], preferred_element_type=h.dtype)
+        + jnp.dot(h_full, p["wh"], preferred_element_type=h.dtype)
+        + p["b"]
+    )
+    i, j = g[..., :us], g[..., us : 2 * us]
+    f, o = g[..., 2 * us : 3 * us], g[..., 3 * us :]
+    c_new = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+    h_new = jnp.tanh(c_new) * jax.nn.sigmoid(o)
+    return h_new, (h_new, c_new)
+
+
+def _tp_trunk_step(rnn_params, x, hs, kind: str = "gru"):
+    """Sharded stacked trunk step.  ``hs``: per-layer (B, U/k) shards for
+    GRU, per-layer ((B, U/k) h, (B, U/k) c) pairs for LSTM.  Returns the
+    new states tuple."""
     new_hs = []
     inp = x
     for p, h in zip(rnn_params, hs):
-        h_new = _tp_gru_apply(p, inp, h)
+        if kind == "lstm":
+            out, h_new = _tp_lstm_apply(p, inp, h)
+        else:
+            out = h_new = _tp_gru_apply(p, inp, h)
         new_hs.append(h_new)
         # deeper layers consume the full previous-layer output
-        inp = jax.lax.all_gather(h_new, TP_AXIS, axis=-1, tiled=True)
+        inp = jax.lax.all_gather(out, TP_AXIS, axis=-1, tiled=True)
     return tuple(new_hs)
 
 
@@ -173,19 +207,27 @@ def _tp_head(head, h_shard):
     )
 
 
-def _tp_step_logits(params, x, hs):
-    """Sharded stacked-GRU + head step.  ``hs``: per-layer (B, U/k) shards.
-    Returns ((B, d) tp-replicated logits, new shards)."""
-    new_hs = _tp_trunk_step(params["rnn"], x, hs)
-    return _tp_head(params["head"], new_hs[-1]), new_hs
+def _tp_step_logits(params, x, hs, kind: str = "gru"):
+    """Sharded stacked trunk + head step.  Returns ((B, d) tp-replicated
+    logits, new states)."""
+    new_hs = _tp_trunk_step(params["rnn"], x, hs, kind)
+    top = new_hs[-1][0] if kind == "lstm" else new_hs[-1]
+    return _tp_head(params["head"], top), new_hs
 
 
-def tp_zero_state(batch: int, units: Sequence[int], k: int, dtype=jnp.float32):
+def tp_zero_state(batch: int, units: Sequence[int], k: int, dtype=jnp.float32,
+                  kind: str = "gru"):
+    if kind == "lstm":
+        return tuple(
+            (jnp.zeros((batch, u // k), dtype),
+             jnp.zeros((batch, u // k), dtype))
+            for u in units
+        )
     return tuple(jnp.zeros((batch, u // k), dtype) for u in units)
 
 
 def tp_log_prob(params_shard, samples: jax.Array, units: Sequence[int],
-                k: int, dtype=jnp.float32) -> jax.Array:
+                k: int, dtype=jnp.float32, kind: str = "gru") -> jax.Array:
     """Teacher-forced joint log p(sigma) with tp-sharded parameters;
     (B, N) int -> (B,) replicated across the tp group."""
     d = 2
@@ -198,19 +240,19 @@ def tp_log_prob(params_shard, samples: jax.Array, units: Sequence[int],
 
     def step(hs, xs_t):
         x, tgt = xs_t
-        logits, hs = _tp_step_logits(params_shard, x, hs)
+        logits, hs = _tp_step_logits(params_shard, x, hs, kind)
         logp = jax.nn.log_softmax(logits, axis=-1)
         site_logp = jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
         return hs, site_logp
 
-    hs0 = tp_zero_state(s, units, k, dtype)
+    hs0 = tp_zero_state(s, units, k, dtype, kind)
     _, site_logps = jax.lax.scan(step, hs0, (inputs, targets))
     return jnp.sum(site_logps, axis=0)
 
 
 def tp_sample_with_log_prob(params_shard, key: jax.Array, num_samples: int,
                             num_sites: int, units: Sequence[int], k: int,
-                            dtype=jnp.float32):
+                            dtype=jnp.float32, kind: str = "gru"):
     """Autoregressive sampling with tp-sharded parameters.  ``key`` must be
     identical across the tp group (fold only the dp index into it) so every
     shard draws the same spins from the identical psum'd conditionals."""
@@ -220,7 +262,7 @@ def tp_sample_with_log_prob(params_shard, key: jax.Array, num_samples: int,
 
     def step(carry, site_key):
         x, hs = carry
-        logits, hs = _tp_step_logits(params_shard, x, hs)
+        logits, hs = _tp_step_logits(params_shard, x, hs, kind)
         logp = jax.nn.log_softmax(logits, axis=-1)
         draw = inverse_cdf_sample(site_key, jnp.exp(logp))
         x_next = jax.nn.one_hot(draw, d, dtype=dtype)
@@ -228,7 +270,7 @@ def tp_sample_with_log_prob(params_shard, key: jax.Array, num_samples: int,
         return (x_next, hs), (draw, site_logp)
 
     x0 = jnp.zeros((num_samples, d), dtype)
-    hs0 = tp_zero_state(num_samples, units, k, dtype)
+    hs0 = tp_zero_state(num_samples, units, k, dtype, kind)
     keys = jax.random.split(key, num_sites)
     _, (draws, site_logps) = jax.lax.scan(step, (x0, hs0), keys)
     return draws.T, jnp.sum(site_logps, axis=0)

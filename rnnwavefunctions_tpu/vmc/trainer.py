@@ -68,10 +68,10 @@ class TrainConfig:
     # second mesh axis "tp" (Megatron-style column sharding,
     # parallel/tensor.py) orthogonal to the Monte-Carlo "dp" axis.  No
     # reference analog (single GPU); this is the rebuild's very-large-units
-    # scaling path.  Covers the GRU-trunk 1D families — the plain positive
-    # PRNN1D (incl. snake-2D flat, incl. multi-layer stacks) and the
-    # complex U(1) CRNNU1 (both heads row-sharded, per-sample mask
-    # tp-replicated) on flat Hamiltonians — and the 2D MDRNN2D (all four
+    # scaling path.  Covers the 1D families — the plain positive PRNN1D
+    # (GRU or LSTM trunk; incl. snake-2D flat and multi-layer stacks) and
+    # the GRU-trunk complex U(1) CRNNU1 (both heads row-sharded, per-sample
+    # mask tp-replicated) on flat Hamiltonians — and the 2D MDRNN2D (all four
     # cell matrices column-sharded, both neighbour hiddens gathered) on
     # grid TFIM2D.  Hidden widths must be tp-divisible; composes with
     # optimizer="minsr".
@@ -256,12 +256,13 @@ class VMCTrainer:
         mdrnn = type(a).__name__ == "MDRNN2D"
         if not (
             mdrnn
-            or ((plain_prnn or crnn) and getattr(a, "cell", "gru") == "gru")
+            or (plain_prnn and getattr(a, "cell", "gru") in ("gru", "lstm"))
+            or (crnn and getattr(a, "cell", "gru") == "gru")
         ):
             raise ValueError(
-                "tensor parallelism supports the GRU-trunk 1D families "
-                "(plain positive PRNN1D and the complex U(1) CRNNU1) and "
-                "the 2D MDRNN2D; got "
+                "tensor parallelism supports the 1D families — the plain "
+                "positive PRNN1D (GRU or LSTM trunk) and the GRU-trunk "
+                "complex U(1) CRNNU1 — and the 2D MDRNN2D; got "
                 f"{type(a).__name__} with cell="
                 f"{getattr(a, 'cell', 'gru')!r}"
             )
@@ -380,10 +381,12 @@ class VMCTrainer:
                 jax.lax.stop_gradient(e_re), jax.lax.stop_gradient(e_im),
             )
 
-        shard = tp_lib.shard_params(params, k, idx)
+        kind = getattr(ansatz, "cell", "gru")
+        shard = tp_lib.shard_params(params, k, idx, kind)
         with jax.named_scope("vmc_sample"):
             samples, logp = tp_lib.tp_sample_with_log_prob(
-                shard, key, self.local_samples, ansatz.num_sites, units, k
+                shard, key, self.local_samples, ansatz.num_sites, units, k,
+                kind=kind,
             )
         samples = jax.lax.stop_gradient(samples)
         with jax.named_scope("vmc_local_energy"):
@@ -391,7 +394,9 @@ class VMCTrainer:
             s, kk = flips.shape[0], flips.shape[1]
             flat = flips.reshape((s * kk,) + flips.shape[2:])
             la = _chunked_apply(
-                lambda c: 0.5 * tp_lib.tp_log_prob(shard, c, units, k),
+                lambda c: 0.5 * tp_lib.tp_log_prob(
+                    shard, c, units, k, kind=kind
+                ),
                 flat,
                 self.config.chunk_size,
             ).reshape(s, kk)
@@ -440,8 +445,11 @@ class VMCTrainer:
                 return tp_lib.tp_crnn_log_amp_parts(
                     self.ansatz, sh, batch, self.tp
                 )
-            sh = tp_lib.shard_params(p, self.tp, idx)
-            return 0.5 * tp_lib.tp_log_prob(sh, batch, units, self.tp)
+            kind = getattr(self.ansatz, "cell", "gru")
+            sh = tp_lib.shard_params(p, self.tp, idx, kind)
+            return 0.5 * tp_lib.tp_log_prob(
+                sh, batch, units, self.tp, kind=kind
+            )
 
         def loss_fn(p):
             if is_complex:

@@ -571,3 +571,35 @@ def test_trainer_tp_mdrnn_matches_dp():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
         out = tr_tp.evaluate(st_tp, key)
         assert np.isfinite(float(out["mean_energy"]))
+
+
+def test_trainer_tp_lstm_matches_dp():
+    """LSTM trunks under tp: 4 packed gate blocks column-sharded, the cell
+    state c purely shard-local (parallel/tensor._tp_lstm_apply) — parity vs
+    dp-only for a 2-layer LSTM stack."""
+    from rnnwavefunctions_tpu import TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.parallel import mesh as mesh_lib
+
+    n, s = 8, 16
+    ansatz = PRNN1D(num_sites=n, units=(8, 8), cell="lstm", impl="jnp")
+    ham = TFIM1D(num_sites=n, bx=1.0)
+    tr_tp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s, tp=K),
+                       mesh=_mesh())
+    tr_dp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s),
+                       mesh=mesh_lib.make_mesh(2))
+    key = jax.random.PRNGKey(19)
+    st_tp = tr_tp.init(key)
+    st_dp = tr_dp.init(key)
+    for _ in range(3):
+        st_tp, m_tp = tr_tp.step(st_tp, key)
+        st_dp, m_dp = tr_dp.step(st_dp, key)
+        np.testing.assert_allclose(
+            float(m_tp["mean_energy"]), float(m_dp["mean_energy"]),
+            rtol=1e-5, atol=1e-6,
+        )
+    for a, b in zip(
+        jax.tree.leaves(st_tp.params), jax.tree.leaves(st_dp.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
