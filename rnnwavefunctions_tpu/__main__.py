@@ -60,8 +60,14 @@ def main(argv=None) -> int:
     saved_argv0 = sys.argv[0]
     sys.argv[0] = f"python -m rnnwavefunctions_tpu {cmd}"
     try:
-        # Runner mains return None; propagate anything explicit.
-        return module.main(rest) or 0
+        # Runner mains return their result objects (the training runners
+        # return a (mean_series, var_series) tuple for in-process callers,
+        # run_loop.py) — only an explicit int is an exit STATUS.  Anything
+        # else is success: returning the tuple here would make
+        # sys.exit(main()) print it to stderr and exit 1 on every
+        # successful training run.
+        out = module.main(rest)
+        return out if isinstance(out, int) else 0
     finally:
         sys.argv[0] = saved_argv0
 

@@ -294,12 +294,10 @@ def _build_bwd_site(cells, hwT, hbT, u, num_layers, kind, read_s,
         write_dl1(n, dl1)
 
         def emit(l, da, dgh_c):
-            base = 4 * u * l
-            if dgh_c is None:  # lstm: da is the full 4U block
-                emit_dg(n, base, da)
-            else:
-                emit_dg(n, base, da)
-                emit_dg(n, base + 3 * u, dgh_c)
+            # one shared mapping onto the packed 4U-per-layer dgates rows
+            # (kept in sync with the split-sweep spill kernel by sharing
+            # _emit_rows)
+            _emit_rows(emit_dg, n, l, u, da, dgh_c)
 
         trunk = _gru_trunk_bwd_rows if kind == "gru" else _lstm_trunk_bwd_rows
         return trunk(

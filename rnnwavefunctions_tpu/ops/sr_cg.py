@@ -125,6 +125,12 @@ def sr_cg_solve(
     ``interpret=False`` only on TPU) the jnp twin runs instead — same
     values, same guards.
     """
-    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+    if not interpret and (
+        jax.default_backend() not in ("tpu", "axon")
+        # the kernel is f32-only (out_shape + guards); float64 systems
+        # (--dtype float64 minSR runs) take the jnp twin, honoring the
+        # flag's "no fused kernels" contract
+        or t.dtype != jnp.float32
+    ):
         return cg_solve_jnp(t, c, iters, precision)
     return _padded_call(t, c, iters, interpret, precision)

@@ -24,10 +24,14 @@ identity
 [Chen & Heyl, arXiv:2302.01941; Rende et al., arXiv:2310.05715].  The
 heavy work is then two large MXU matmuls (``A A^T`` and ``A^T x``, both
 O(S^2 P) FLOPs batched over the full parameter dimension) plus one tiny
-Cholesky solve — instead of an O(P^3) or iterative param-space solve.  Both
-matmuls are pinned to ``Precision.HIGHEST``: they are a negligible share of
-step FLOPs, and the solve's conditioning should not inherit single-pass
-bf16 truncation.
+SPD solve — instead of an O(P^3) or iterative param-space solve.  The
+Gram/back-contraction MXU precision is configurable (flat
+:func:`minsr_direction` keeps ``Precision.HIGHEST``; the production
+:func:`minsr_direction_tree` takes ``precision``, and the trainer default
+is ``TrainConfig.sr_precision = "high"`` — bf16x3, ~1e-6 relative Gram
+error, far below any ``damping >= 1e-3`` shift), and the solve is either
+an exact blocked Cholesky or the fused Pallas CG kernel (``ops/sr_cg.py``,
+the trainer default — see ``TrainConfig.sr_solver``).
 
 Data parallelism: each device computes its local O rows, the row mean is
 ``pmean``'d, the centered rows are ``all_gather``'d over the ``dp`` axis

@@ -1,9 +1,12 @@
 """Verify run: public-API VMC training on the real chip with the 2D BPTT
 row-chunk spill force-engaged on a small lattice, converging vs ED."""
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 

@@ -9,9 +9,12 @@ cost of the (S, P) concat/flatten copies the current solve pays.
 Run from /root/repo:  timeout 580 python scripts/exp_gram_precision.py
 """
 
+import os
 import sys, time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

@@ -14,9 +14,12 @@ Run from /root/repo:  timeout 580 python scripts/exp_launch_floor.py
 """
 
 import functools
+import os
 import sys, time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

@@ -7,9 +7,12 @@ measured back-to-back via run_steps(K) device-side scans.
 Run from /root/repo:  timeout 580 python scripts/exp_minsr_headtohead.py
 """
 
+import os
 import sys, time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,12 @@ sweep (ops/fused_jac.py) and the jnp scans (vmc/jacobian.py):
 Run from /root/repo:  timeout 580 python scripts/exp_minsr_jac_split.py
 """
 
+import os
 import sys, time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

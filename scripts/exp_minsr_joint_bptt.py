@@ -8,9 +8,12 @@ generalization of vmc/jacobian._bptt).
 Run from /root/repo:  timeout 580 python scripts/exp_minsr_joint_bptt.py
 """
 
+import os
 import sys, time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

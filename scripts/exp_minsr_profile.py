@@ -9,9 +9,12 @@ Times, on the real chip at the flagship shape (N=100, U=50, S=500):
 Run from /root/repo:  timeout 580 python scripts/exp_minsr_profile.py
 """
 
+import os
 import sys, time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

@@ -13,10 +13,13 @@ Run from /root/repo:  timeout 580 python scripts/exp_scoped_budget.py [case]
 """
 
 import statistics
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 

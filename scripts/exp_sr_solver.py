@@ -19,9 +19,12 @@ conditioning).
 Run from /root/repo:  timeout 580 python scripts/exp_sr_solver.py
 """
 
+import os
 import sys, time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,12 @@ Run from /root/repo (no PYTHONPATH — it breaks the TPU plugin):
 """
 
 import re
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

@@ -54,10 +54,13 @@ Run on the real chip: python scripts/exp_wavefront_pipeline.py \
 """
 
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp

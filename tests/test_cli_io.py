@@ -331,6 +331,21 @@ def test_module_dispatcher(capsys):
         assert "--help" not in capsys.readouterr().err
 
 
+def test_module_dispatcher_exit_status_on_success(tmp_path, capsys):
+    """A successful training run through the dispatcher must return exit
+    STATUS 0 — the runner mains return a (mean, var) tuple for in-process
+    callers, which must NOT leak into sys.exit (a truthy tuple would exit
+    1 and print the series to stderr, breaking `... && next` pipelines)."""
+    from rnnwavefunctions_tpu import __main__ as dispatcher
+
+    rc = dispatcher.main([
+        "1dtfim", "--numsteps", "2", "--systemsize", "4",
+        "--num-units", "4", "--numsamples", "8", "--num-devices", "1",
+        "--workdir", str(tmp_path / "d"),
+    ])
+    assert rc == 0
+
+
 def test_cli_1d_float64_end_to_end(tmp_path):
     """--dtype float64 on the 1D runners (1DTFIM + J1J2) trains in f64
     end-to-end — the provable-parity escape hatch for the reference's f64

@@ -122,3 +122,27 @@ def test_trainer_rejects_bad_solver():
             PRNN1D(num_sites=4, units=(8,)), TFIM1D(num_sites=4, bx=1.0),
             TrainConfig(num_samples=8, optimizer="minsr", sr_cg_iters=0),
         )
+
+
+def test_sr_cg_solve_float64_routes_to_jnp():
+    """float64 systems (--dtype float64 minSR runs) must take the jnp twin
+    — the Pallas kernel is f32-only (hardcoded out_shape/guards), and the
+    f64 contract is 'jnp paths, no fused kernels'.  The dispatch checks
+    dtype BEFORE reaching the kernel, so this holds on every backend."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        s = 24
+        a = jax.random.normal(
+            jax.random.PRNGKey(0), (s, 2 * s)
+        ).astype(jnp.float64)
+        t = (a @ a.T) / (2 * s) + 1e-2 * jnp.eye(s, dtype=jnp.float64)
+        c = jax.random.normal(jax.random.PRNGKey(1), (s,)).astype(jnp.float64)
+        got = sr_cg.sr_cg_solve(t, c, iters=2 * s)
+        assert got.dtype == jnp.float64
+        want = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(t, lower=True), c
+        )
+        err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert err < 1e-6, err
+    finally:
+        jax.config.update("jax_enable_x64", False)
