@@ -297,11 +297,20 @@ class VMCTrainer:
         if key is None:
             key = jax.random.PRNGKey(self.config.seed)
         params = self.ansatz.init(key)
-        return TrainState(
+        state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
         )
+        # Pin the replicated NamedSharding the jitted step emits.  Freshly
+        # created arrays carry SingleDeviceSharding; feeding them to the
+        # step compiles one program, and feeding the step's OWN output back
+        # (run_steps loops, fit) would compile a SECOND under the
+        # mesh sharding — measured 22 s of duplicate compile on the minSR
+        # flagship program.  One device_put here means one compile ever.
+        from jax.sharding import NamedSharding
+
+        return jax.device_put(state, NamedSharding(self.mesh, P()))
 
     # -- the tensor-parallel step --------------------------------------------
 

@@ -286,10 +286,56 @@ def sampler_gof(draws_per_round=4096, rounds=32, seed=7):
     return results
 
 
+def minsr_race(n=100, threshold=1e-4, num_samples=500):
+    """Wall-clock-to-threshold head-to-head on the flagship anchor: Adam
+    (reference optimizer/lr) vs minSR (round-4 solver stack: tree rows +
+    HIGH gram + fused-CG solve).  Trains each in 250-step device-side
+    blocks until the trailing-250 mean energy is within ``threshold``
+    relative of the DMRG anchor, and reports steps + wall seconds.  The
+    claim under test: minSR needs ~5-6x fewer steps and wins wall-clock
+    despite its ~1.3x per-step premium (BENCHMARKS.md)."""
+    ref = TFIM_DMRG[n]
+    out = {"check": f"tfim_n{n}_minsr_race", "threshold": threshold}
+    for tag, cfg in [
+        ("adam", TrainConfig(num_samples=num_samples, learning_rate=5e-3)),
+        ("minsr", TrainConfig(num_samples=num_samples, learning_rate=5e-2,
+                              optimizer="minsr")),
+    ]:
+        trainer = VMCTrainer(
+            PRNN1D(num_sites=n, units=(50,)), TFIM1D(num_sites=n, bx=1.0),
+            cfg,
+        )
+        key = jax.random.PRNGKey(0)
+        # compile the 250-step block program outside the clock (a throwaway
+        # state — run_steps compiles once per distinct K)
+        trainer.run_steps(trainer.init(), key, 250)
+        state = trainer.init()
+        t0 = time.time()
+        steps_done, rel = 0, float("inf")
+        while steps_done < 20000 and rel > threshold:
+            state, ms = trainer.run_steps(state, key, 250)
+            steps_done += 250
+            # trailing-100 window: the block mean would drag the early
+            # transient through every later check
+            est = float(np.asarray(ms["mean_energy"])[-100:].mean())
+            rel = abs(est - ref) / abs(ref)
+        out[tag] = {
+            "steps_to_threshold": steps_done,
+            "wall_s": round(time.time() - t0, 1),
+            "final_rel_error": rel,
+        }
+        print(json.dumps({tag: out[tag]}), flush=True)
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="fewer steps / fewer anchors")
+    p.add_argument("--minsr-race", action="store_true",
+                   help="wall-clock-to-threshold Adam vs minSR on the "
+                        "N=100 flagship anchor")
     p.add_argument("--gof", action="store_true",
                    help="sampler goodness-of-fit only (chi-square of the "
                         "on-chip Pallas samplers vs exact probabilities)")
@@ -302,6 +348,8 @@ def main(argv=None):
                         "the exact oracles (N <= 24)")
     args = p.parse_args(argv)
 
+    if args.minsr_race:
+        return minsr_race()
     if args.gof:
         return sampler_gof()
     if args.fidelity is not None:
