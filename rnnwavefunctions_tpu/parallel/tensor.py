@@ -456,8 +456,7 @@ def _tp_mdrnn_sweep(params_shard, batch, nx, ny, units, k, row_xs, site_fn,
             site_logps,
         )
 
-    def flip_if(flag, x, axis):
-        return jnp.where(flag, jnp.flip(x, axis=axis), x)
+    from ..models.mdrnn2d import _flip_if as flip_if
 
     flags = (jnp.arange(ny) % 2).astype(bool)
 

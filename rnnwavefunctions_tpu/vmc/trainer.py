@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..ops.tiling import tpu_compiler_options
@@ -254,6 +255,8 @@ class VMCTrainer:
         )
         crnn = type(a).__name__ == "CRNNU1"
         mdrnn = type(a).__name__ == "MDRNN2D"
+        # one resolution, consumed by the tp step/eval paths
+        self._tp_family = "mdrnn" if mdrnn else ("crnn" if crnn else "prnn")
         if not (
             mdrnn
             or (plain_prnn and getattr(a, "cell", "gru") in ("gru", "lstm"))
@@ -308,8 +311,6 @@ class VMCTrainer:
         # (run_steps loops, fit) would compile a SECOND under the
         # mesh sharding — measured 22 s of duplicate compile on the minSR
         # flagship program.  One device_put here means one compile ever.
-        from jax.sharding import NamedSharding
-
         return jax.device_put(state, NamedSharding(self.mesh, P()))
 
     # -- the tensor-parallel step --------------------------------------------
@@ -327,7 +328,24 @@ class VMCTrainer:
         k = self.tp
         idx = jax.lax.axis_index(tp_lib.TP_AXIS)
 
-        if type(ansatz).__name__ == "MDRNN2D":
+        def positive_energy(la_fn, samples, logp):
+            """Generic positive-family local energies from a tp la
+            callable (shared by the PRNN and MDRNN branches)."""
+            with jax.named_scope("vmc_local_energy"):
+                diag, flips, elements, mask = jax.vmap(ham.connected)(samples)
+                s, kk = flips.shape[0], flips.shape[1]
+                flat = flips.reshape((s * kk,) + flips.shape[2:])
+                la = _chunked_apply(
+                    la_fn, flat, self.config.chunk_size
+                ).reshape(s, kk)
+                ratios = jnp.exp(la - 0.5 * logp[:, None])
+                contrib = elements.astype(ratios.dtype) * ratios
+                e_re = diag.astype(ratios.dtype) + jnp.sum(
+                    jnp.where(mask, contrib, 0.0), axis=1
+                )
+            return jax.lax.stop_gradient(e_re)
+
+        if self._tp_family == "mdrnn":
             shard = tp_lib.shard_params_mdrnn(params, k, idx)
             nx, ny, u = ansatz.nx, ansatz.ny, ansatz.units
             with jax.named_scope("vmc_sample"):
@@ -336,27 +354,17 @@ class VMCTrainer:
                     dtype=ansatz.dtype,
                 )
             samples = jax.lax.stop_gradient(samples)
-            with jax.named_scope("vmc_local_energy"):
-                diag, flips, elements, mask = jax.vmap(ham.connected)(samples)
-                s, kk = flips.shape[0], flips.shape[1]
-                flat = flips.reshape((s * kk,) + flips.shape[2:])
-                la = _chunked_apply(
-                    lambda c: 0.5 * tp_lib.tp_mdrnn_log_prob(
-                        shard, c, nx, ny, u, k, dtype=ansatz.dtype
-                    ),
-                    flat,
-                    self.config.chunk_size,
-                ).reshape(s, kk)
-                ratios = jnp.exp(la - 0.5 * logp[:, None])
-                contrib = elements.astype(ratios.dtype) * ratios
-                e_re = diag.astype(ratios.dtype) + jnp.sum(
-                    jnp.where(mask, contrib, 0.0), axis=1
-                )
-            return samples, 0.5 * logp, jax.lax.stop_gradient(e_re), None
+            e_re = positive_energy(
+                lambda c: 0.5 * tp_lib.tp_mdrnn_log_prob(
+                    shard, c, nx, ny, u, k, dtype=ansatz.dtype
+                ),
+                samples, logp,
+            )
+            return samples, 0.5 * logp, e_re, None
 
         units = tuple(ansatz.units)
 
-        if getattr(ansatz, "is_complex", False):
+        if self._tp_family == "crnn":
             shard = tp_lib.shard_params_crnn(params, k, idx)
             with jax.named_scope("vmc_sample"):
                 samples, _ = tp_lib.tp_crnn_sample_with_log_prob(
@@ -398,23 +406,11 @@ class VMCTrainer:
                 kind=kind,
             )
         samples = jax.lax.stop_gradient(samples)
-        with jax.named_scope("vmc_local_energy"):
-            diag, flips, elements, mask = jax.vmap(ham.connected)(samples)
-            s, kk = flips.shape[0], flips.shape[1]
-            flat = flips.reshape((s * kk,) + flips.shape[2:])
-            la = _chunked_apply(
-                lambda c: 0.5 * tp_lib.tp_log_prob(
-                    shard, c, units, k, kind=kind
-                ),
-                flat,
-                self.config.chunk_size,
-            ).reshape(s, kk)
-            ratios = jnp.exp(la - 0.5 * logp[:, None])
-            contrib = elements.astype(ratios.dtype) * ratios
-            e_re = diag.astype(ratios.dtype) + jnp.sum(
-                jnp.where(mask, contrib, 0.0), axis=1
-            )
-        return samples, 0.5 * logp, jax.lax.stop_gradient(e_re), None
+        e_re = positive_energy(
+            lambda c: 0.5 * tp_lib.tp_log_prob(shard, c, units, k, kind=kind),
+            samples, logp,
+        )
+        return samples, 0.5 * logp, e_re, None
 
     def _device_step_tp(self, params, opt_state, step, key):
         """Tensor-parallel device step: the GRU hidden dimension is sharded
@@ -434,7 +430,7 @@ class VMCTrainer:
         e_im_mean = (
             None if e_im is None else mesh_lib.pmean(jnp.mean(e_im))
         )
-        is_mdrnn = type(self.ansatz).__name__ == "MDRNN2D"
+        is_mdrnn = self._tp_family == "mdrnn"
         units = None if is_mdrnn else tuple(self.ansatz.units)
         is_complex = getattr(self.ansatz, "is_complex", False)
 
