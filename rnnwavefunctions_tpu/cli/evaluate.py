@@ -33,7 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--systemsize", type=int, default=20)
     p.add_argument("--systemsize-x", type=int, default=4)
     p.add_argument("--systemsize-y", type=int, default=4)
-    p.add_argument("--bx", type=float, default=1.0)
+    # default follows the TRAINING runner of the chosen workload (1.0 for
+    # the 1D chain, 3.0 for both 2D runners — run_2dtfim_*.py): a single
+    # flat default silently evaluated 2D checkpoints against the wrong
+    # Hamiltonian.
+    p.add_argument("--bx", type=float, default=None)
     p.add_argument("--j1", type=float, default=1.0)
     p.add_argument("--j2", type=float, default=0.2)
     p.add_argument("--bz", type=float, default=0.0)
@@ -116,6 +120,8 @@ def _num_sites(args) -> int:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.bx is None:
+        args.bx = 1.0 if args.workload == "1dtfim" else 3.0
     enable_persistent_cache(args.jax_cache_dir)
     if args.fidelity and _num_sites(args) > 24:
         # fail fast, BEFORE the measurement loop and before any 2^N
