@@ -781,8 +781,16 @@ class VMCTrainer:
                 out["renyi2"] = -jnp.log(purity)
             return out
 
+        # Extra observables ride the PLAIN ansatz path even on a tp mesh:
+        # params are replicated (tp sharding is an in-graph compute strategy,
+        # parallel/tensor.py), so the unsharded log_amp applies directly —
+        # each tp-group member redundantly computes the identical
+        # measurement (same dp-folded key), matching the tp step's own
+        # sampling replication.  Slower than the sharded trunk for wide
+        # models, but it makes tp-trained states measurable in one call.
+        use_plain = self.tp == 1 or extra
         sharded = jax.shard_map(
-            device_eval_tp if self.tp > 1 else device_eval,
+            device_eval if use_plain else device_eval_tp,
             mesh=self.mesh, in_specs=(P(), P()),
             out_specs=P(), check_vma=False,
         )
@@ -814,11 +822,6 @@ class VMCTrainer:
         unknown = set(extra) - {"sigma_x", "structure_factor", "renyi2"}
         if unknown:
             raise ValueError(f"unknown observables: {sorted(unknown)}")
-        if extra and self.tp > 1:
-            raise ValueError(
-                "extra observables are evaluated through the plain ansatz "
-                "log_amp and are not available on a tensor-parallel mesh; "
-                "evaluate with tp=1 (dp-only) instead")
         if extra not in self._eval_fns:
             self._eval_fns[extra] = self._build_evaluate(extra)
         return self._eval_fns[extra](state.params, key)

@@ -603,3 +603,31 @@ def test_trainer_tp_lstm_matches_dp():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
+
+
+def test_trainer_tp_evaluate_observables_matches_dp():
+    """Extra observables on a tp mesh (round 5): ``evaluate(observables=…)``
+    rides the PLAIN ansatz path with the replicated params — tp-group
+    members redundantly compute the identical measurement (same dp-folded
+    key), so the result must equal the dp-only trainer's on a same-dp-size
+    mesh."""
+    from rnnwavefunctions_tpu import TrainConfig, VMCTrainer
+    from rnnwavefunctions_tpu.parallel import mesh as mesh_lib
+
+    n, s = 8, 16
+    ansatz = PRNN1D(num_sites=n, units=UNITS, impl="jnp")
+    ham = TFIM1D(num_sites=n, bx=1.0)
+    tr_tp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s, tp=K),
+                       mesh=_mesh())
+    tr_dp = VMCTrainer(ansatz, ham, TrainConfig(num_samples=s),
+                       mesh=mesh_lib.make_mesh(2))
+    key = jax.random.PRNGKey(7)
+    obs = ("sigma_x", "structure_factor", "renyi2")
+    out_tp = tr_tp.evaluate(tr_tp.init(key), key, observables=obs)
+    out_dp = tr_dp.evaluate(tr_dp.init(key), key, observables=obs)
+    assert set(out_tp) == set(out_dp)
+    for name in sorted(out_dp):
+        np.testing.assert_allclose(
+            np.asarray(out_tp[name]), np.asarray(out_dp[name]),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
