@@ -120,7 +120,7 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                  has_nnn: bool, periodic: bool = False,
                  sample_mode: bool = False, num_layers: int = 1,
                  spill: bool = False, group: int = GROUP,
-                 pack: bool = False):
+                 pack: bool = False, ablate: str = "full"):
     """``pack=True`` (small batches: 2*B <= tile, one grid program) runs the
     bond-pair lane packing: the base pass carries two copies of the batch in
     the tile's lane halves, so each wavefront column block serves the bond
@@ -489,10 +489,14 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
 
         eoff_re_ref[:] = zero_row
         eoff_im_ref[:] = zero_row
-        family(1, n_sites - 1, el_nn, eoff_re_ref, eoff_im_ref)
-        if has_nnn:
+        # ``ablate`` is a measurement-only knob (scripts/exp_j1j2_stage_
+        # ablation.py): stage timing by dropping whole wavefront families.
+        # Production callers always pass "full".
+        if ablate != "base_only":
+            family(1, n_sites - 1, el_nn, eoff_re_ref, eoff_im_ref)
+        if has_nnn and ablate in ("full", "no_wrap"):
             family(2, n_sites - 2, el_nnn, eoff_re_ref, eoff_im_ref)
-        if periodic:
+        if periodic and ablate == "full":
             bonds = [(0, n_sites - 1, el_nn)]
             if has_nnn:
                 bonds += [(0, n_sites - 2, el_nnn), (1, n_sites - 1, el_nnn)]
@@ -502,11 +506,12 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("u1", "el_nn", "el_nnn", "has_nnn", "periodic")
+    jax.jit, static_argnames=("u1", "el_nn", "el_nnn", "has_nnn", "periodic",
+                              "ablate")
 )
 def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
                           el_nnn: float, has_nnn: bool,
-                          periodic: bool = False):
+                          periodic: bool = False, ablate: str = "full"):
     """(B, N) samples -> (eoff_re, eoff_im, lp_re, lp_im), each (B,).
 
     eoff = sum over valid NN/NNN exchanges of el * psi(sigma')/psi(sigma),
@@ -534,7 +539,7 @@ def j1j2_exchange_offdiag(params, samples, *, u1: bool, el_nn: float,
     outs = pl.pallas_call(
         _make_kernel(n, u1, el_nn, el_nnn, has_nnn, periodic,
                      num_layers=num_layers, spill=spill, group=group,
-                     pack=pack),
+                     pack=pack, ablate=ablate),
         grid=(b_pad // tile,),
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),

@@ -286,16 +286,23 @@ def sampler_gof(draws_per_round=4096, rounds=32, seed=7):
     return results
 
 
-def minsr_race(n=100, threshold=1e-4, num_samples=500):
+def minsr_race(n=100, threshold=1e-4, num_samples=500, seeds=(0,),
+               block=250):
     """Wall-clock-to-threshold head-to-head on the flagship anchor: Adam
     (reference optimizer/lr) vs minSR (round-4 solver stack: tree rows +
-    HIGH gram + fused-CG solve).  Trains each in 250-step device-side
-    blocks until the trailing-250 mean energy is within ``threshold``
+    HIGH gram + fused-CG solve).  Trains each in ``block``-step device-side
+    blocks until the trailing-block mean energy is within ``threshold``
     relative of the DMRG anchor, and reports steps + wall seconds.  The
-    claim under test: minSR needs ~5-6x fewer steps and wins wall-clock
-    despite its ~1.3x per-step premium (BENCHMARKS.md)."""
+    claim under test: minSR needs ~2.6x fewer steps and wins wall-clock
+    despite its per-step premium (BENCHMARKS.md).
+
+    ``seeds`` varies BOTH the parameter init and the Monte-Carlo stream;
+    steps-to-threshold is a noisy race statistic, so the honest headline is
+    the median +- spread over >= 5 seeds (round-5 VERDICT item 4), not a
+    single run at the default seed."""
     ref = TFIM_DMRG[n]
-    out = {"check": f"tfim_n{n}_minsr_race", "threshold": threshold}
+    out = {"check": f"tfim_n{n}_minsr_race", "threshold": threshold,
+           "block": block, "seeds": list(seeds)}
     for tag, cfg in [
         ("adam", TrainConfig(num_samples=num_samples, learning_rate=5e-3)),
         ("minsr", TrainConfig(num_samples=num_samples, learning_rate=5e-2,
@@ -305,26 +312,46 @@ def minsr_race(n=100, threshold=1e-4, num_samples=500):
             PRNN1D(num_sites=n, units=(50,)), TFIM1D(num_sites=n, bx=1.0),
             cfg,
         )
-        key = jax.random.PRNGKey(0)
-        # compile the 250-step block program outside the clock (a throwaway
-        # state — run_steps compiles once per distinct K)
-        trainer.run_steps(trainer.init(), key, 250)
-        state = trainer.init()
-        t0 = time.time()
-        steps_done, rel = 0, float("inf")
-        while steps_done < 20000 and rel > threshold:
-            state, ms = trainer.run_steps(state, key, 250)
-            steps_done += 250
-            # trailing-100 window: the block mean would drag the early
-            # transient through every later check
-            est = float(np.asarray(ms["mean_energy"])[-100:].mean())
-            rel = abs(est - ref) / abs(ref)
+        # compile the block program outside the clocks (a throwaway state —
+        # run_steps compiles once per distinct K)
+        trainer.run_steps(trainer.init(), jax.random.PRNGKey(0), block)
+        runs = []
+        for seed in seeds:
+            key = jax.random.PRNGKey(seed)
+            state = trainer.init(jax.random.fold_in(key, 0xA5))
+            t0 = time.time()
+            steps_done, rel = 0, float("inf")
+            while steps_done < 20000 and rel > threshold:
+                state, ms = trainer.run_steps(state, key, block)
+                steps_done += block
+                # trailing-100 window: the block mean would drag the early
+                # transient through every later check
+                est = float(np.asarray(ms["mean_energy"])[-100:].mean())
+                rel = abs(est - ref) / abs(ref)
+            runs.append({
+                "seed": seed,
+                "steps_to_threshold": steps_done,
+                "wall_s": round(time.time() - t0, 1),
+                "final_rel_error": rel,
+            })
+            print(json.dumps({tag: runs[-1]}), flush=True)
+        steps_arr = np.asarray([r["steps_to_threshold"] for r in runs])
+        wall_arr = np.asarray([r["wall_s"] for r in runs])
         out[tag] = {
-            "steps_to_threshold": steps_done,
-            "wall_s": round(time.time() - t0, 1),
-            "final_rel_error": rel,
+            "runs": runs,
+            "steps_median": float(np.median(steps_arr)),
+            "steps_min": int(steps_arr.min()),
+            "steps_max": int(steps_arr.max()),
+            "wall_median_s": float(np.median(wall_arr)),
+            "wall_min_s": float(wall_arr.min()),
+            "wall_max_s": float(wall_arr.max()),
         }
-        print(json.dumps({tag: out[tag]}), flush=True)
+    out["steps_ratio_median"] = (
+        out["adam"]["steps_median"] / out["minsr"]["steps_median"]
+    )
+    out["wall_ratio_median"] = (
+        out["adam"]["wall_median_s"] / out["minsr"]["wall_median_s"]
+    )
     print(json.dumps(out), flush=True)
     return out
 
@@ -336,6 +363,15 @@ def main(argv=None):
     p.add_argument("--minsr-race", action="store_true",
                    help="wall-clock-to-threshold Adam vs minSR on the "
                         "N=100 flagship anchor")
+    p.add_argument("--race-n", type=int, default=100,
+                   help="system size for --minsr-race (20 pairs with "
+                        "--race-threshold 1e-3 and --race-block 25)")
+    p.add_argument("--race-threshold", type=float, default=1e-4)
+    p.add_argument("--race-block", type=int, default=250,
+                   help="steps per device dispatch / check cadence")
+    p.add_argument("--seeds", type=int, default=1,
+                   help="number of seeds for --minsr-race (median +- "
+                        "spread over seeds 0..K-1)")
     p.add_argument("--gof", action="store_true",
                    help="sampler goodness-of-fit only (chi-square of the "
                         "on-chip Pallas samplers vs exact probabilities)")
@@ -349,7 +385,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.minsr_race:
-        return minsr_race()
+        return minsr_race(n=args.race_n, threshold=args.race_threshold,
+                          seeds=tuple(range(args.seeds)),
+                          block=args.race_block)
     if args.gof:
         return sampler_gof()
     if args.fidelity is not None:
