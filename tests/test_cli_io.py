@@ -365,3 +365,29 @@ def test_cli_1d_float64_end_to_end(tmp_path):
         assert np.isfinite(mean_e).all()
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.slow
+def test_cli_evaluate_tp_checkpoint_with_observables(tmp_path):
+    """VERDICT r4 item 10 end-to-end: train with --tp 2, then measure the
+    checkpoint with observables in ONE evaluate command.  tp params are
+    replicated full trees, so the evaluate CLI's dp-only trainer restores
+    them unchanged; the trainer-level tp evaluate path is covered by
+    tests/test_tensor_parallel.py."""
+    from rnnwavefunctions_tpu.cli import evaluate
+
+    run_1dtfim.main([
+        "--numsteps", "6", "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--workdir", str(tmp_path), "--tp", "2",
+    ])
+    ckpt_dir = [d for d in os.listdir(tmp_path) if d.startswith("ckpt_")][0]
+    result = evaluate.main([
+        str(tmp_path / ckpt_dir), "--workload", "1dtfim",
+        "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--num-batches", "2", "--num-devices", "1",
+        "--observables", "sigma_x", "structure_factor", "renyi2",
+    ])
+    assert result["step"] == 7
+    assert np.isfinite(result["energy"]) and result["energy"] < 0.0
+    assert len(result["sigma_x"]) == 6
+    assert np.isfinite(result["renyi2"])
