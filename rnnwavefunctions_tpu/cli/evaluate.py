@@ -68,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "sigma_x flip batch is S*N x N without it)")
     p.add_argument("--num-batches", type=int, default=10)
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width for the measurement mesh "
+                        "(same meaning as the training runners' --tp; "
+                        "checkpoints restore across any dp/tp layout since "
+                        "params are replicated full trees, so this is a "
+                        "speed knob for wide models, not a restore "
+                        "requirement.  With --observables the measurement "
+                        "rides the plain per-device path on the replicated "
+                        "params either way)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--observables", nargs="*", default=[],
                    choices=["sigma_x", "structure_factor", "renyi2"],
@@ -132,12 +141,20 @@ def main(argv=None):
             f"N={_num_sites(args)} > 24 (Lanczos bound)"
         )
     ansatz, ham = build_problem(args)
+    if args.tp > 1:
+        from ..parallel.tensor import make_dp_tp_mesh
+
+        n_dev = args.num_devices or len(jax.devices())
+        mesh = make_dp_tp_mesh(max(1, n_dev // args.tp), args.tp)
+    else:
+        mesh = make_mesh(args.num_devices)
     trainer = VMCTrainer(
         ansatz, ham,
         TrainConfig(num_samples=args.numsamples,
                     chunk_size=args.chunk_size,
+                    tp=args.tp,
                     matmul_precision=args.matmul_precision),
-        mesh=make_mesh(args.num_devices),
+        mesh=mesh,
     )
     ckpt = Checkpointer(args.checkpoint)
     state = trainer.init()

@@ -391,3 +391,14 @@ def test_cli_evaluate_tp_checkpoint_with_observables(tmp_path):
     assert np.isfinite(result["energy"]) and result["energy"] < 0.0
     assert len(result["sigma_x"]) == 6
     assert np.isfinite(result["renyi2"])
+    # and on a tp measurement mesh (sharded-trunk eval for the energy,
+    # plain replicated path once observables are requested)
+    result_tp = evaluate.main([
+        str(tmp_path / ckpt_dir), "--workload", "1dtfim",
+        "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--num-batches", "2",
+        "--num-devices", "4", "--tp", "2",
+        "--observables", "sigma_x",
+    ])
+    assert np.isfinite(result_tp["energy"]) and result_tp["energy"] < 0.0
+    assert len(result_tp["sigma_x"]) == 6
