@@ -229,7 +229,8 @@ WORKLOADS = [
     # FLOPs model = the model's useful work (as every row), so mfu here
     # is goodput — the jacobian is optimizer overhead by construction;
     # the rows' value is steps/s (convergence per step is the feature:
-    # 5-6x fewer steps to 1e-3, BENCHMARKS.md).
+    # 2.2-3.5x fewer steps to the anchors, 5-seed medians — BENCHMARKS.md
+    # round 5).
     ("1dtfim_n100_minsr", NUM_SAMPLES, SLOW_STEPS_PER_TRIAL,
      flops_tfim_plain(100, 50, NUM_SAMPLES), 50,
      {"optimizer": "minsr", "learning_rate": 5e-2}),
@@ -587,6 +588,18 @@ def main():
             frag["steps_per_sec"], num_samples, flops_per_step, units)
         rows[name]["retried"] = True
         print(f"{name}: {rows[name]}", file=sys.stderr)
+
+    # The accuracy probe must not die with a transient flagship failure:
+    # if it never ran (flagship only recovered on retry) or itself timed
+    # out, give it one more attempt while the device still answers.
+    if (
+        ("error" in accuracy or "steps_to_rtol" not in accuracy)
+        and time.monotonic() - t_start <= TOTAL_BUDGET_S
+        and _device_reachable()
+    ):
+        print("accuracy_n20_minsr: (re)running probe", file=sys.stderr)
+        accuracy = _spawn_row("accuracy_n20_minsr", ROW_TIMEOUT_S)
+        print(f"accuracy_n20_minsr: {accuracy}", file=sys.stderr)
 
     flag = rows.get("1dtfim_n100", {"error": "row never ran"})
     full_record = {

@@ -121,6 +121,9 @@ def _make_kernel(n_sites: int, u1: bool, el_nn: float, el_nnn: float,
                  sample_mode: bool = False, num_layers: int = 1,
                  spill: bool = False, group: int = GROUP,
                  pack: bool = False, ablate: str = "full"):
+    # a typo'd ablate value would silently drop bond families and return a
+    # physically wrong energy — fail at trace time instead
+    assert ablate in ("full", "no_wrap", "nn_only", "base_only"), ablate
     """``pack=True`` (small batches: 2*B <= tile, one grid program) runs the
     bond-pair lane packing: the base pass carries two copies of the batch in
     the tile's lane halves, so each wavefront column block serves the bond

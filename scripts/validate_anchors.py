@@ -333,12 +333,17 @@ def minsr_race(n=100, threshold=1e-4, num_samples=500, seeds=(0,),
                 "steps_to_threshold": steps_done,
                 "wall_s": round(time.time() - t0, 1),
                 "final_rel_error": rel,
+                # a capped (20000-step) run records the cap, not a
+                # threshold crossing — flag it so capped values can't
+                # silently bias the medians below
+                "converged": rel <= threshold,
             })
             print(json.dumps({tag: runs[-1]}), flush=True)
         steps_arr = np.asarray([r["steps_to_threshold"] for r in runs])
         wall_arr = np.asarray([r["wall_s"] for r in runs])
         out[tag] = {
             "runs": runs,
+            "all_converged": all(r["converged"] for r in runs),
             "steps_median": float(np.median(steps_arr)),
             "steps_min": int(steps_arr.min()),
             "steps_max": int(steps_arr.max()),
