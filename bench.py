@@ -646,6 +646,15 @@ def main():
     # FINAL stdout line (driver contract): compact headline only — must fit
     # the driver's ~2000-char tail capture with room to spare.
     measured = sum(1 for r in rows.values() if "steps_per_sec" in r)
+    print(json.dumps(
+        _headline(full_record, flag, accuracy, timeouts, measured)))
+
+
+def _headline(full_record, flag, accuracy, timeouts, measured):
+    """Compact final-line record.  MUST stay well under the driver's
+    ~2000-char tail window in every branch (the round-4 record was lost to
+    exactly this: a single giant JSON line truncated past the window) —
+    size pinned by tests/test_bench_headline.py."""
     headline = {
         "metric": full_record["metric"],
         "value": full_record["value"],
@@ -665,13 +674,15 @@ def main():
                   "previous stdout line)",
     }
     if "error" in flag:
-        headline["error"] = flag["error"]
+        # error strings are subprocess-tail captures — cap them so the
+        # headline cannot outgrow the window on a bad day
+        headline["error"] = str(flag["error"])[:200]
         lg = full_record.get("stale_last_good_onchip")
         if lg:
             headline["stale_last_good_onchip"] = {
                 k: lg[k] for k in ("source", "value", "vs_baseline")
                 if k in lg}
-    print(json.dumps(headline))
+    return headline
 
 
 if __name__ == "__main__":
