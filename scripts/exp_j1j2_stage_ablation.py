@@ -27,57 +27,24 @@ Run from /root/repo:  timeout 580 python scripts/exp_j1j2_stage_ablation.py
 
 import os
 import sys
-import time
 
-sys.path.insert(
-    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root (no PYTHONPATH)
+sys.path.insert(0, _HERE)                   # scripts/ for benchlib
 
 import jax
-import jax.numpy as jnp
 
+from benchlib import make_scanned, run_timed
 from rnnwavefunctions_tpu.models.crnn_u1 import CRNNU1
 from rnnwavefunctions_tpu.ops.j1j2_exchange_kernel import (
     GROUP, SPILL_GROUP, _pick_tile, j1j2_exchange_offdiag,
 )
-from rnnwavefunctions_tpu.ops.tiling import tpu_compiler_options
 
 K = 50
 
 
-def _sync(x):
-    float(jnp.ravel(jax.tree.leaves(x)[0])[0].astype(jnp.float32))
-
-
-def scanned(fn, params, samples):
-    def run(p, s):
-        def body(c, _):
-            leaves = jax.tree.map(
-                lambda x: (x + c * 1e-30).astype(x.dtype), p
-            )
-            out = fn(leaves, s)
-            red = sum(jnp.sum(l.astype(jnp.float32))
-                      for l in jax.tree.leaves(out))
-            return c + red * 1e-30, ()
-
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
-        return c
-
-    return jax.jit(run, compiler_options=tpu_compiler_options())
-
-
 def bench(label, fn, params, samples):
-    g = scanned(fn, params, samples)
-    _sync(g(params, samples))  # compile
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _sync(g(params, samples))
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    med = ts[len(ts) // 2] / K * 1e3
-    print(f"  {label:34s} {med:9.3f} ms/iter", flush=True)
-    return med
+    return run_timed(label, make_scanned(fn, K), params, samples, k=K)
 
 
 def run_shape(n, u, s, periodic):

@@ -13,6 +13,10 @@ S=64:
   - the full minSR direction (rows + per-leaf tree solve) on each path
 
 Run from /root/repo:  timeout 580 python scripts/exp_jac_spill_onchip.py
+
+(The inline _sync/scanned/bench protocol here is kept verbatim as the code
+that produced the published round-5 numbers; the canonical shared copy for
+new scripts is scripts/benchlib.py.)
 """
 
 import os

@@ -18,6 +18,10 @@ one program over a (16, 512)-ish tile; the wavefront has N=16 sites of
 dependent chain, irreducible at any group width).  Run from /root/repo:
 
   timeout 580 python scripts/exp_small_step_floor.py
+
+(This harness scans stateful step bodies with their own carries, so it
+keeps a local timing loop; the canonical shared protocol for plain
+fn(params, ...) measurements is scripts/benchlib.py.)
 """
 
 import os
