@@ -293,8 +293,9 @@ def minsr_race(n=100, threshold=1e-4, num_samples=500, seeds=(0,),
     HIGH gram + fused-CG solve).  Trains each in ``block``-step device-side
     blocks until the trailing-block mean energy is within ``threshold``
     relative of the DMRG anchor, and reports steps + wall seconds.  The
-    claim under test: minSR needs ~2.6x fewer steps and wins wall-clock
-    despite its per-step premium (BENCHMARKS.md).
+    claim under test (5-seed medians, BENCHMARKS.md round 5): minSR
+    needs ~2.2x fewer steps and wins wall-clock ~1.7x despite its
+    per-step premium.
 
     ``seeds`` varies BOTH the parameter init and the Monte-Carlo stream;
     steps-to-threshold is a noisy race statistic, so the honest headline is
