@@ -286,33 +286,56 @@ def sampler_gof(draws_per_round=4096, rounds=32, seed=7):
     return results
 
 
-def minsr_race(n=100, threshold=1e-4, num_samples=500, seeds=(0,),
-               block=250):
-    """Wall-clock-to-threshold head-to-head on the flagship anchor: Adam
-    (reference optimizer/lr) vs minSR (round-4 solver stack: tree rows +
-    HIGH gram + fused-CG solve).  Trains each in ``block``-step device-side
-    blocks until the trailing-block mean energy is within ``threshold``
-    relative of the DMRG anchor, and reports steps + wall seconds.  The
-    claim under test (5-seed medians, BENCHMARKS.md round 5): minSR
-    needs ~2.2x fewer steps and wins wall-clock ~1.7x despite its
-    per-step premium.
+def _race_problem(family, n):
+    """(ansatz, hamiltonian, anchor, adam_lr) for a race family.  Anchors:
+    TFIM from the reference DMRG table; J1-J2 N=100/J2=0.2 DMRG
+    (BASELINE.md); MDRNN 4x4/Bx=3 from the native Lanczos oracle
+    (BENCHMARKS.md)."""
+    if family == "tfim":
+        return (PRNN1D(num_sites=n, units=(50,)),
+                TFIM1D(num_sites=n, bx=1.0), TFIM_DMRG[n], 5e-3, 500)
+    if family == "j1j2":
+        assert n == 100, "J1-J2 race anchor is published for N=100 only"
+        return (CRNNU1(num_sites=n, units=(50,)),
+                J1J2(num_sites=n, j1=1.0, j2=0.2, marshall_sign=True),
+                J1J2_DMRG_N100[0.2], 2e-3, 512)
+    if family == "mdrnn":
+        from rnnwavefunctions_tpu import MDRNN2D, TFIM2D
+
+        assert n == 16, "2D race runs the reference-default 4x4 lattice"
+        return (MDRNN2D(nx=4, ny=4, units=50),
+                TFIM2D(nx=4, ny=4, bx=3.0, encoding="grid"),
+                -50.1866238828, 5e-3, 500)
+    raise ValueError(f"unknown race family {family!r}")
+
+
+def minsr_race(n=100, threshold=1e-4, num_samples=None, seeds=(0,),
+               block=250, family="tfim"):
+    """Wall-clock-to-threshold head-to-head: Adam (reference optimizer/lr)
+    vs minSR (round-4 solver stack: tree rows + HIGH gram + fused-CG
+    solve), on any of the three ansatz families.  Trains each in
+    ``block``-step device-side blocks until the trailing-block mean energy
+    is within ``threshold`` relative of the anchor, and reports steps +
+    wall seconds.  The claims under test (5-seed medians, BENCHMARKS.md
+    round 5): minSR needs 2-3.5x fewer steps and wins wall-clock on every
+    family despite its per-step premium.
 
     ``seeds`` varies BOTH the parameter init and the Monte-Carlo stream;
     steps-to-threshold is a noisy race statistic, so the honest headline is
     the median +- spread over >= 5 seeds (round-5 VERDICT item 4), not a
     single run at the default seed."""
-    ref = TFIM_DMRG[n]
-    out = {"check": f"tfim_n{n}_minsr_race", "threshold": threshold,
+    ansatz, ham, ref, adam_lr, family_samples = _race_problem(family, n)
+    if num_samples is None:
+        num_samples = family_samples  # the published tables' batch sizes
+    out = {"check": f"{family}_n{n}_minsr_race", "threshold": threshold,
            "block": block, "seeds": list(seeds)}
     for tag, cfg in [
-        ("adam", TrainConfig(num_samples=num_samples, learning_rate=5e-3)),
+        ("adam", TrainConfig(num_samples=num_samples,
+                             learning_rate=adam_lr)),
         ("minsr", TrainConfig(num_samples=num_samples, learning_rate=5e-2,
                               optimizer="minsr")),
     ]:
-        trainer = VMCTrainer(
-            PRNN1D(num_sites=n, units=(50,)), TFIM1D(num_sites=n, bx=1.0),
-            cfg,
-        )
+        trainer = VMCTrainer(ansatz, ham, cfg)
         # compile the block program outside the clocks (a throwaway state —
         # run_steps compiles once per distinct K)
         trainer.run_steps(trainer.init(), jax.random.PRNGKey(0), block)
@@ -369,6 +392,12 @@ def main(argv=None):
     p.add_argument("--minsr-race", action="store_true",
                    help="wall-clock-to-threshold Adam vs minSR on the "
                         "N=100 flagship anchor")
+    p.add_argument("--race-family", type=str, default="tfim",
+                   choices=["tfim", "j1j2", "mdrnn"],
+                   help="ansatz family for --minsr-race: tfim (PRNN1D, any "
+                        "anchored N), j1j2 (CRNNU1, N=100 J2=0.2 to 1e-3), "
+                        "mdrnn (4x4 grid, pass --race-n 16, 50-step "
+                        "blocks)")
     p.add_argument("--race-n", type=int, default=100,
                    help="system size for --minsr-race (20 pairs with "
                         "--race-threshold 1e-3 and --race-block 25)")
@@ -393,7 +422,7 @@ def main(argv=None):
     if args.minsr_race:
         return minsr_race(n=args.race_n, threshold=args.race_threshold,
                           seeds=tuple(range(args.seeds)),
-                          block=args.race_block)
+                          block=args.race_block, family=args.race_family)
     if args.gof:
         return sampler_gof()
     if args.fidelity is not None:
