@@ -413,6 +413,9 @@ def _make_jac_spill_kernel(num_layers: int, kind: str, chunk: int):
         # ---- forward: fill ring slots chunk by chunk, streaming EVERY
         # filled chunk out (unlike the BPTT spill, the last two are needed
         # in HBM too — the weight-row contraction outside consumes them).
+        # TWIN: _make_rollout_spill_kernel's forward fill is the same ring
+        # protocol — a wait-ordering or slot-accounting fix here must be
+        # mirrored there (and vice versa).
         carry = fwd0
         for idx in range(nchunks):
             rows = min(chunk, n_sites - idx * chunk)
@@ -583,13 +586,11 @@ def _jac_sweep_spill(params, seq, b, n, lu, dgr, units, tile, chunk,
         ],
     )(seq, *_weightsT(params))
 
-    def relay(a, rows):
-        # (tiles, nchunks, chunk, R, tile) -> (N, rows, B)
-        a = jnp.transpose(a, (1, 2, 3, 0, 4))
-        a = a.reshape(nchunks * chunk, a.shape[2], b_pad)
-        return a[:n, :rows, :b]
-
-    return relay(hist_o, lu), relay(dg_o, dgr), dl1[:, :b]
+    return (
+        _relay_out(hist_o, nchunks, chunk, n, lu, b_pad, b),
+        _relay_out(dg_o, nchunks, chunk, n, dgr, b_pad, b),
+        dl1[:, :b],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -615,6 +616,10 @@ def _make_rollout_kernel(num_layers: int, kind: str):
         def read_s(n):
             return samples_ref[pl.ds(n, 1), :].astype(jnp.float32)
 
+        # TWIN: this resident rollout body and _make_rollout_spill_kernel's
+        # _build_fwd_site/_zero_carries express the same forward step —
+        # a semantics fix (x_scale site-0 handling, LSTM (h, c) interleave)
+        # must land in both.
         def fbody(n, carry):
             hs, x_row = carry
             x_scale = jnp.where(n > 0, 1.0, 0.0)
@@ -677,6 +682,10 @@ def _make_sweep_kernel(num_layers: int, kind: str):
             x_scale = jnp.where(n > 0, 1.0, 0.0)
 
             def emit(l, da, dgh_c):
+                # TWIN of _emit_rows (the shared 4U-per-layer packed-row
+                # mapping): a layout change there must be mirrored here, or
+                # the resident CRNN sweep writes the old layout while
+                # trunk_rows_from_sweep reads the new one.
                 base = 4 * u * l
                 if dgh_c is None:
                     dg_ref[pl.ds(n, 1), base : base + 4 * u, :] = da[None]
@@ -924,17 +933,6 @@ def _sweep_spill_bytes(n: int, units, tile: int, chunk: int,
         + 2 * _weight_bytes(units, 0, kind)
         + 2 * lu_pad * tile * 4
         + 2 * chunk * (lu_pad + u_pad + dgr_pad) * tile * 4
-    )
-
-
-def _rollout_spill_bytes(n: int, units, tile: int, chunk: int,
-                         kind: str) -> int:
-    lu_pad = _round8(STATE_ROWS[kind] * sum(units))
-    return (
-        2 * _round8(n) * tile * 4
-        + 2 * _weight_bytes(units, 0, kind)
-        + 2 * lu_pad * tile * 4
-        + 2 * chunk * lu_pad * tile * 4
     )
 
 

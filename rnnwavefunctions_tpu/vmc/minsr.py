@@ -39,12 +39,16 @@ Data parallelism: each device computes its local O rows, the row mean is
 performs the identical gather/solve, so the update stays replicated without
 a gradient psum.
 
-The per-sample jacobians deliberately ride the jnp scan paths
-(``impl="jnp"`` twin of the ansatz): the fused Pallas BPTT kernels
-accumulate batch-REDUCED weight gradients (ops/fused_*_bwd.py), which is the
-wrong contraction here, and per-example vmap over a custom_vjp kernel would
-re-dispatch the kernel per row.  vmap of grad over the scan turns into one
-batched BPTT with per-sample outputs — the right program shape for XLA.
+Per-sample jacobian rows dispatch through ``vmc/jacobian.py``'s
+stash-and-contract BPTT sweeps for the built-in families (with the fused
+Pallas sweep kernels of ``ops/fused_jac.py`` underneath when the ansatz's
+``impl`` admits them — NOT the training-loss BPTT kernels of
+``ops/fused_*_bwd.py``, whose batch-REDUCED weight gradients are the wrong
+contraction here).  Ansatze outside jacobian.py's coverage fall back to
+vmap-of-grad over the jnp scan twin (``impl="jnp"``): per-example vmap over
+a custom_vjp kernel would re-dispatch the kernel per row, while vmap of
+grad over the scan turns into one batched BPTT with per-sample outputs —
+the right program shape for XLA.
 """
 
 from __future__ import annotations
@@ -86,44 +90,16 @@ def per_sample_log_amp_grads(
     Returns ``(o_re, o_im, unravel)`` with ``o_re/o_im`` of shape (S, P)
     (``o_im`` None for real-valued log psi) and ``unravel`` mapping a flat
     (P,) vector back to the params pytree.
+
+    A thin flattening wrapper over :func:`per_sample_log_amp_grad_trees` —
+    ONE dispatch for both forms, so the flat oracle the tests compare
+    against (tests/test_minsr.py) always exercises the same row source as
+    the production tree path.
     """
-    a = _jnp_twin(ansatz)
     _, unravel = ravel_pytree(params)
-
-    from . import jacobian
-
-    if jacobian.supports(a):
-        # stash-and-contract BPTT rows (vmc/jacobian.py): same values,
-        # ~N-fold less HBM traffic than the vmap-of-grad scans below (whose
-        # backward carries the (S, P) accumulator through every step).
-        # The ORIGINAL ansatz is passed so its ``impl`` field can admit the
-        # fused Pallas sweep (jacobian's scans are hand-written — the jnp
-        # twin only matters for the generic autodiff fallback below).
-        if getattr(a, "is_complex", False):
-            rows_re, rows_im = jacobian.crnn_log_amp_rows(
-                ansatz, params, samples
-            )
-            return (
-                _flatten_rows(rows_re, 1), _flatten_rows(rows_im, 1), unravel
-            )
-        rows = jacobian.log_amp_rows(ansatz, params, samples)
-        return _flatten_rows(rows, 1), None, unravel
-
-    if getattr(a, "is_complex", False):
-
-        def f2(p, s):
-            re, im = a.log_amp_parts(p, s[None])
-            return jnp.stack([re[0], im[0]])
-
-        jac = jax.vmap(jax.jacrev(f2), in_axes=(None, 0))(params, samples)
-        o = _flatten_rows(jac, 2)  # (S, 2, P)
-        return o[:, 0, :], o[:, 1, :], unravel
-
-    def f(p, s):
-        return a.log_amp(p, s[None])[0]
-
-    jac = jax.vmap(jax.grad(f), in_axes=(None, 0))(params, samples)
-    return _flatten_rows(jac, 1), None, unravel
+    rows_re, rows_im = per_sample_log_amp_grad_trees(ansatz, params, samples)
+    o_im = None if rows_im is None else _flatten_rows(rows_im, 1)
+    return _flatten_rows(rows_re, 1), o_im, unravel
 
 
 def per_sample_log_amp_grad_trees(
@@ -139,6 +115,12 @@ def per_sample_log_amp_grad_trees(
     from . import jacobian
 
     if jacobian.supports(a):
+        # stash-and-contract BPTT rows (vmc/jacobian.py): same values,
+        # ~N-fold less HBM traffic than the vmap-of-grad scans below (whose
+        # backward carries the (S, P) accumulator through every step).
+        # The ORIGINAL ansatz is passed so its ``impl`` field can admit the
+        # fused Pallas sweep (jacobian's scans are hand-written — the jnp
+        # twin only matters for the generic autodiff fallback below).
         if getattr(a, "is_complex", False):
             rows_re, rows_im = jacobian.crnn_log_amp_rows(
                 ansatz, params, samples
