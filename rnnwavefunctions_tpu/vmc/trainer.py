@@ -53,12 +53,25 @@ class TrainConfig:
     #               TrainingRNN_J1J2.py:302);
     # "exponential" lr * decay_rate^(step/decay_steps)
     #               (tf.train.exponential_decay wrapper the reference builds
-    #               with decay_rate=1.0, TrainingRNN_1DTFIM.py:111).
+    #               with decay_rate=1.0, TrainingRNN_1DTFIM.py:111);
+    # "staged"      piecewise-constant: lr multiplied by
+    #               lr_stage_scales[i] once step >= lr_stage_bounds[i]
+    #               (cumulative).  No reference analog; this is the
+    #               schedule that takes the J1-J2 deep-accuracy record
+    #               with minSR (constant phases converge where both
+    #               smooth-decay and single-constant forms fail —
+    #               BENCHMARKS.md round 5), in ONE compiled program
+    #               instead of per-phase trainer rebuilds.
     schedule: str = "constant"
     decay_scale: float = 10.0
     decay_rate: float = 1.0
     decay_steps: int = 100
     staircase: bool = True
+    # "staged" knobs: after lr_stage_bounds[i] steps, multiply the lr by
+    # lr_stage_scales[i] (scales compound).  The record recipe:
+    # lr=5e-2, bounds=(10000, 13000), scales=(0.1, 0.2) -> 5e-2/5e-3/1e-3.
+    lr_stage_bounds: tuple = ()
+    lr_stage_scales: tuple = ()
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8  # TrainingRNN_J1J2.py:164
@@ -140,6 +153,24 @@ def make_schedule(config: TrainConfig) -> Callable[[jax.Array], jax.Array]:
             return config.learning_rate * config.decay_rate**p
 
         return exp_schedule
+    if config.schedule == "staged":
+        bounds = tuple(config.lr_stage_bounds)
+        scales = tuple(config.lr_stage_scales)
+        if len(bounds) != len(scales):
+            raise ValueError(
+                f"staged schedule needs matching lr_stage_bounds/"
+                f"lr_stage_scales; got {len(bounds)} vs {len(scales)}"
+            )
+        if list(bounds) != sorted(bounds):
+            raise ValueError(f"lr_stage_bounds must ascend; got {bounds}")
+
+        def staged_schedule(step):
+            f = jnp.asarray(config.learning_rate, jnp.float32)
+            for b, s in zip(bounds, scales):
+                f = f * jnp.where(step >= b, jnp.float32(s), 1.0)
+            return f
+
+        return staged_schedule
     raise ValueError(f"unknown schedule {config.schedule!r}")
 
 

@@ -75,6 +75,23 @@ def test_schedules():
                                   staircase=True))
     np.testing.assert_allclose(float(s(jnp.int32(199))), 5e-3)
     np.testing.assert_allclose(float(s(jnp.int32(200))), 2.5e-3)
+    # staged: piecewise-constant phases (the J1-J2 minSR record recipe),
+    # scales compounding at each bound
+    s = make_schedule(TrainConfig(learning_rate=5e-2, schedule="staged",
+                                  lr_stage_bounds=(10000, 13000),
+                                  lr_stage_scales=(0.1, 0.2)))
+    np.testing.assert_allclose(float(s(jnp.int32(9999))), 5e-2, rtol=1e-6)
+    np.testing.assert_allclose(float(s(jnp.int32(10000))), 5e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(jnp.int32(13000))), 1e-3, rtol=1e-6)
+    import pytest
+    with pytest.raises(ValueError, match="matching"):
+        make_schedule(TrainConfig(schedule="staged",
+                                  lr_stage_bounds=(10,),
+                                  lr_stage_scales=()))
+    with pytest.raises(ValueError, match="ascend"):
+        make_schedule(TrainConfig(schedule="staged",
+                                  lr_stage_bounds=(20, 10),
+                                  lr_stage_scales=(0.1, 0.1)))
 
 
 # -- off-diagonal estimators ------------------------------------------------
