@@ -13,9 +13,11 @@ import argparse
 from .. import PRNN1D, TFIM1D, TrainConfig, VMCTrainer, make_mesh
 from .run_loop import (
     add_cache_flag,
+    add_schedule_flags,
     enable_persistent_cache,
     resolve_dtype,
     run_training,
+    schedule_kwargs,
 )
 
 
@@ -75,6 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", type=str, default="Check_Points/1DTFIM")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", type=str, default=None)
+    add_schedule_flags(p)
     add_cache_flag(p)
     return p
 
@@ -95,7 +98,7 @@ def main(argv=None):
     config = TrainConfig(
         num_samples=args.numsamples,
         learning_rate=args.learningrate,
-        schedule="constant",
+        **schedule_kwargs(args),
         chunk_size=args.chunk_size,
         tp=args.tp,
         seed=args.seed,

@@ -69,6 +69,38 @@ def add_cache_flag(parser) -> None:
     )
 
 
+def add_schedule_flags(parser, default: str = "constant") -> None:
+    """LR-schedule flags shared by the 1D runners.  ``default`` follows
+    each runner's reference trainer; "staged" (piecewise-constant phases)
+    is the recipe holding the round-5 deep-accuracy records with
+    ``--optimizer minsr`` (BENCHMARKS.md)."""
+    parser.add_argument(
+        "--schedule", type=str, default=default,
+        choices=["constant", "inverse", "harmonic", "exponential",
+                 "staged"],
+        help=f"learning-rate schedule (default: {default}, the reference "
+             "trainer's choice; 'staged' multiplies the lr by "
+             "--lr-stage-scales[i] once step >= --lr-stage-bounds[i])",
+    )
+    parser.add_argument("--lr-stage-bounds", type=int, nargs="*",
+                        default=[],
+                        help="staged-schedule step bounds (ascending); the "
+                             "J1-J2 record recipe: 10000 13000")
+    parser.add_argument("--lr-stage-scales", type=float, nargs="*",
+                        default=[],
+                        help="staged-schedule lr multipliers (compounding); "
+                             "the record recipe: 0.1 0.2")
+
+
+def schedule_kwargs(args) -> dict:
+    """TrainConfig kwargs from ``add_schedule_flags``'s namespace."""
+    return {
+        "schedule": args.schedule,
+        "lr_stage_bounds": tuple(args.lr_stage_bounds),
+        "lr_stage_scales": tuple(args.lr_stage_scales),
+    }
+
+
 def resolve_dtype(name: str):
     """CLI ``--dtype`` -> jnp dtype, enabling the x64 mode float64 needs.
     The reference's 2D families build their whole graph in float64

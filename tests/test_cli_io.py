@@ -402,3 +402,18 @@ def test_cli_evaluate_tp_checkpoint_with_observables(tmp_path):
     ])
     assert np.isfinite(result_tp["energy"]) and result_tp["energy"] < 0.0
     assert len(result_tp["sigma_x"]) == 6
+
+
+def test_cli_staged_schedule(tmp_path):
+    """--schedule staged with bounds/scales runs through the 1D runner (the
+    round-5 record recipe's CLI form); default stays the reference's
+    constant schedule."""
+    mean_e, _ = run_1dtfim.main([
+        "--numsteps", "8", "--systemsize", "6", "--num-units", "8",
+        "--numsamples", "32", "--workdir", str(tmp_path),
+        "--num-devices", "1", "--optimizer", "minsr",
+        "--learningrate", "5e-2",
+        "--schedule", "staged",
+        "--lr-stage-bounds", "4", "--lr-stage-scales", "0.1",
+    ])
+    assert len(mean_e) == 9 and np.isfinite(mean_e).all()
