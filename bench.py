@@ -442,13 +442,31 @@ def run_row(name):
 
 
 def _last_good_onchip():
-    """Newest flagship record from the driver's BENCH_r*.json archives whose
-    run actually reached the device (value > 0), plus a pointer to the
-    full per-workload tables.  Returned inside the dead-tunnel record so a
-    tunnel outage at bench time never erases the measured history."""
+    """Newest measured flagship record, for the dead-tunnel fallback so a
+    tunnel outage at bench time never erases the measured history.
+    Preference order: the committed ``BENCH_DETAIL.json`` (the most recent
+    FULL on-chip run — the driver's ``BENCH_r*.json`` archives can lag it,
+    e.g. rounds whose tail capture truncated), then the newest driver
+    archive whose run actually reached the device (value > 0)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            det = json.load(f)
+        if det.get("value", 0) > 0:
+            return {
+                "source": "BENCH_DETAIL.json (committed full-run record)",
+                "metric": det["metric"],
+                "value": det["value"],
+                "unit": det["unit"],
+                "vs_baseline": det["vs_baseline"],
+                "accuracy_n20_minsr": det.get("accuracy_n20_minsr"),
+                "full_tables": "BENCHMARKS.md (measured on-chip "
+                               "pre-outage; see Round sections)",
+            }
+    except Exception:
+        pass
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                        reverse=True):
         try:
